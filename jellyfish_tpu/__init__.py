@@ -1,0 +1,24 @@
+"""jellyfish_tpu — a TPU-native k-mer counting framework.
+
+A from-scratch rebuild of the capabilities of Jellyfish (gmarcais/Jellyfish,
+reference mounted at /root/reference) designed for TPU hardware:
+
+- 2-bit mer encoding / canonicalization as vectorized JAX array programs
+  (vs. reference per-base scalar loop, include/jellyfish/mer_dna.hpp).
+- GF(2) rectangular-binary-matrix hashing as an MXU bit-matmul
+  (vs. reference per-mer XOR loop, include/jellyfish/rectangular_binary_matrix.hpp).
+- The lock-free CAS hash table (include/jellyfish/large_hash_array.hpp) is
+  replaced by a sort + segment-reduce LSM of hash-sorted runs resident in HBM —
+  dump order (hash order) falls out of the data structure for free.
+- Multi-chip scaling via jax.sharding Mesh + shard_map with all-to-all
+  routing of mers to owner shards by hash prefix (replaces pthread
+  shared-memory parallelism, which the reference uses exclusively).
+
+File formats (JSON header, binary/sorted, text/sorted, bloomcounter) are
+compatible with the reference so that databases interoperate.
+"""
+
+__version__ = "0.1.0"
+
+from jellyfish_tpu.gf2 import GF2Matrix
+from jellyfish_tpu.mer import MerDNA

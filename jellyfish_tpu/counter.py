@@ -1,0 +1,146 @@
+"""The TPU k-mer counting engine (replacement for sub_commands/count_main.cc).
+
+Pipeline per fixed-size chunk of sequence bytes (all on device, one jitted
+program):
+
+    ASCII bytes -> 2-bit codes -> all k windows (+validity mask)
+    -> canonical mers -> MXU GF(2) hash -> hash-order sortkeys
+    -> lexicographic sort + segment-reduce -> deduplicated sorted run
+
+Runs accumulate in a SortedCountStore (LSM). finalize() yields the whole
+table sorted in the reference's dump order.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jellyfish_tpu.gf2 import GF2Matrix
+from jellyfish_tpu.ops import multiword as mw
+from jellyfish_tpu.ops.count import sort_unique
+from jellyfish_tpu.ops.hashing import mers_of_sortkeys, sortkey_of_mers
+from jellyfish_tpu.ops.mers import encode_codes, extract_mers
+from jellyfish_tpu.store import SortedCountStore
+
+__all__ = ["MerCounter", "ceil_log2"]
+
+
+def ceil_log2(x: int) -> int:
+    return max(0, (int(x) - 1).bit_length())
+
+
+@functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
+def _chunk_pipeline(chunk_u8, bit_matrix, k, lsize, canonical):
+    codes = encode_codes(chunk_u8)
+    mers, valid = extract_mers(codes, k, canonical)
+    sk = sortkey_of_mers(mers, bit_matrix, k, lsize)
+    keys, counts = sort_unique(sk, valid.astype(jnp.uint32))
+    return keys, counts
+
+
+@functools.partial(jax.jit, static_argnames=("k", "lsize"))
+def _recover_mers(sortkeys, inv_bit_matrix, k, lsize):
+    return mers_of_sortkeys(sortkeys, inv_bit_matrix, k, lsize)
+
+
+class MerCounter:
+    """Accumulates k-mer counts from sequence chunks.
+
+    Equivalent of cooperative::hash_counter + large_hash::array for one chip.
+    `size` plays the reference's -s role: it fixes lsize = ceil(log2(size))
+    and hence the hash matrix shape and the dump order. If size >= 4^k the
+    identity matrix is used (large_hash_array.hpp:997-1001).
+    """
+
+    def __init__(
+        self,
+        k: int,
+        size: int,
+        canonical: bool = False,
+        matrix: GF2Matrix | None = None,
+        rng: np.random.Generator | None = None,
+    ):
+        self.k = int(k)
+        c = 2 * self.k
+        self.W = mw.nwords(c)
+        if c <= 64 and size >= (1 << c):
+            self.lsize = c
+            self.size = 1 << c
+            self.matrix = matrix if matrix is not None else GF2Matrix.identity(c)
+            if not self.matrix.is_low_identity():
+                raise ValueError("size >= 4^k requires the identity matrix")
+        else:
+            self.lsize = max(1, min(ceil_log2(size), 64 if c > 64 else c))
+            self.size = 1 << self.lsize
+            if matrix is not None:
+                self.matrix = matrix
+                if matrix.r != self.lsize or matrix.c != c:
+                    raise ValueError(
+                        f"matrix is {matrix.r}x{matrix.c}, need {self.lsize}x{c}"
+                    )
+            else:
+                rng = rng or np.random.default_rng()
+                self.matrix = GF2Matrix.random_invertible(self.lsize, c, rng)
+        self.canonical = bool(canonical)
+
+        if self.matrix.is_identity() or (
+            self.matrix.is_low_identity() and self.lsize == c
+        ):
+            self._A = None
+            self._Ainv = None
+        else:
+            self._A = jnp.asarray(self.matrix.bit_matrix())
+            self._Ainv = jnp.asarray(self.matrix.inverse_bit_matrix())
+
+        self.store = SortedCountStore(self.W)
+        self.total_mers = 0  # valid (counted) mers
+
+    # -- ingestion ------------------------------------------------------------
+
+    def add_chunk(self, chunk_u8: np.ndarray) -> None:
+        """Count all k-mers of a chunk of ASCII sequence (uint8). Reads must
+        be separated by non-ACGT bytes; chunks of one stream must overlap by
+        k-1 bytes (the parser guarantees both)."""
+        if len(chunk_u8) < self.k:
+            return
+        chunk = jnp.asarray(chunk_u8, dtype=jnp.uint8)
+        keys, counts = _chunk_pipeline(
+            chunk, self._A, k=self.k, lsize=self.lsize, canonical=self.canonical
+        )
+        self.store.insert_run(
+            keys, counts, jnp.zeros(counts.shape, dtype=jnp.uint32)
+        )
+
+    def add_mers_np(self, mers_int_iterable, value: int = 1) -> None:
+        """Host-side path to add explicit mers (used by bindings/tests)."""
+        mers = list(mers_int_iterable)
+        if not mers:
+            return
+        arr = jnp.asarray(mw.from_ints(mers, self.W))
+        sk = sortkey_of_mers(arr, self._A, self.k, self.lsize)
+        w = jnp.full(len(mers), value, dtype=jnp.uint32)
+        keys, counts = sort_unique(sk, w)
+        self.store.insert_run(keys, counts, jnp.zeros_like(counts))
+
+    # -- extraction -----------------------------------------------------------
+
+    def finalize(self):
+        """Return (mers [n] object ints, counts [n] uint64 np) in hash order
+        (the reference's dump order: ascending (pos, key))."""
+        keys, lo, hi, n = self.store.finalize()
+        if n == 0:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+        mers_dev = _recover_mers(keys, self._Ainv, k=self.k, lsize=self.lsize)
+        mers_np = np.asarray(mers_dev)[:n]
+        lo_np = np.asarray(lo)[:n].astype(np.uint64)
+        hi_np = np.asarray(hi)[:n].astype(np.uint64)
+        counts = lo_np | (hi_np << np.uint64(32))
+        return mw.to_ints(mers_np), counts
+
+    def reset(self) -> None:
+        self.store.reset()

@@ -1,0 +1,207 @@
+"""FASTA/FASTQ streaming chunker (host side).
+
+Replacement for the reference's mer_overlap_sequence_parser /
+whole_sequence_parser (+ cooperative_pool2): turns any mix of FASTA/FASTQ
+streams into fixed-size uint8 chunks ready for the device pipeline:
+
+- reads within a chunk are separated by a SEPARATOR byte so no mer spans two
+  reads (the parser's 'N'-insertion trick, mer_overlap_sequence_parser.hpp:88);
+- consecutive chunks of one stream overlap by k-1 bytes so no mer spanning a
+  chunk boundary is lost (the seam carry, mer_overlap_sequence_parser.hpp:164-216);
+- FASTQ quality filtering replaces low-quality bases with 'N' before
+  chunking (mer_qual_iterator.hpp:74-84 semantics);
+- the tail of the final chunk is padded with SEPARATOR bytes.
+
+This pure-python version favors clarity; the C++ accelerated scanner in
+native/ takes over when built (same chunk semantics).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import subprocess
+import sys
+from typing import Iterable, Iterator
+
+import numpy as np
+
+__all__ = ["SequenceChunker", "open_stream", "iter_reads", "sniff_format"]
+
+SEPARATOR = ord("N")  # any non-ACGT byte breaks mers; 'N' matches reference
+
+
+def open_stream(path: str):
+    """Open a sequence file (plain or gzip) as a binary stream."""
+    if path == "/dev/fd/0" or path == "-":
+        return sys.stdin.buffer
+    f = open(path, "rb")
+    magic = f.peek(2)[:2] if hasattr(f, "peek") else b""
+    if magic == b"\x1f\x8b":
+        import gzip
+
+        return gzip.open(f)
+    return f
+
+
+def sniff_format(stream) -> str:
+    ch = stream.peek(1)[:1] if hasattr(stream, "peek") else b""
+    if ch == b">":
+        return "fasta"
+    if ch == b"@":
+        return "fastq"
+    raise ValueError("unrecognized sequence format (expected '>' or '@')")
+
+
+def iter_reads(stream, with_quals: bool = False) -> Iterator:
+    """Yield sequence bytes per read ((seq, qual) if with_quals).
+
+    Tolerates multi-line FASTA/FASTQ and DOS line endings
+    (mer_overlap_sequence_parser.hpp:266-287).
+    """
+    first = stream.read(1)
+    if not first:
+        return
+    if first == b">":
+        header = stream.readline()
+        seq_parts = []
+        for line in stream:
+            if line.startswith(b">"):
+                seq = b"".join(seq_parts)
+                yield (seq, None) if with_quals else seq
+                seq_parts = []
+            else:
+                seq_parts.append(line.rstrip(b"\r\n"))
+        seq = b"".join(seq_parts)
+        yield (seq, None) if with_quals else seq
+    elif first == b"@":
+        while True:
+            header = stream.readline()  # rest of @header line
+            if not header:
+                break
+            seq_parts = []
+            line = stream.readline()
+            while line and not line.startswith(b"+"):
+                seq_parts.append(line.rstrip(b"\r\n"))
+                line = stream.readline()
+            seq = b"".join(seq_parts)
+            qual_parts = []
+            qlen = 0
+            while qlen < len(seq):
+                line = stream.readline()
+                if not line:
+                    break
+                part = line.rstrip(b"\r\n")
+                qual_parts.append(part)
+                qlen += len(part)
+            qual = b"".join(qual_parts)
+            if len(qual) != len(seq):
+                raise ValueError("FASTQ quality length mismatch")
+            yield (seq, qual) if with_quals else seq
+            nxt = stream.read(1)
+            if not nxt:
+                break
+            if nxt != b"@":
+                raise ValueError("malformed FASTQ record separator")
+    else:
+        raise ValueError("unrecognized sequence format (expected '>' or '@')")
+
+
+class SequenceChunker:
+    """Concatenate reads from many files into fixed-size device chunks."""
+
+    def __init__(
+        self,
+        paths: Iterable[str],
+        k: int,
+        chunk_len: int,
+        min_qual: int | None = None,
+        generator_cmds: Iterable[str] | None = None,
+        shell: str | None = None,
+    ):
+        self.paths = list(paths)
+        self.k = int(k)
+        self.chunk_len = int(chunk_len)
+        self.min_qual = min_qual
+        self.generator_cmds = list(generator_cmds or [])
+        self.shell = shell or os.environ.get("SHELL", "/bin/sh")
+        self.reads = 0
+
+    def _streams(self):
+        for path in self.paths:
+            yield open_stream(path), None
+        for cmd in self.generator_cmds:
+            proc = subprocess.Popen(
+                [self.shell, "-c", cmd], stdout=subprocess.PIPE
+            )
+            yield proc.stdout, proc
+
+    def _read_bytes(self):
+        """Yield filtered sequence bytes per read across all streams."""
+        want_quals = self.min_qual is not None
+        for stream, proc in self._streams():
+            try:
+                for item in iter_reads(stream, with_quals=want_quals):
+                    if want_quals:
+                        seq, qual = item
+                        if qual is not None:
+                            s = np.frombuffer(seq, dtype=np.uint8).copy()
+                            q = np.frombuffer(qual, dtype=np.uint8)
+                            s[q < self.min_qual] = SEPARATOR
+                            seq = s.tobytes()
+                    else:
+                        seq = item
+                    self.reads += 1
+                    yield seq
+            finally:
+                if proc is not None:
+                    ret = proc.wait()
+                    if ret != 0:
+                        raise RuntimeError(
+                            f"generator subprocess exited with status {ret}"
+                        )
+                elif stream is not sys.stdin.buffer:
+                    stream.close()
+
+    def chunks(self) -> Iterator[np.ndarray]:
+        """Yield uint8 arrays of exactly chunk_len bytes."""
+        L = self.chunk_len
+        k = self.k
+        if L <= k:
+            raise ValueError("chunk_len must exceed k")
+        buf = np.full(L, SEPARATOR, dtype=np.uint8)
+        fill = 0
+        emitted_any = False
+        for seq in self._read_bytes():
+            pos = 0
+            n = len(seq)
+            if fill >= L:  # full of finished reads: no seam needed
+                yield buf
+                emitted_any = True
+                buf = np.full(L, SEPARATOR, dtype=np.uint8)
+                fill = 0
+            while pos < n:
+                take = min(n - pos, L - fill)
+                buf[fill : fill + take] = np.frombuffer(
+                    seq[pos : pos + take], dtype=np.uint8
+                )
+                fill += take
+                pos += take
+                if pos < n:
+                    # chunk boundary mid-read: emit, seam-carry k-1 bytes so
+                    # boundary-spanning mers are counted exactly once
+                    yield buf
+                    emitted_any = True
+                    tail = buf[L - (k - 1) :].copy() if k > 1 else None
+                    buf = np.full(L, SEPARATOR, dtype=np.uint8)
+                    if k > 1:
+                        buf[: k - 1] = tail
+                    fill = k - 1 if k > 1 else 0
+            # end of read: a separator byte breaks mers to the next read
+            if fill < L:
+                buf[fill] = SEPARATOR
+                fill += 1
+            # else: buf is exactly full of this read's end; the fresh buffer
+            # created on the next iteration starts clean (no seam).
+        if fill > 0 or not emitted_any:
+            yield buf

@@ -1,0 +1,128 @@
+"""Vectorized mer extraction: ASCII chunk -> [N, W] canonical 2-bit mers.
+
+This is the TPU replacement for the reference's per-base scalar loop
+(mer_iterator.hpp:53-81 + mer_dna.hpp shift_left/shift_right): instead of
+sliding one mer register along the sequence, every window of the chunk is
+materialized at once with k shifted adds over the whole chunk (VPU work), and
+validity (N's / read boundaries / chunk tail) is a cumulative-sum mask —
+the vector analogue of the parser's 'N'-separator convention
+(mer_overlap_sequence_parser.hpp:164-216).
+
+Conventions (identical to mer_dna.hpp):
+  - A=0 C=1 G=2 T=3 (mer_dna.hpp:38-55); case-insensitive; anything else
+    (including the 0xFF padding and read separators) is invalid.
+  - A mer is the 2k-bit big-endian base-4 integer of its window, held as
+    little-endian uint32 limbs.
+  - reverse complement via checkered-mask bit tricks (mer_dna.hpp:83-100).
+  - canonical = min(mer, revcomp) (mer_dna.hpp:428-431).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jellyfish_tpu.ops import multiword as mw
+
+__all__ = [
+    "code_table",
+    "encode_codes",
+    "extract_mers",
+    "reverse_complement",
+    "canonicalize",
+    "mers_from_codes",
+]
+
+INVALID = np.uint8(0xFF)
+
+# Separator byte the host parser inserts between reads (never a valid base).
+SEPARATOR = 0xFF
+
+
+@functools.cache
+def code_table() -> np.ndarray:
+    """256-entry byte -> code table; invalid bases map to 0xFF."""
+    t = np.full(256, INVALID, dtype=np.uint8)
+    for i, b in enumerate(b"ACGT"):
+        t[b] = i
+    for i, b in enumerate(b"acgt"):
+        t[b] = i
+    return t
+
+
+def encode_codes(chunk_u8):
+    """[L] uint8 ASCII -> [L] uint8 codes (0..3 valid, 0xFF invalid)."""
+    table = jnp.asarray(code_table())
+    return table[chunk_u8.astype(jnp.int32)]
+
+
+def _rc_word(w):
+    """Reverse the 2-bit groups of a uint32 and complement them
+    (word_reverse_complement, mer_dna.hpp:83-90, on 32-bit words)."""
+    w = ((w >> np.uint32(2)) & np.uint32(0x33333333)) | (
+        (w & np.uint32(0x33333333)) << np.uint32(2)
+    )
+    w = ((w >> np.uint32(4)) & np.uint32(0x0F0F0F0F)) | (
+        (w & np.uint32(0x0F0F0F0F)) << np.uint32(4)
+    )
+    w = ((w >> np.uint32(8)) & np.uint32(0x00FF00FF)) | (
+        (w & np.uint32(0x00FF00FF)) << np.uint32(8)
+    )
+    w = (w >> np.uint32(16)) | (w << np.uint32(16))
+    return ~w
+
+
+def reverse_complement(mers, k: int):
+    """[N, W] mers -> reverse complements."""
+    W = mers.shape[-1]
+    rc = jnp.stack([_rc_word(mers[..., W - 1 - w]) for w in range(W)], axis=-1)
+    rc = mw.mw_shift_right(rc, 32 * W - 2 * k)
+    return mw.mw_and_mask_top(rc, 2 * k)
+
+
+def canonicalize(mers, k: int):
+    rc = reverse_complement(mers, k)
+    return mw.mw_min(mers, rc)
+
+
+def extract_mers(codes, k: int, canonical: bool):
+    """codes [L] uint8 -> (mers [N, W] uint32, valid [N] bool), N = L-k+1.
+
+    mers[i] = the k-mer starting at position i; valid[i] iff the window
+    contains no invalid code.
+    """
+    L = codes.shape[0]
+    N = L - k + 1
+    W = mw.nwords(2 * k)
+
+    bad = (codes > 3).astype(jnp.int32)
+    # valid[i] <=> sum(bad[i:i+k]) == 0
+    csum = jnp.cumsum(bad)
+    csum0 = jnp.concatenate([jnp.zeros(1, dtype=jnp.int32), csum])
+    valid = (csum0[k:] - csum0[:N]) == 0
+
+    c2 = (codes & np.uint8(3)).astype(jnp.uint32)
+    # big-endian: code j of the window sits at bit 2*(k-1-j)
+    limbs = []
+    for w in range(W):
+        acc = jnp.zeros(N, dtype=jnp.uint32)
+        for j in range(k):
+            bitpos = 2 * (k - 1 - j)
+            if bitpos // 32 != w:
+                continue
+            sh = np.uint32(bitpos % 32)
+            acc = acc | (jax.lax.dynamic_slice_in_dim(c2, j, N) << sh)
+        limbs.append(acc)
+    mers = jnp.stack(limbs, axis=-1)
+
+    if canonical:
+        mers = canonicalize(mers, k)
+    return mers, valid
+
+
+def mers_from_codes(codes, k: int, canonical: bool):
+    """Alias used by the counting pipeline."""
+    return extract_mers(codes, k, canonical)
