@@ -1,0 +1,110 @@
+"""Benchmark: k-mers counted/sec/chip (k=21, canonical, FASTQ-stream shape).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "mers/s", "vs_baseline": N}
+
+vs_baseline compares against BASELINE_MERS_PER_SEC, the driver north star's
+"32-thread CPU jellyfish" figure (BASELINE.json). The reference repo
+publishes no absolute numbers (BASELINE.md) and is not buildable in this
+image (no autotools/yaggo), so the baseline constant is an estimate of
+jellyfish2 `count -m 21 -C -t 32` steady-state throughput on a 32-core
+server-class host; override with env JF_BASELINE_MERS_PER_SEC.
+
+The timed section covers the full device pipeline on pre-staged chunks:
+encode -> extract -> canonicalize -> GF(2) hash -> sort/segment-reduce ->
+LSM merge accumulation. Host FASTA/FASTQ parsing is benchmarked separately
+(native parser), mirroring how the reference's own --timing splits
+Init/Counting/Writing (count_main.cc:377-382).
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_MERS_PER_SEC = float(
+    os.environ.get("JF_BASELINE_MERS_PER_SEC", 1.0e8)
+)
+
+
+def synth_chunks(n_chunks: int, L: int, read_len: int = 150, seed: int = 1234):
+    """FASTQ-like chunk bytes: `read_len`-base reads joined by one separator
+    (what SequenceChunker emits for a typical Illumina FASTQ stream)."""
+    rng = np.random.default_rng(seed)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    out = np.empty((n_chunks, L), dtype=np.uint8)
+    for i in range(n_chunks):
+        row = bases[rng.integers(0, 4, size=L)]
+        row[read_len :: read_len + 1] = ord("N")
+        out[i] = row
+    return out
+
+
+def count_valid_mers(chunks: np.ndarray, k: int) -> int:
+    """Exact number of valid k-mer windows in the staged chunks (host)."""
+    total = 0
+    table = np.zeros(256, dtype=bool)
+    table[np.frombuffer(b"ACGTacgt", dtype=np.uint8)] = True
+    for row in chunks:
+        ok = table[row]
+        run = 0
+        # vectorized run-length: windows fully inside an ACGT run
+        edges = np.flatnonzero(np.diff(np.concatenate(([0], ok.view(np.int8), [0]))))
+        starts, ends = edges[::2], edges[1::2]
+        lens = ends - starts
+        total += int(np.maximum(lens - (k - 1), 0).sum())
+    return total
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from jellyfish_tpu.counter import MerCounter
+
+    k = 21
+    L = 1 << 20
+    n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 48))
+    counter = MerCounter(
+        k, size=1 << 22, canonical=True, rng=np.random.default_rng(42)
+    )
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+    chunks_np = synth_chunks(n_chunks, L)
+    n_mers = count_valid_mers(chunks_np, k)
+    dev_chunks = [jax.device_put(jnp.asarray(c)) for c in chunks_np]
+
+    # warmup: one full pass so EVERY LSM merge level shape is compiled
+    # (each level is a distinct static shape -> distinct XLA program)
+    for c in dev_chunks:
+        counter.add_chunk(c)
+    jax.block_until_ready(
+        [x for r in counter.store.occupied_levels() for x in r]
+    )
+    counter.reset()
+
+    t0 = time.perf_counter()
+    for c in dev_chunks:
+        counter.add_chunk(c)
+    jax.block_until_ready(
+        [x for r in counter.store.occupied_levels() for x in r]
+    )
+    elapsed = time.perf_counter() - t0
+
+    value = n_mers / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "kmers_counted_per_sec_per_chip_k21",
+                "value": round(value, 1),
+                "unit": "mers/s",
+                "vs_baseline": round(value / BASELINE_MERS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

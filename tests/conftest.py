@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin overrides JAX_PLATFORMS at import; force CPU through
+# the config API as well (must happen before any backend is initialized).
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -1,0 +1,54 @@
+"""Multi-chip sharded counting on the virtual 8-device CPU mesh, checked
+against the host oracle (the reference's test style, see conftest)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import oracle_counts, random_dna
+
+
+def _chunks_from_seqs(seqs, P, L):
+    """One read per shard row, padded with 'N' separators."""
+    chunks = np.full((P, L), ord("N"), dtype=np.uint8)
+    for i, s in enumerate(seqs):
+        b = s.encode()
+        chunks[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return chunks
+
+
+@pytest.mark.parametrize("k,canonical", [(21, False), (21, True), (33, True)])
+def test_sharded_matches_oracle(rng, k, canonical):
+    import jax
+
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P = len(jax.devices())
+    assert P == 8
+    mesh = make_mesh()
+    seqs = [random_dna(rng, 400, with_n=True) for _ in range(P * 3)]
+
+    counter = ShardedMerCounter(k, size=1 << 14, mesh=mesh, canonical=canonical, rng=rng)
+    for i in range(0, len(seqs), P):
+        counter.add_chunks(_chunks_from_seqs(seqs[i : i + P], P, 512))
+    mers, counts = counter.finalize()
+
+    expected = oracle_counts(seqs, k, canonical)
+    got = {int(m): int(c) for m, c in zip(mers, counts)}
+    assert got == expected
+
+
+def test_sharded_order_is_global_hash_order(rng):
+    import jax
+
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    k = 15
+    mesh = make_mesh()
+    counter = ShardedMerCounter(k, size=1 << 12, mesh=mesh, canonical=False, rng=rng)
+    seqs = [random_dna(rng, 300) for _ in range(8)]
+    counter.add_chunks(_chunks_from_seqs(seqs, 8, 512))
+    mers, _ = counter.finalize()
+    m = counter.matrix
+    mask = counter.size - 1
+    pairs = [(m.times(int(x)) & mask, int(x)) for x in mers]
+    assert pairs == sorted(pairs)
