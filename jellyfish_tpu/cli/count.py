@@ -1,0 +1,176 @@
+"""`jellyfish count` — the main counting driver (sub_commands/count_main.cc).
+
+Flag surface mirrors count_main_cmdline.yaggo:4-112. Differences from the
+reference are where TPU semantics replace thread semantics: `-t` is accepted
+but device parallelism comes from XLA; `-s` fixes the hash-order size (and
+with --disk the spill threshold) instead of a CAS table allocation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def add_parser(sub):
+    from jellyfish_tpu.cli.common import add_common_input_flags, suffix_int
+
+    p = sub.add_parser("count", help="Count k-mers in fasta or fastq files")
+    p.add_argument("-m", "--mer-len", type=int, required=True, dest="mer_len")
+    p.add_argument("-s", "--size", type=suffix_int, required=True,
+                   help="Initial hash size (suffixes k/M/G/T ok)")
+    p.add_argument("-o", "--output", default="mer_counts.jf")
+    p.add_argument("-c", "--counter-len", type=int, default=7, dest="counter_len",
+                   help="Length in bits of counting field (header val_len)")
+    p.add_argument("--out-counter-len", type=int, default=4,
+                   help="Length in bytes of counter field in output")
+    p.add_argument("-C", "--canonical", action="store_true")
+    p.add_argument("--bc", metavar="path",
+                   help="Bloom counter to filter out singleton mers")
+    p.add_argument("--bf-size", type=suffix_int, default=None,
+                   help="Use bloom filter to count high-frequency mers")
+    p.add_argument("--bf-fp", type=float, default=0.01,
+                   help="False positive rate of bloom filter")
+    p.add_argument("--if", dest="if_files", action="append", default=[],
+                   metavar="path", help="Count only k-mers in these files")
+    p.add_argument("-Q", "--min-qual-char", dest="min_qual_char",
+                   help="Any base with quality below this character becomes N")
+    p.add_argument("--quality-start", type=int, default=64,
+                   help="ASCII for quality values")
+    p.add_argument("--min-quality", type=int, default=None,
+                   help="Minimum quality; a lesser-quality base becomes an N")
+    p.add_argument("-p", "--reprobes", type=int, default=126,
+                   help="Maximum number of reprobes (header compatibility)")
+    p.add_argument("--text", action="store_true", help="Dump in text format")
+    p.add_argument("--disk", action="store_true",
+                   help="Spill sorted partials to disk instead of growing")
+    p.add_argument("--no-merge", action="store_true")
+    p.add_argument("--no-unlink", action="store_true")
+    p.add_argument("--no-write", action="store_true")
+    p.add_argument("-L", "--lower-count", type=int, default=None)
+    p.add_argument("-U", "--upper-count", type=int, default=None)
+    p.add_argument("--sam", action="append", default=[], metavar="PATH",
+                   help="SAM/BAM/CRAM formatted input file")
+    add_common_input_flags(p)
+    p.add_argument("file", nargs="*", help="Sequence file(s) (fasta/fastq)")
+    p.set_defaults(func=run)
+    return p
+
+
+def _load_generator_cmds(path: str):
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def _min_qual(args):
+    if args.min_qual_char is not None:
+        if len(args.min_qual_char) != 1:
+            raise SystemExit("jellyfish count: -Q must be a single character")
+        return ord(args.min_qual_char)
+    if args.min_quality is not None:
+        return args.quality_start + args.min_quality
+    return None
+
+
+def run(args, argv):
+    from jellyfish_tpu.cli.common import die
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.io.dumpers import dump_counter
+    from jellyfish_tpu.io.parse import SequenceChunker
+    from jellyfish_tpu.merge import merge_files
+
+    t_start = time.perf_counter()
+    k = args.mer_len
+    if not args.file and not args.generator and not args.sam:
+        die("count: no input files given")
+
+    gen_cmds = _load_generator_cmds(args.generator) if args.generator else None
+
+    filt = None
+    if args.bc or args.bf_size is not None:
+        from jellyfish_tpu.bloom import load_count_filter
+
+        filt = load_count_filter(
+            bc_path=args.bc, bf_size=args.bf_size, bf_fp=args.bf_fp, k=k,
+            canonical=args.canonical,
+        )
+
+    counter = MerCounter(
+        k, size=args.size, canonical=args.canonical,
+        rng=np.random.default_rng(), mer_filter=filt,
+    )
+
+    paths = list(args.file) + list(args.sam)
+    chunker = SequenceChunker(
+        paths, k, chunk_len=args.chunk_len, min_qual=_min_qual(args),
+        generator_cmds=gen_cmds, shell=args.shell,
+    )
+
+    t_init = time.perf_counter()
+
+    intermediates = []
+    spill_entries = args.size if args.disk else None
+
+    def maybe_spill():
+        if spill_entries is None:
+            return
+        # entries currently held across LSM levels (16 bytes per slot)
+        if counter.store.device_bytes() // 16 >= 2 * spill_entries:
+            path = f"{args.output}{len(intermediates)}"
+            dump_counter(
+                counter, path, text=args.text,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len, max_reprobe=args.reprobes,
+                cmdline=argv,
+            )
+            counter.reset()
+            intermediates.append(path)
+
+    for chunk in chunker.chunks():
+        counter.add_chunk(chunk)
+        maybe_spill()
+
+    if args.if_files:
+        allowed = SequenceChunker(list(args.if_files), k, chunk_len=args.chunk_len)
+        counter.restrict_to(allowed.chunks())
+
+    t_count = time.perf_counter()
+
+    if not args.no_write:
+        if not intermediates:
+            dump_counter(
+                counter, args.output, text=args.text,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len, max_reprobe=args.reprobes,
+                lower_count=args.lower_count or 0,
+                upper_count=args.upper_count, cmdline=argv,
+            )
+        else:
+            path = f"{args.output}{len(intermediates)}"
+            dump_counter(
+                counter, path, text=args.text,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len, max_reprobe=args.reprobes,
+                cmdline=argv,
+            )
+            intermediates.append(path)
+            if not args.no_merge:
+                merge_files(
+                    intermediates, args.output,
+                    min_count=args.lower_count or 0,
+                    max_count=args.upper_count,
+                    out_header_extra={"cmdline": list(argv)},
+                )
+                if not args.no_unlink:
+                    for f in intermediates:
+                        os.unlink(f)
+
+    t_write = time.perf_counter()
+    if args.timing:
+        with open(args.timing, "w") as f:
+            f.write(f"Init     {t_init - t_start:.4f}\n")
+            f.write(f"Counting {t_count - t_init:.4f}\n")
+            f.write(f"Writing  {t_write - t_count:.4f}\n")
+    return 0

@@ -48,6 +48,14 @@ def _recover_mers(sortkeys, inv_bit_matrix, k, lsize):
     return mers_of_sortkeys(sortkeys, inv_bit_matrix, k, lsize)
 
 
+@jax.jit
+def _compact_run(keys, counts):
+    """Re-establish the dense-prefix/PAD-tail run invariant after a filter
+    zeroed some counts (store runs must keep real entries in the ascending
+    dense prefix)."""
+    return sort_unique(keys, counts)
+
+
 class MerCounter:
     """Accumulates k-mer counts from sequence chunks.
 
@@ -64,6 +72,7 @@ class MerCounter:
         canonical: bool = False,
         matrix: GF2Matrix | None = None,
         rng: np.random.Generator | None = None,
+        mer_filter=None,
     ):
         self.k = int(k)
         c = 2 * self.k
@@ -99,6 +108,11 @@ class MerCounter:
 
         self.store = SortedCountStore(self.W)
         self.total_mers = 0  # valid (counted) mers
+        # optional per-batch filter on (recovered mers, counts) -> counts,
+        # the batch equivalent of the reference's filter chain
+        # (count_main.cc:99-131; bloom --bc / --bf-size modes)
+        self.mer_filter = mer_filter
+        self._restrict_store: SortedCountStore | None = None
 
     # -- ingestion ------------------------------------------------------------
 
@@ -112,6 +126,14 @@ class MerCounter:
         keys, counts = _chunk_pipeline(
             chunk, self._A, k=self.k, lsize=self.lsize, canonical=self.canonical
         )
+        if self.mer_filter is not None:
+            mers = _recover_mers(keys, self._Ainv, k=self.k, lsize=self.lsize)
+            new_counts = self.mer_filter(
+                np.asarray(mers), np.asarray(counts)
+            )
+            keys, counts = _compact_run(
+                keys, jnp.asarray(new_counts.astype(np.uint32))
+            )
         self.store.insert_run(
             keys, counts, jnp.zeros(counts.shape, dtype=jnp.uint32)
         )
@@ -127,6 +149,21 @@ class MerCounter:
         keys, counts = sort_unique(sk, w)
         self.store.insert_run(keys, counts, jnp.zeros_like(counts))
 
+    def restrict_to(self, chunks_iter) -> None:
+        """--if mode (count_main.cc:288-295 PRIME/UPDATE semantics): after
+        counting, only mers present in these chunks appear in the output."""
+        self._restrict_store = SortedCountStore(self.W)
+        for chunk_u8 in chunks_iter:
+            if len(chunk_u8) < self.k:
+                continue
+            chunk = jnp.asarray(chunk_u8, dtype=jnp.uint8)
+            keys, counts = _chunk_pipeline(
+                chunk, self._A, k=self.k, lsize=self.lsize,
+                canonical=self.canonical,
+            )
+            ones = jnp.minimum(counts, 1)
+            self._restrict_store.insert_run(keys, ones, jnp.zeros_like(ones))
+
     # -- extraction -----------------------------------------------------------
 
     def finalize(self):
@@ -135,12 +172,26 @@ class MerCounter:
         keys, lo, hi, n = self.store.finalize()
         if n == 0:
             return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
-        mers_dev = _recover_mers(keys, self._Ainv, k=self.k, lsize=self.lsize)
-        mers_np = np.asarray(mers_dev)[:n]
+        keys_np = np.asarray(keys)[:n]
         lo_np = np.asarray(lo)[:n].astype(np.uint64)
         hi_np = np.asarray(hi)[:n].astype(np.uint64)
         counts = lo_np | (hi_np << np.uint64(32))
-        return mw.to_ints(mers_np), counts
+        if self._restrict_store is not None:
+            akeys, _, _, an = self._restrict_store.finalize()
+            allowed = {
+                row.tobytes() for row in np.asarray(akeys)[:an]
+            }
+            sel = np.fromiter(
+                (row.tobytes() in allowed for row in keys_np),
+                dtype=bool, count=len(keys_np),
+            )
+            keys_np, counts = keys_np[sel], counts[sel]
+            if len(keys_np) == 0:
+                return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+        mers_dev = _recover_mers(
+            jnp.asarray(keys_np), self._Ainv, k=self.k, lsize=self.lsize
+        )
+        return mw.to_ints(np.asarray(mers_dev)), counts
 
     def reset(self) -> None:
         self.store.reset()

@@ -43,8 +43,9 @@ class GF2Matrix:
     def __init__(self, r: int, c: int, columns=None):
         if r < 1 or r > 64:
             raise ValueError(f"invalid matrix row count {r} (need 1 <= r <= 64)")
-        if c < r:
-            raise ValueError(f"invalid matrix size {r}x{c} (need r <= c)")
+        # r > c is allowed (used by the bloom hash_pair, which takes 64 x 2k
+        # matrices, mer_dna_bloom_counter.hpp:19-27); such matrices support
+        # times() but not the pseudo-square operations.
         self.r = int(r)
         self.c = int(c)
         if columns is None:
@@ -159,6 +160,8 @@ class GF2Matrix:
         """
         if self.columns is None:
             return self
+        if self.r > self.c:
+            raise ValueError("pseudo_inverse requires r <= c")
         pivot = self.columns.copy()
         res = GF2Matrix.low_identity(self.r, self.c).columns.copy()
         c, r = self.c, self.r

@@ -1,0 +1,197 @@
+"""End-to-end CLI tests (the reference's tests/*.sh tier): seeded data,
+count -> histo/stats/dump/query agreement with the python oracle, disk
+spill == in-memory, merge ops, bloom modes, --if, quality filtering."""
+
+import io
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import oracle_counts
+
+
+def run_cli(argv, capsys=None):
+    from jellyfish_tpu.cli import main
+
+    rc = main(argv)
+    assert rc == 0 or rc is None
+    if capsys is not None:
+        return capsys.readouterr().out
+    return None
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    """Seeded FASTA/FASTQ fixtures (tests/generate_sequence.sh role)."""
+    d = tmp_path_factory.mktemp("clidata")
+    fa = str(d / "seq.fa")
+    fq = str(d / "seq.fq")
+    run_cli(["generate", "-s", "3141592653", "-m", "40k", "-r", "80", "-o", fa[:-3]])
+    run_cli(["generate", "-s", "2718281828", "-m", "20k", "-q", "-o", fq[:-3]])
+    return {"dir": d, "fa": fa, "fq": fq}
+
+
+def _read_fasta_seqs(path):
+    seqs, cur = [], []
+    for line in open(path):
+        if line.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    return seqs
+
+
+def _dump_dict(capsys, db):
+    out = run_cli(["dump", "-c", db], capsys)
+    res = {}
+    for line in out.splitlines():
+        m, c = line.split()
+        res[m] = int(c)
+    return res
+
+
+def test_count_matches_oracle(data, capsys):
+    from jellyfish_tpu.mer import MerDNA
+
+    db = str(data["dir"] / "o.jf")
+    run_cli(["count", "-m", "13", "-s", "50k", "-C",
+             "--chunk-len", "8k", "-o", db, data["fa"]])
+    got = _dump_dict(capsys, db)
+    expected = oracle_counts(_read_fasta_seqs(data["fa"]), 13, True)
+    exp_str = {str(MerDNA(13, b)): c for b, c in expected.items()}
+    assert got == exp_str
+
+
+def test_histo_stats_consistency(data, capsys):
+    db = str(data["dir"] / "o.jf")
+    hist = run_cli(["histo", db], capsys)
+    total_distinct = sum(int(line.split()[1]) for line in hist.splitlines())
+    stats = run_cli(["stats", db], capsys)
+    vals = dict(line.split(":") for line in stats.splitlines())
+    assert int(vals["Distinct"].strip()) == total_distinct
+
+
+def test_query_agrees_with_dump(data, capsys):
+    db = str(data["dir"] / "o.jf")
+    d = _dump_dict(capsys, db)
+    some = list(d.items())[:20]
+    out = run_cli(["query", db] + [m for m, _ in some], capsys)
+    got = dict(line.split() for line in out.splitlines())
+    for m, c in some:
+        assert int(got[m]) == c
+    # absent mer
+    out = run_cli(["query", db, "A" * 13], capsys)
+    mer, val = out.split()
+    assert int(val) == d.get("A" * 13, 0)
+
+
+def test_disk_spill_equals_memory(data, capsys):
+    mem_db = str(data["dir"] / "mem.jf")
+    disk_db = str(data["dir"] / "disk.jf")
+    run_cli(["count", "-m", "11", "-s", "60k", "-o", mem_db,
+             "--chunk-len", "8k", data["fa"]])
+    run_cli(["count", "-m", "11", "-s", "4k", "--disk", "-o", disk_db,
+             "--chunk-len", "8k", data["fa"]])
+    m1 = _dump_dict(capsys, mem_db)
+    m2 = _dump_dict(capsys, disk_db)
+    assert m1 == m2
+
+
+def test_merge_ops(data, capsys, tmp_path):
+    # two spill partials share matrix/size -> mergeable (merge.sh semantics)
+    pre = str(tmp_path / "part.jf")
+    run_cli(["count", "-m", "11", "-s", "2k", "--disk", "--no-merge",
+             "--no-unlink", "--chunk-len", "8k", "-o", pre, data["fa"]])
+    import glob
+
+    parts = sorted(glob.glob(pre + "[0-9]*"))
+    assert len(parts) >= 2
+    outsum = str(tmp_path / "sum.jf")
+    run_cli(["merge", "-o", outsum] + parts)
+    outmax = str(tmp_path / "max.jf")
+    run_cli(["merge", "-M", "-o", outmax] + parts)
+    s = _dump_dict(capsys, outsum)
+    full = _dump_dict(capsys, str(data["dir"] / "mem.jf"))
+    assert s == full
+    mx = _dump_dict(capsys, outmax)
+    assert all(mx[m] <= c for m, c in s.items())
+    outj = str(tmp_path / "j.txt")
+    run_cli(["merge", "-j", "-o", outj] + parts, capsys)
+    lines = open(outj).read().splitlines()
+    assert lines[0].startswith("Jaccard ") and lines[1].startswith("wJaccard")
+
+
+def test_quality_filtering(data, capsys):
+    db_all = str(data["dir"] / "q0.jf")
+    db_filt = str(data["dir"] / "q1.jf")
+    run_cli(["count", "-m", "13", "-s", "30k", "-o", db_all, data["fq"]])
+    run_cli(["count", "-m", "13", "-s", "30k", "--min-quality", "20",
+             "--quality-start", "66", "-o", db_filt, data["fq"]])
+    a = _dump_dict(capsys, db_all)
+    f = _dump_dict(capsys, db_filt)
+    assert sum(f.values()) < sum(a.values())
+    assert all(f[m] <= a[m] for m in f)
+
+
+def test_if_subset(data, capsys, tmp_path):
+    sub = str(tmp_path / "sub.fa")
+    with open(data["fa"]) as src, open(sub, "w") as dst:
+        dst.write("".join(src.readlines()[:20]))
+    db = str(tmp_path / "if.jf")
+    run_cli(["count", "-m", "13", "-s", "30k", "-C", "--if", sub,
+             "-o", db, data["fa"]])
+    got = _dump_dict(capsys, db)
+    allowed = set(oracle_counts(_read_fasta_seqs(sub), 13, True))
+    full = oracle_counts(_read_fasta_seqs(data["fa"]), 13, True)
+    from jellyfish_tpu.mer import MerDNA
+
+    expected = {str(MerDNA(13, b)): full[b] for b in allowed}
+    assert got == expected
+
+
+def test_bc_two_pass(data, capsys, tmp_path):
+    bcf = str(tmp_path / "f.bc")
+    db = str(tmp_path / "bc.jf")
+    run_cli(["bc", "-m", "13", "-s", "100k", "-C", "-o", bcf, data["fa"]])
+    run_cli(["count", "-m", "13", "-s", "30k", "-C", "--bc", bcf,
+             "-o", db, data["fa"]])
+    got = _dump_dict(capsys, db)
+    full = oracle_counts(_read_fasta_seqs(data["fa"]), 13, True)
+    from jellyfish_tpu.mer import MerDNA
+
+    true_ge2 = {str(MerDNA(13, b)): c for b, c in full.items() if c >= 2}
+    # no false negatives: every true >=2 mer is present with its exact count
+    for m, c in true_ge2.items():
+        assert got.get(m) == c
+    # false positives are rare (filter sized at 100k for ~39k distinct)
+    assert len(got) - len(true_ge2) <= 0.01 * len(full)
+
+
+def test_generators(data, capsys, tmp_path):
+    gens = str(tmp_path / "gens.txt")
+    with open(gens, "w") as f:
+        f.write(f"cat {data['fa']}\n")
+    db = str(tmp_path / "gen.jf")
+    run_cli(["count", "-m", "13", "-s", "30k", "-C", "-g", gens, "-o", db])
+    direct = _dump_dict(capsys, str(data["dir"] / "o.jf"))
+    got = _dump_dict(capsys, db)
+    assert got == direct
+
+
+def test_info_and_mem(data, capsys):
+    db = str(data["dir"] / "o.jf")
+    out = run_cli(["info", "-j", db], capsys)
+    h = json.loads(out)
+    assert h["key_len"] == 26 and h["canonical"] is True
+    out = run_cli(["mem", "-m", "24", "-s", "1G"], capsys)
+    assert out.split()[0] == "4521043056"  # doc/Readme.md:262-267
+    out = run_cli(["mem", "-m", "31", "--mem", "8G"], capsys)
+    assert out.split()[0] == "1073741824"  # doc/Readme.md:272-276
+    out = run_cli(["cite"], capsys)
+    assert "Bioinformatics" in out
