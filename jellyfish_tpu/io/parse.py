@@ -164,7 +164,55 @@ class SequenceChunker:
                     stream.close()
 
     def chunks(self) -> Iterator[np.ndarray]:
-        """Yield uint8 arrays of exactly chunk_len bytes."""
+        """Yield uint8 arrays of exactly chunk_len bytes.
+
+        Uses the native C++ scanner (native/chunker.cpp) when available;
+        the pure-python path below is the reference implementation and
+        fallback (JF_NO_NATIVE=1 forces it)."""
+        try:
+            from jellyfish_tpu.native import NativeChunker, get_lib
+
+            if get_lib() is not None:
+                yield from self._chunks_native()
+                return
+        except Exception:
+            pass
+        yield from self._chunks_python()
+
+    def _chunks_native(self) -> Iterator[np.ndarray]:
+        from jellyfish_tpu.native import NativeChunker
+
+        nc = NativeChunker(self.k, self.chunk_len, self.min_qual)
+        emitted = False
+        for stream, proc in self._streams():
+            try:
+                while True:
+                    data = stream.read(1 << 20)
+                    if not data:
+                        break
+                    for c in nc.feed(data):
+                        emitted = True
+                        yield c
+                for c in nc.end_stream():
+                    emitted = True
+                    yield c
+            finally:
+                if proc is not None:
+                    ret = proc.wait()
+                    if ret != 0:
+                        raise RuntimeError(
+                            f"generator subprocess exited with status {ret}"
+                        )
+                elif stream is not sys.stdin.buffer:
+                    stream.close()
+        for c in nc.finish():
+            emitted = True
+            yield c
+        self.reads = nc.reads
+        if not emitted:
+            yield np.full(self.chunk_len, SEPARATOR, dtype=np.uint8)
+
+    def _chunks_python(self) -> Iterator[np.ndarray]:
         L = self.chunk_len
         k = self.k
         if L <= k:

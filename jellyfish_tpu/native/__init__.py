@@ -1,0 +1,118 @@
+"""Native host-path extension loader.
+
+Builds chunker.cpp with g++ on first use (no pybind11 in the image; the
+C ABI is consumed via ctypes) and caches the .so next to the source.
+Set JF_NO_NATIVE=1 to force the pure-python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "chunker.cpp")
+_SO = os.path.join(_DIR, "_jfnative.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(_SO + ".tmp", _SO)
+        return _SO
+    except (subprocess.CalledProcessError, OSError):
+        return None
+
+
+def get_lib():
+    """The loaded native library, or None if unavailable/disabled."""
+    global _lib, _tried
+    if os.environ.get("JF_NO_NATIVE"):
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.jf_chunker_new.restype = ctypes.c_void_p
+        lib.jf_chunker_new.argtypes = [ctypes.c_int, ctypes.c_long, ctypes.c_int]
+        lib.jf_chunker_free.argtypes = [ctypes.c_void_p]
+        lib.jf_chunker_feed.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long
+        ]
+        lib.jf_chunker_end_stream.argtypes = [ctypes.c_void_p]
+        lib.jf_chunker_pop.restype = ctypes.c_int
+        lib.jf_chunker_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.jf_chunker_finish.restype = ctypes.c_int
+        lib.jf_chunker_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.jf_chunker_reads.restype = ctypes.c_ulonglong
+        lib.jf_chunker_reads.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+class NativeChunker:
+    """Streaming scanner: feed file bytes, pop fixed-size chunks."""
+
+    def __init__(self, k: int, chunk_len: int, min_qual: int | None = None):
+        self.lib = get_lib()
+        if self.lib is None:
+            raise RuntimeError("native chunker unavailable")
+        self.chunk_len = int(chunk_len)
+        self.h = self.lib.jf_chunker_new(
+            int(k), self.chunk_len, -1 if min_qual is None else int(min_qual)
+        )
+        if not self.h:
+            raise MemoryError("jf_chunker_new failed")
+        self._out = np.empty(self.chunk_len, dtype=np.uint8)
+
+    def feed(self, data: bytes):
+        """Feed raw bytes; yields any chunks completed by this feed."""
+        self.lib.jf_chunker_feed(self.h, data, len(data))
+        return self._drain()
+
+    def _drain(self):
+        out = []
+        while self.lib.jf_chunker_pop(
+            self.h, self._out.ctypes.data_as(ctypes.c_void_p)
+        ):
+            out.append(self._out.copy())
+        return out
+
+    def end_stream(self):
+        self.lib.jf_chunker_end_stream(self.h)
+        return self._drain()
+
+    def finish(self):
+        chunks = self._drain()
+        if self.lib.jf_chunker_finish(
+            self.h, self._out.ctypes.data_as(ctypes.c_void_p)
+        ):
+            chunks.append(self._out.copy())
+        return chunks
+
+    @property
+    def reads(self) -> int:
+        return int(self.lib.jf_chunker_reads(self.h))
+
+    def __del__(self):
+        if getattr(self, "h", None) and getattr(self, "lib", None):
+            self.lib.jf_chunker_free(self.h)
+            self.h = None

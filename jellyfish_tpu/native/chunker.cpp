@@ -1,0 +1,258 @@
+// Native FASTA/FASTQ chunk scanner — the host-side hot path.
+//
+// Role of the reference's mer_overlap_sequence_parser/whole_sequence_parser
+// (+ cooperative_pool2): turn sequence streams into fixed-size uint8 chunks
+// for the device pipeline with
+//   - a separator byte between reads (no mer spans two reads;
+//     mer_overlap_sequence_parser.hpp:88 'N'-insertion convention),
+//   - a k-1 byte seam carried between consecutive chunks of one stream
+//     (mer_overlap_sequence_parser.hpp:164-216),
+//   - optional quality masking: bases with qual < min become 'N'
+//     (mer_qual_iterator.hpp:74-84),
+//   - DOS line endings and multi-line records tolerated
+//     (mer_overlap_sequence_parser.hpp:266-287).
+//
+// Push-based FSM: python feeds raw bytes (it owns file/gzip/pipe IO),
+// C++ does all per-byte work and chunk assembly. Exposed via a C ABI for
+// ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <new>
+#include <vector>
+
+namespace {
+
+constexpr uint8_t SEP = 'N';
+
+enum class Fmt : uint8_t { UNKNOWN, FASTA, FASTQ };
+
+enum class St : uint8_t {
+  START,        // expecting '>' or '@'
+  HEADER,       // skipping a header line
+  SEQ,          // consuming sequence lines (FASTA: until '>', FASTQ: until '+')
+  PLUS,         // skipping the FASTQ '+' line
+  QUAL,         // consuming quality bytes (counted against seq length)
+};
+
+struct Chunker {
+  int      k;
+  long     chunk_len;
+  int      min_qual;       // -1: no quality filtering
+  Fmt      fmt = Fmt::UNKNOWN;
+  St       st = St::START;
+  bool     at_line_start = true;
+  uint64_t reads = 0;
+
+  // current chunk under construction
+  std::vector<uint8_t> buf;
+  long fill = 0;
+  bool wrote_any_base = false;   // current read contributed bytes to buf
+
+  // FASTQ quality handling: sequence bytes of the current read are staged
+  // until their quality bytes arrive, then masked and emitted.
+  std::vector<uint8_t> seq_stage;
+  size_t qual_seen = 0;
+
+  std::deque<std::vector<uint8_t>> ready;
+
+  explicit Chunker(int k_, long len, int mq)
+      : k(k_), chunk_len(len), min_qual(mq) {
+    buf.assign(chunk_len, SEP);
+  }
+
+  void emit_chunk_mid_read() {
+    // chunk is full mid-read: publish it and seam-carry the last k-1 bytes
+    ready.emplace_back(std::move(buf));
+    const std::vector<uint8_t>& old = ready.back();
+    buf.assign(chunk_len, SEP);
+    if (k > 1) {
+      std::memcpy(buf.data(), old.data() + chunk_len - (k - 1), k - 1);
+      fill = k - 1;
+    } else {
+      fill = 0;
+    }
+  }
+
+  void emit_chunk_between_reads() {
+    ready.emplace_back(std::move(buf));
+    buf.assign(chunk_len, SEP);
+    fill = 0;
+  }
+
+  inline void push_base(uint8_t b) {
+    if (fill >= chunk_len) emit_chunk_mid_read();
+    buf[fill++] = b;
+    wrote_any_base = true;
+  }
+
+  void end_read() {
+    if (!wrote_any_base) return;
+    reads++;
+    wrote_any_base = false;
+    if (fill >= chunk_len) {
+      // exactly full of this read's end: next read starts a fresh chunk
+      emit_chunk_between_reads();
+    } else {
+      buf[fill++] = SEP;  // separator breaks mers to the next read
+    }
+  }
+
+  void flush_fastq_read() {
+    // emit staged sequence with quality mask applied
+    for (uint8_t b : seq_stage) push_base(b);
+    seq_stage.clear();
+    qual_seen = 0;
+    end_read();
+  }
+
+  void feed(const uint8_t* p, long n) {
+    const uint8_t* end = p + n;
+    while (p < end) {
+      uint8_t c = *p;
+      switch (st) {
+        case St::START: {
+          if (c == '>') { fmt = Fmt::FASTA; st = St::HEADER; p++; }
+          else if (c == '@') { fmt = Fmt::FASTQ; st = St::HEADER; p++; }
+          else p++;  // skip blank/garbage between records
+          break;
+        }
+        case St::HEADER: {
+          const uint8_t* nl = static_cast<const uint8_t*>(
+              std::memchr(p, '\n', end - p));
+          if (!nl) { p = end; break; }
+          p = nl + 1;
+          st = St::SEQ;
+          at_line_start = true;
+          break;
+        }
+        case St::SEQ: {
+          if (at_line_start) {
+            if (fmt == Fmt::FASTA && c == '>') {
+              end_read(); st = St::HEADER; p++; break;
+            }
+            if (fmt == Fmt::FASTQ && c == '+') {
+              st = St::PLUS; p++; break;
+            }
+          }
+          if (c == '\n') { at_line_start = true; p++; break; }
+          if (c == '\r') { p++; break; }
+          at_line_start = false;
+          // consume a run of sequence bytes up to newline/end
+          const uint8_t* nl = static_cast<const uint8_t*>(
+              std::memchr(p, '\n', end - p));
+          const uint8_t* stop = nl ? nl : end;
+          if (fmt == Fmt::FASTQ && min_qual >= 0) {
+            seq_stage.insert(seq_stage.end(), p, stop);
+            // strip any trailing \r lazily when quality masks are applied:
+            while (!seq_stage.empty() && seq_stage.back() == '\r')
+              seq_stage.pop_back();
+          } else if (fmt == Fmt::FASTQ) {
+            for (const uint8_t* q = p; q < stop; ++q)
+              if (*q != '\r') { push_base(*q); seq_stage.push_back(0); }
+            // seq_stage tracks length only (zeros) for qual accounting
+          } else {
+            for (const uint8_t* q = p; q < stop; ++q)
+              if (*q != '\r') push_base(*q);
+          }
+          p = stop;
+          break;
+        }
+        case St::PLUS: {
+          const uint8_t* nl = static_cast<const uint8_t*>(
+              std::memchr(p, '\n', end - p));
+          if (!nl) { p = end; break; }
+          p = nl + 1;
+          st = St::QUAL;
+          break;
+        }
+        case St::QUAL: {
+          if (c == '\n' || c == '\r') { p++; break; }
+          const uint8_t* nl = static_cast<const uint8_t*>(
+              std::memchr(p, '\n', end - p));
+          const uint8_t* stop = nl ? nl : end;
+          long take = stop - p;
+          if (p < stop && stop[-1] == '\r') take--;
+          long need = static_cast<long>(seq_stage.size() - qual_seen);
+          if (take > need) take = need;
+          if (min_qual >= 0) {
+            for (long i = 0; i < take; ++i)
+              if (p[i] < static_cast<uint8_t>(min_qual))
+                seq_stage[qual_seen + i] = SEP;
+          }
+          qual_seen += take;
+          p = stop;
+          if (qual_seen >= seq_stage.size()) {
+            if (min_qual >= 0) flush_fastq_read();
+            else { seq_stage.clear(); qual_seen = 0; end_read(); }
+            st = St::START;
+          }
+          break;
+        }
+      }
+    }
+  }
+
+  void end_stream() {
+    // EOF inside a record: finish whatever is staged
+    if (st == St::QUAL || (fmt == Fmt::FASTQ && min_qual >= 0 &&
+                           !seq_stage.empty())) {
+      if (min_qual >= 0) flush_fastq_read();
+      else { seq_stage.clear(); qual_seen = 0; end_read(); }
+    } else {
+      seq_stage.clear();
+      qual_seen = 0;
+      end_read();
+    }
+    st = St::START;
+    fmt = Fmt::UNKNOWN;
+    at_line_start = true;
+  }
+
+  // final partial chunk (if it holds any content)
+  bool finish(uint8_t* out) {
+    end_stream();
+    if (!ready.empty() || fill > 0) {
+      if (fill > 0) {
+        std::memcpy(out, buf.data(), chunk_len);
+        buf.assign(chunk_len, SEP);
+        fill = 0;
+        return true;
+      }
+    }
+    return false;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+Chunker* jf_chunker_new(int k, long chunk_len, int min_qual) {
+  return new (std::nothrow) Chunker(k, chunk_len, min_qual);
+}
+
+void jf_chunker_free(Chunker* c) { delete c; }
+
+void jf_chunker_feed(Chunker* c, const uint8_t* data, long n) {
+  c->feed(data, n);
+}
+
+void jf_chunker_end_stream(Chunker* c) { c->end_stream(); }
+
+// pop one ready chunk into out[chunk_len]; returns 1 if popped
+int jf_chunker_pop(Chunker* c, uint8_t* out) {
+  if (c->ready.empty()) return 0;
+  std::memcpy(out, c->ready.front().data(), c->chunk_len);
+  c->ready.pop_front();
+  return 1;
+}
+
+int jf_chunker_finish(Chunker* c, uint8_t* out) {
+  return c->finish(out) ? 1 : 0;
+}
+
+unsigned long long jf_chunker_reads(Chunker* c) { return c->reads; }
+
+}  // extern "C"
