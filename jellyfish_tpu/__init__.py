@@ -21,4 +21,14 @@ compatible with the reference so that databases interoperate.
 __version__ = "0.1.0"
 
 from jellyfish_tpu.gf2 import GF2Matrix
-from jellyfish_tpu.mer import MerDNA
+from jellyfish_tpu.mer import MerDNA, string_canonicals, string_mers
+
+
+def __getattr__(name):
+    # SWIG-parity scripting classes (swig/*.i), loaded lazily to keep
+    # `import jellyfish_tpu` light for the compute path.
+    if name in ("HashCounter", "HashSet", "QueryMerFile", "ReadMerFile"):
+        from jellyfish_tpu import api
+
+        return getattr(api, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

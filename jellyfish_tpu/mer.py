@@ -30,13 +30,44 @@ def _code(ch: str) -> int:
     return CODES.get(ch, -1)
 
 
+_default_k = [None]
+
+
+def _k_accessor(value=None):
+    """MerDNA.k() / MerDNA.k(21): global default k, mirroring the
+    reference's static mer_dna::k() (mer_dna.hpp:626-671, swig/mer_dna.i)."""
+    if value is not None:
+        _default_k[0] = int(value)
+    return _default_k[0]
+
+
+class _KAttr:
+    """`MerDNA.k` is the global-k accessor on the class, and the instance's
+    own length on an instance (both reference behaviors)."""
+
+    def __get__(self, obj, owner):
+        if obj is None:
+            return _k_accessor
+        return obj._k
+
+    def __set__(self, obj, value):
+        obj._k = int(value)
+
+
 class MerDNA:
     """A k-mer as an arbitrary-precision big-endian base-4 integer."""
 
-    __slots__ = ("k", "bits")
+    __slots__ = ("_k", "bits")
 
-    def __init__(self, k_or_str, bits: int = 0):
-        if isinstance(k_or_str, str):
+    k = _KAttr()
+
+    def __init__(self, k_or_str=None, bits: int = 0):
+        if k_or_str is None:
+            if _default_k[0] is None:
+                raise ValueError("MerDNA.k(<int>) has not been set")
+            self.k = _default_k[0]
+            self.bits = int(bits) & self.mask()
+        elif isinstance(k_or_str, str):
             self.k = len(k_or_str)
             self.bits = 0
             self.from_str(k_or_str)
