@@ -102,10 +102,9 @@ def run(args, argv):
         rng=np.random.default_rng(), mer_filter=filt,
     )
 
-    paths = list(args.file) + list(args.sam)
     chunker = SequenceChunker(
-        paths, k, chunk_len=args.chunk_len, min_qual=_min_qual(args),
-        generator_cmds=gen_cmds, shell=args.shell,
+        list(args.file), k, chunk_len=args.chunk_len, min_qual=_min_qual(args),
+        generator_cmds=gen_cmds, shell=args.shell, sam_paths=list(args.sam),
     )
 
     t_init = time.perf_counter()

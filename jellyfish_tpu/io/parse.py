@@ -26,7 +26,13 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["SequenceChunker", "open_stream", "iter_reads", "sniff_format"]
+__all__ = [
+    "SequenceChunker",
+    "open_stream",
+    "iter_reads",
+    "sniff_format",
+    "sam_records_to_fastx",
+]
 
 SEPARATOR = ord("N")  # any non-ACGT byte breaks mers; 'N' matches reference
 
@@ -107,6 +113,83 @@ def iter_reads(stream, with_quals: bool = False) -> Iterator:
         raise ValueError("unrecognized sequence format (expected '>' or '@')")
 
 
+def sam_records_to_fastx(stream) -> Iterator[bytes]:
+    """Adapt text SAM to FASTA/FASTQ record bytes (sam_format.hpp role).
+
+    SEQ (col 10) / QUAL (col 11) of each alignment line become one record;
+    records with SEQ '*' are skipped; QUAL '*' yields a FASTA record.
+    BAM/CRAM need htslib, which this build does not link — convert with
+    `samtools view` (usable directly as a -g generator command).
+    """
+    first = stream.read(4)
+    if first.startswith(b"BAM\x01") or first.startswith(b"CRAM"):
+        raise ValueError(
+            "BAM/CRAM input requires htslib; pipe through `samtools view`"
+        )
+    buf = first + stream.readline()
+    while True:
+        line = buf if buf is not None else stream.readline()
+        buf = None
+        if not line:
+            return
+        if line.startswith(b"@"):
+            continue
+        f = line.rstrip(b"\r\n").split(b"\t")
+        if len(f) < 11 or f[9] == b"*":
+            continue
+        if f[10] == b"*":
+            yield b">" + f[0] + b"\n" + f[9] + b"\n"
+        else:
+            yield b"@" + f[0] + b"\n" + f[9] + b"\n+\n" + f[10] + b"\n"
+
+
+class _IterStream:
+    """File-like read(n) view over an iterator of byte blocks."""
+
+    def __init__(self, blocks: Iterator[bytes]):
+        self._blocks = blocks
+        self._pending = b""
+
+    def read(self, n: int = -1) -> bytes:
+        chunks = [self._pending]
+        have = len(self._pending)
+        self._pending = b""
+        while n < 0 or have < n:
+            try:
+                b = next(self._blocks)
+            except StopIteration:
+                break
+            chunks.append(b)
+            have += len(b)
+        data = b"".join(chunks)
+        if 0 <= n < len(data):
+            self._pending = data[n:]
+            data = data[:n]
+        return data
+
+    def readline(self) -> bytes:
+        out = []
+        while b"\n" not in self._pending:
+            try:
+                self._pending += next(self._blocks)
+            except StopIteration:
+                data, self._pending = self._pending, b""
+                return data
+        i = self._pending.index(b"\n") + 1
+        line, self._pending = self._pending[:i], self._pending[i:]
+        return line
+
+    def __iter__(self):
+        while True:
+            line = self.readline()
+            if not line:
+                return
+            yield line
+
+    def close(self):
+        pass
+
+
 class SequenceChunker:
     """Concatenate reads from many files into fixed-size device chunks."""
 
@@ -118,6 +201,7 @@ class SequenceChunker:
         min_qual: int | None = None,
         generator_cmds: Iterable[str] | None = None,
         shell: str | None = None,
+        sam_paths: Iterable[str] | None = None,
     ):
         self.paths = list(paths)
         self.k = int(k)
@@ -125,11 +209,14 @@ class SequenceChunker:
         self.min_qual = min_qual
         self.generator_cmds = list(generator_cmds or [])
         self.shell = shell or os.environ.get("SHELL", "/bin/sh")
+        self.sam_paths = list(sam_paths or [])
         self.reads = 0
 
     def _streams(self):
         for path in self.paths:
             yield open_stream(path), None
+        for path in self.sam_paths:
+            yield _IterStream(sam_records_to_fastx(open_stream(path))), None
         for cmd in self.generator_cmds:
             proc = subprocess.Popen(
                 [self.shell, "-c", cmd], stdout=subprocess.PIPE
