@@ -202,6 +202,7 @@ class SequenceChunker:
         generator_cmds: Iterable[str] | None = None,
         shell: str | None = None,
         sam_paths: Iterable[str] | None = None,
+        nb_files: int = 1,
     ):
         self.paths = list(paths)
         self.k = int(k)
@@ -210,6 +211,7 @@ class SequenceChunker:
         self.generator_cmds = list(generator_cmds or [])
         self.shell = shell or os.environ.get("SHELL", "/bin/sh")
         self.sam_paths = list(sam_paths or [])
+        self.nb_files = max(1, int(nb_files))
         self.reads = 0
 
     def _streams(self):
@@ -260,11 +262,93 @@ class SequenceChunker:
             from jellyfish_tpu.native import NativeChunker, get_lib
 
             if get_lib() is not None:
-                yield from self._chunks_native()
+                n_streams = (
+                    len(self.paths) + len(self.sam_paths)
+                    + len(self.generator_cmds)
+                )
+                if self.nb_files > 1 and n_streams > 1:
+                    # concurrent parsing of independent streams (-F):
+                    # ctypes releases the GIL, so native scanners genuinely
+                    # run in parallel (stream_manager.hpp:76-145 role)
+                    yield from self._chunks_native_concurrent()
+                else:
+                    yield from self._chunks_native()
                 return
         except Exception:
             pass
         yield from self._chunks_python()
+
+    def _chunks_native_concurrent(self) -> Iterator[np.ndarray]:
+        import queue
+        import threading
+
+        from jellyfish_tpu.native import NativeChunker
+
+        streams = list(self._streams())
+        q: queue.Queue = queue.Queue(maxsize=4 * self.nb_files)
+        idx_lock = threading.Lock()
+        state = {"next": 0, "reads": 0, "error": None}
+
+        def worker():
+            nc = NativeChunker(self.k, self.chunk_len, self.min_qual)
+            try:
+                while True:
+                    with idx_lock:
+                        i = state["next"]
+                        if i >= len(streams):
+                            break
+                        state["next"] = i + 1
+                    stream, proc = streams[i]
+                    try:
+                        while True:
+                            data = stream.read(1 << 20)
+                            if not data:
+                                break
+                            for c in nc.feed(data):
+                                q.put(c)
+                        for c in nc.end_stream():
+                            q.put(c)
+                    finally:
+                        if proc is not None:
+                            ret = proc.wait()
+                            if ret != 0:
+                                raise RuntimeError(
+                                    f"generator exited with status {ret}"
+                                )
+                        elif stream is not sys.stdin.buffer:
+                            stream.close()
+                for c in nc.finish():
+                    q.put(c)
+                with idx_lock:
+                    state["reads"] += nc.reads
+            except BaseException as e:  # surface worker failures to consumer
+                state["error"] = e
+            finally:
+                q.put(None)
+
+        n_workers = min(self.nb_files, len(streams))
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(n_workers)
+        ]
+        for t in threads:
+            t.start()
+        done = 0
+        emitted = False
+        while done < n_workers:
+            item = q.get()
+            if item is None:
+                done += 1
+                continue
+            emitted = True
+            yield item
+        for t in threads:
+            t.join()
+        if state["error"] is not None:
+            raise state["error"]
+        self.reads = state["reads"]
+        if not emitted:
+            yield np.full(self.chunk_len, SEPARATOR, dtype=np.uint8)
 
     def _chunks_native(self) -> Iterator[np.ndarray]:
         from jellyfish_tpu.native import NativeChunker
