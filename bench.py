@@ -72,25 +72,27 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
+    def sync(counter):
+        # force full materialization: fetch one element of every live run
+        # (block_until_ready is unreliable through the axon tunnel)
+        for arrays in counter.store.occupied_levels():
+            for x in arrays:
+                np.asarray(x[:1])
+
     chunks_np = synth_chunks(n_chunks, L)
     n_mers = count_valid_mers(chunks_np, k)
     dev_chunks = [jax.device_put(jnp.asarray(c)) for c in chunks_np]
 
-    # warmup: one full pass so EVERY LSM merge level shape is compiled
-    # (each level is a distinct static shape -> distinct XLA program)
+    # warmup: one full pass so every merge shape is compiled
     for c in dev_chunks:
         counter.add_chunk(c)
-    jax.block_until_ready(
-        [x for r in counter.store.occupied_levels() for x in r]
-    )
+    sync(counter)
     counter.reset()
 
     t0 = time.perf_counter()
     for c in dev_chunks:
         counter.add_chunk(c)
-    jax.block_until_ready(
-        [x for r in counter.store.occupied_levels() for x in r]
-    )
+    sync(counter)
     elapsed = time.perf_counter() - t0
 
     value = n_mers / elapsed

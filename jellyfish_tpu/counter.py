@@ -22,7 +22,7 @@ import numpy as np
 
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import sort_unique
+from jellyfish_tpu.ops.count import merge_many, sort_unique
 from jellyfish_tpu.ops.hashing import mers_of_sortkeys, sortkey_of_mers
 from jellyfish_tpu.ops.mers import encode_codes, extract_mers
 from jellyfish_tpu.store import SortedCountStore
@@ -36,11 +36,25 @@ def ceil_log2(x: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
 def _chunk_pipeline(chunk_u8, bit_matrix, k, lsize, canonical):
+    """chunk bytes -> RAW (sortkeys, weights). No per-chunk sort: the forest
+    store's first K-way merge performs the one sort pass for R chunks at
+    once (store.py), halving total sorted-element traffic vs sorting each
+    chunk then merging."""
     codes = encode_codes(chunk_u8)
     mers, valid = extract_mers(codes, k, canonical)
     sk = sortkey_of_mers(mers, bit_matrix, k, lsize)
-    keys, counts = sort_unique(sk, valid.astype(jnp.uint32))
-    return keys, counts
+    return sk, valid.astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
+def _chunk_pipeline_dedup(chunk_u8, bit_matrix, k, lsize, canonical):
+    """Deduplicated per-chunk variant (bloom-filter modes and --if need
+    per-chunk distinct mers with multiplicities)."""
+    sk, w = _chunk_pipeline(chunk_u8, bit_matrix, k, lsize, canonical)
+    keys, lo, hi, _ = merge_many(
+        sk, w, None, use_vword=(2 * k) % 32 == 0, compact=True
+    )
+    return keys, lo
 
 
 @functools.partial(jax.jit, static_argnames=("k", "lsize"))
@@ -48,12 +62,6 @@ def _recover_mers(sortkeys, inv_bit_matrix, k, lsize):
     return mers_of_sortkeys(sortkeys, inv_bit_matrix, k, lsize)
 
 
-@jax.jit
-def _compact_run(keys, counts):
-    """Re-establish the dense-prefix/PAD-tail run invariant after a filter
-    zeroed some counts (store runs must keep real entries in the ascending
-    dense prefix)."""
-    return sort_unique(keys, counts)
 
 
 class MerCounter:
@@ -106,7 +114,7 @@ class MerCounter:
             self._A = jnp.asarray(self.matrix.bit_matrix())
             self._Ainv = jnp.asarray(self.matrix.inverse_bit_matrix())
 
-        self.store = SortedCountStore(self.W)
+        self.store = SortedCountStore(self.W, key_bits=c)
         self.total_mers = 0  # valid (counted) mers
         # optional per-batch filter on (recovered mers, counts) -> counts,
         # the batch equivalent of the reference's filter chain
@@ -123,20 +131,21 @@ class MerCounter:
         if len(chunk_u8) < self.k:
             return
         chunk = jnp.asarray(chunk_u8, dtype=jnp.uint8)
-        keys, counts = _chunk_pipeline(
-            chunk, self._A, k=self.k, lsize=self.lsize, canonical=self.canonical
-        )
         if self.mer_filter is not None:
+            keys, counts = _chunk_pipeline_dedup(
+                chunk, self._A,
+                k=self.k, lsize=self.lsize, canonical=self.canonical,
+            )
             mers = _recover_mers(keys, self._Ainv, k=self.k, lsize=self.lsize)
-            new_counts = self.mer_filter(
-                np.asarray(mers), np.asarray(counts)
+            new_counts = self.mer_filter(np.asarray(mers), np.asarray(counts))
+            counts = jnp.asarray(new_counts.astype(np.uint32))
+            self.store.insert_run(keys, counts, None, total=keys.shape[0])
+        else:
+            keys, weights = _chunk_pipeline(
+                chunk, self._A,
+                k=self.k, lsize=self.lsize, canonical=self.canonical,
             )
-            keys, counts = _compact_run(
-                keys, jnp.asarray(new_counts.astype(np.uint32))
-            )
-        self.store.insert_run(
-            keys, counts, jnp.zeros(counts.shape, dtype=jnp.uint32)
-        )
+            self.store.insert_raw(keys, weights)
 
     def add_mers_np(self, mers_int_iterable, value: int = 1) -> None:
         """Host-side path to add explicit mers (used by bindings/tests)."""
@@ -147,22 +156,23 @@ class MerCounter:
         sk = sortkey_of_mers(arr, self._A, self.k, self.lsize)
         w = jnp.full(len(mers), value, dtype=jnp.uint32)
         keys, counts = sort_unique(sk, w)
-        self.store.insert_run(keys, counts, jnp.zeros_like(counts))
+        self.store.insert_run(
+            keys, counts, None, total=len(mers) * int(value)
+        )
 
     def restrict_to(self, chunks_iter) -> None:
         """--if mode (count_main.cc:288-295 PRIME/UPDATE semantics): after
         counting, only mers present in these chunks appear in the output."""
-        self._restrict_store = SortedCountStore(self.W)
+        self._restrict_store = SortedCountStore(self.W, key_bits=2 * self.k)
         for chunk_u8 in chunks_iter:
             if len(chunk_u8) < self.k:
                 continue
             chunk = jnp.asarray(chunk_u8, dtype=jnp.uint8)
-            keys, counts = _chunk_pipeline(
+            keys, weights = _chunk_pipeline(
                 chunk, self._A, k=self.k, lsize=self.lsize,
                 canonical=self.canonical,
             )
-            ones = jnp.minimum(counts, 1)
-            self._restrict_store.insert_run(keys, ones, jnp.zeros_like(ones))
+            self._restrict_store.insert_raw(keys, weights)
 
     # -- extraction -----------------------------------------------------------
 

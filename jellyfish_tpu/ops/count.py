@@ -24,7 +24,142 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sort_unique", "merge_runs"]
+__all__ = ["sort_unique", "merge_runs", "merge_many", "merge_raw"]
+
+
+def _sort_runs(keys, invalid, use_vword: bool, payloads):
+    """Sort rows by (validity, key) with PADs last.
+
+    When 2k % 32 != 0 the top limb of a real sortkey can never be all-ones,
+    so PAD (all-ones) needs no separate validity operand in the sort
+    (use_vword=False saves a full sorted pass of traffic)."""
+    M, W = keys.shape
+    keys = jnp.where(invalid[:, None], jnp.uint32(0xFFFFFFFF), keys)
+    limbs = [keys[:, W - 1 - w] for w in range(W)]
+    if use_vword:
+        vword = invalid.astype(jnp.uint32)
+        ops = [vword] + limbs + list(payloads)
+        s = jax.lax.sort(ops, num_keys=W + 1, is_stable=False)
+        svword = s[0]
+        slimbs = s[1 : 1 + W]
+        spay = s[1 + W :]
+        spad = svword == 1
+    else:
+        ops = limbs + list(payloads)
+        s = jax.lax.sort(ops, num_keys=W, is_stable=False)
+        slimbs = s[:W]
+        spay = s[W:]
+        spad = slimbs[0] == jnp.uint32(0xFFFFFFFF)  # top limb all-ones
+    return slimbs, spay, spad
+
+
+def _segment_marks(slimbs, spad, M):
+    neq = spad != jnp.roll(spad, 1)
+    for l in slimbs:
+        neq = neq | (l != jnp.roll(l, 1))
+    is_new = neq.at[0].set(True)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    is_last = jnp.roll(is_new, -1).at[M - 1].set(True)
+    return idx, start, is_last
+
+
+def _restack(slimbs, M, W):
+    return jnp.stack([slimbs[W - 1 - w] for w in range(W)], axis=-1)
+
+
+def merge_raw(keys, weights, use_vword: bool):
+    """Combine concatenated RAW runs: weights in {0,1}, duplicates allowed.
+
+    The hot kernel of the forest store: counts come from segment LENGTHS
+    (idx - start + 1), so the sort carries no count payload and no
+    cumulative sums are needed; output is masked in place (sorted keys with
+    zero-count PAD rows interspersed), deferring compaction to finalize.
+    Returns (keys [M, W], counts [M]); counts < 2^32 by construction
+    (M rows of weight <= 1).
+    """
+    M, W = keys.shape
+    slimbs, _, spad = _sort_runs(keys, weights == 0, use_vword, [])
+    idx, start, is_last = _segment_marks(slimbs, spad, M)
+    keep = is_last & (~spad)
+    counts = jnp.where(keep, (idx - start + 1).astype(jnp.uint32), 0)
+    out_keys = jnp.where(
+        keep[:, None], _restack(slimbs, M, W), jnp.uint32(0xFFFFFFFF)
+    )
+    return out_keys, counts
+
+
+def _wrapped_segment_sums(vals, start):
+    """Per-row wrapped (mod 2^32) sum of `vals` over the segment ending at
+    that row. Exact whenever the true segment sum is < 2^32 (unsigned
+    wrap-around cancels in the difference)."""
+    csum = jnp.cumsum(vals.astype(jnp.uint32), dtype=jnp.uint32)
+    prev = jnp.where(
+        start > 0, csum[jnp.maximum(start - 1, 0)], jnp.uint32(0)
+    )
+    return csum - prev
+
+
+def merge_many(keys, lo, hi=None, *, use_vword: bool = True,
+               compact: bool = True):
+    """K-way combine of concatenated runs with 64-bit counts.
+
+    keys [M, W], lo [M] uint32, hi [M] uint32 or None (counts known < 2^32).
+    Rows with count 0 are PAD/invalid. Duplicate keys are allowed and their
+    counts are summed with full 64-bit carry.
+
+    compact=True: returns (keys, lo, hi, n) with real entries in the dense
+    ascending prefix (scatter compaction — use for finalize).
+    compact=False: returns (keys, lo, hi, None) masked in place (cheaper;
+    zero-count rows interspersed — fine as input to further merges).
+
+    Exactness invariant: per duplicate-key group, sum(lo & 0xffff),
+    sum(lo >> 16) (and likewise hi) each < 2^32. Holds for raw batch rows
+    (lo <= 1, < 2^32 rows) and for <= 2^16 deduplicated runs, in any mix.
+    """
+    M, W = keys.shape
+    valid = (lo != 0) if hi is None else ((lo | hi) != 0)
+    payloads = [lo] if hi is None else [lo, hi]
+    slimbs, spay, spad = _sort_runs(keys, ~valid, use_vword, payloads)
+    slo = spay[0]
+    shi = spay[1] if hi is not None else None
+    idx, start, is_last = _segment_marks(slimbs, spad, M)
+
+    m16 = jnp.uint32(0xFFFF)
+    a = _wrapped_segment_sums(slo & m16, start)       # < 2^32 exact
+    b = _wrapped_segment_sums(slo >> 16, start)       # < 2^32 exact
+    # sum_lo = a + (b << 16); split b = c + (d << 16)
+    c = b & m16
+    d = b >> 16
+    t = a + (c << jnp.uint32(16))
+    carry1 = (t < (c << jnp.uint32(16))).astype(jnp.uint32)
+    lo_sum = t
+    carry = d + carry1
+    if shi is not None:
+        ah = _wrapped_segment_sums(shi & m16, start)
+        bh = _wrapped_segment_sums(shi >> 16, start)
+        hi_sum = ah + (bh << jnp.uint32(16)) + carry  # >2^64 impossible
+    else:
+        hi_sum = carry
+
+    keep = is_last & (~spad)
+    if not compact:
+        out_keys = jnp.where(
+            keep[:, None], _restack(slimbs, M, W), jnp.uint32(0xFFFFFFFF)
+        )
+        zero = jnp.uint32(0)
+        return (out_keys, jnp.where(keep, lo_sum, zero),
+                jnp.where(keep, hi_sum, zero), None)
+
+    n = jnp.sum(keep.astype(jnp.int32))
+    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    scidx = jnp.where(keep, dst, M)
+    out_lo = jnp.zeros(M, dtype=jnp.uint32).at[scidx].set(lo_sum, mode="drop")
+    out_hi = jnp.zeros(M, dtype=jnp.uint32).at[scidx].set(hi_sum, mode="drop")
+    out_keys = jnp.full((M, W), 0xFFFFFFFF, dtype=jnp.uint32)
+    for w in range(W):
+        out_keys = out_keys.at[scidx, W - 1 - w].set(slimbs[w], mode="drop")
+    return out_keys, out_lo, out_hi, n
 
 
 def _sort_ops(vword, keys, payloads):
