@@ -23,7 +23,12 @@ import numpy as np
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.ops import multiword as mw
 from jellyfish_tpu.ops.count import merge_many, sort_unique
-from jellyfish_tpu.ops.hashing import mers_of_sortkeys, sortkey_of_mers
+from jellyfish_tpu.ops.hashing import (
+    inverse_masks_of_matrix,
+    masks_of_matrix,
+    mers_of_sortkeys,
+    sortkey_of_mers,
+)
 from jellyfish_tpu.ops.mers import encode_codes, extract_mers
 from jellyfish_tpu.store import SortedCountStore
 
@@ -111,8 +116,10 @@ class MerCounter:
             self._A = None
             self._Ainv = None
         else:
-            self._A = jnp.asarray(self.matrix.bit_matrix())
-            self._Ainv = jnp.asarray(self.matrix.inverse_bit_matrix())
+            self._A = jnp.asarray(masks_of_matrix(self.matrix, self.W))
+            self._Ainv = jnp.asarray(
+                inverse_masks_of_matrix(self.matrix, self.W)
+            )
 
         self.store = SortedCountStore(self.W, key_bits=c)
         self.total_mers = 0  # valid (counted) mers

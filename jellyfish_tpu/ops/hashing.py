@@ -36,6 +36,9 @@ __all__ = [
     "bits_of_words",
     "words_of_bits",
     "gf2_times",
+    "gf2_apply_masks",
+    "masks_of_matrix",
+    "inverse_masks_of_matrix",
     "sortkey_of_mers",
     "mers_of_sortkeys",
 ]
@@ -76,22 +79,67 @@ def gf2_times(keys, bit_matrix, out_words: int):
     return words_of_bits(pos_bits, out_words)
 
 
-def sortkey_of_mers(mers, bit_matrix, k: int, lsize: int):
+def masks_of_matrix(matrix, W: int) -> np.ndarray:
+    """Per-output-bit key masks [r, W] uint32 for gf2_apply_masks.
+
+    masks[j, w] bit b set  <=>  key bit 32w+b participates in pos bit j
+    (the column-selection XOR of rectangular_binary_matrix.hpp:224-261,
+    re-expressed as AND + parity per output bit)."""
+    bm = matrix.bit_matrix()  # [c, r] uint8, little-endian key bit order
+    c, r = bm.shape
+    masks = np.zeros((r, W), np.uint32)
+    ii, jj = np.nonzero(bm)
+    np.bitwise_or.at(
+        masks, (jj, ii // 32), np.uint32(1) << (ii % 32).astype(np.uint32)
+    )
+    return masks
+
+
+def inverse_masks_of_matrix(matrix, W: int) -> np.ndarray:
+    return masks_of_matrix(matrix.pseudo_inverse(), W)
+
+
+def gf2_apply_masks(keys, masks, out_words: int):
+    """Batched GF(2) product via AND + population-count parity.
+
+    keys [..., W] uint32, masks [l, W] uint32 -> [..., out_words] uint32.
+    Pure u32 lane arithmetic: unlike the f32 MXU formulation (gf2_times)
+    this materializes no [N, 2k] intermediate — XLA fuses the whole chain
+    into one pass over the keys. parity(a) ^ parity(b) == parity(a ^ b),
+    so limbs fold with XOR before a single popcount."""
+    import jax
+
+    l = masks.shape[0]
+    W = keys.shape[-1]
+    out = []
+    for ow in range(out_words):
+        acc = jnp.zeros(keys.shape[:-1], dtype=jnp.uint32)
+        for j in range(ow * 32, min(l, (ow + 1) * 32)):
+            t = keys[..., 0] & masks[j, 0]
+            for w in range(1, W):
+                t = t ^ (keys[..., w] & masks[j, w])
+            bit = jax.lax.population_count(t) & jnp.uint32(1)
+            acc = acc | (bit << jnp.uint32(j - ow * 32))
+        out.append(acc)
+    return jnp.stack(out, axis=-1)
+
+
+def sortkey_of_mers(mers, masks, k: int, lsize: int):
     """[N, W] mers -> [N, W] sortkeys = (pos << (2k-l)) | (key >> l)."""
     c = 2 * k
     W = mers.shape[-1]
-    if bit_matrix is None:
+    if masks is None:
         # identity hash (size >= 4^k, large_hash_array.hpp:997-1001):
         # pos = key & mask, high key bits zero -> sortkey = key itself.
         return mers
-    pos = gf2_times(mers, bit_matrix, mw.nwords(lsize))
+    pos = gf2_apply_masks(mers, masks, mw.nwords(lsize))
     pos = mw.mw_and_mask_top(pos, lsize)
     hi = mw.mw_shift_left(pos, c - lsize, W_out=W)
     lo = mw.mw_shift_right(mers, lsize)
     return mw.mw_and_mask_top(mw.mw_or(hi, lo), c)
 
 
-def mers_of_sortkeys(sortkeys, inv_bit_matrix, k: int, lsize: int):
+def mers_of_sortkeys(sortkeys, inv_masks, k: int, lsize: int):
     """Invert sortkey_of_mers for a batch (used at dump time).
 
     key_high = sortkey low (2k-l) bits; pos = sortkey >> (2k-l);
@@ -101,13 +149,13 @@ def mers_of_sortkeys(sortkeys, inv_bit_matrix, k: int, lsize: int):
     """
     c = 2 * k
     W = sortkeys.shape[-1]
-    if inv_bit_matrix is None:
+    if inv_masks is None:
         return sortkeys
     pos = mw.mw_shift_right(sortkeys, c - lsize)
     pos = mw.mw_and_mask_top(pos, lsize)[..., : mw.nwords(lsize)]
     key_high = mw.mw_and_mask_top(sortkeys, c - lsize)
     h = mw.mw_or(mw.mw_shift_left(key_high, lsize, W_out=W), pos)
-    key_low = gf2_times(h, inv_bit_matrix, mw.nwords(lsize))
+    key_low = gf2_apply_masks(h, inv_masks, mw.nwords(lsize))
     key_low = mw.mw_and_mask_top(key_low, lsize)
     key = mw.mw_or(mw.mw_shift_left(key_high, lsize, W_out=W), key_low)
     return mw.mw_and_mask_top(key, c)

@@ -54,9 +54,23 @@ def code_table() -> np.ndarray:
 
 
 def encode_codes(chunk_u8):
-    """[L] uint8 ASCII -> [L] uint8 codes (0..3 valid, 0xFF invalid)."""
-    table = jnp.asarray(code_table())
-    return table[chunk_u8.astype(jnp.int32)]
+    """[L] uint8 ASCII -> [L] uint8 codes (0..3 valid, 0xFF invalid).
+
+    Pure arithmetic (no LUT gather — gathers are slow on TPU):
+    t = (ch >> 1) & 3 maps A->0 C->1 G->3 T->2; t ^ (t >> 1) swaps 2<->3,
+    yielding the reference code order A0 C1 G2 T3 (mer_dna.hpp:38-55).
+    Validity = case-folded membership in {ACGT}."""
+    ch = chunk_u8
+    t = (ch >> np.uint8(1)) & np.uint8(3)
+    code = t ^ (t >> np.uint8(1))
+    lower = ch | np.uint8(0x20)
+    valid = (
+        (lower == np.uint8(ord("a")))
+        | (lower == np.uint8(ord("c")))
+        | (lower == np.uint8(ord("g")))
+        | (lower == np.uint8(ord("t")))
+    )
+    return jnp.where(valid, code, INVALID)
 
 
 def _rc_word(w):

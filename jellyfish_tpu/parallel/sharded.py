@@ -7,18 +7,23 @@ by chunk (data parallel ingest):
 
     owner(sortkey) = top log2(P) bits of sortkey = top bits of hash position
 
-Each device ingests its own chunk, extracts/hashes/dedups locally, then an
-all-to-all over the `shards` mesh axis routes every (sortkey, count) pair to
-its owner shard — the collective rides ICI. Because sortkeys are ordered by
-(pos, key) and owners are the top position bits, shard p owns one contiguous
-range of the global hash order: the final dump is just the shard-order
-concatenation of per-shard sorted runs (no merge machinery; compare the
-reference's mer_heap + token_ring recovery, sorted_dumper.hpp:57-101).
+Each device ingests its own chunk, extracts/hashes locally, then an
+all-to-all over the `shards` mesh axis routes every (sortkey, weight) pair
+to its owner shard — the collective rides ICI. Because sortkeys are ordered
+by (pos, key) and owners are the top position bits, shard p owns one
+contiguous range of the global hash order: the final dump is just the
+shard-order concatenation of per-shard sorted runs (no merge machinery;
+compare the reference's mer_heap + token_ring recovery,
+sorted_dumper.hpp:57-101).
+
+Per-shard accumulation reuses the forest-store kernels (ops/count.merge_raw
+/ merge_many) vmapped over a leading [P] shard axis that stays sharded on
+the mesh, so every merge is chip-local (no collectives).
 
 Exactness: the exchange is capacity-free — device s sends to owner d a
-full-length masked copy of its deduplicated run (non-owned slots are PAD with
-count 0), so no entry can ever be dropped regardless of hash skew. This
-trades bandwidth (P x the compacted volume) for static shapes; a
+full-length masked copy of its raw run (non-owned slots are PAD with weight
+0), so no entry can ever be dropped regardless of hash skew. This trades
+bandwidth (P x the compacted volume) for static shapes; a
 ragged-all-to-all compaction is a planned optimization.
 """
 
@@ -34,8 +39,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.counter import ceil_log2
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import merge_runs, sort_unique
-from jellyfish_tpu.ops.hashing import mers_of_sortkeys, sortkey_of_mers
+from jellyfish_tpu.ops.count import merge_many, merge_raw
+from jellyfish_tpu.ops.hashing import (
+    inverse_masks_of_matrix,
+    masks_of_matrix,
+    mers_of_sortkeys,
+    sortkey_of_mers,
+)
 from jellyfish_tpu.ops.mers import encode_codes, extract_mers
 
 __all__ = ["ShardedMerCounter", "make_mesh"]
@@ -52,61 +62,51 @@ def make_mesh(n_shards: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _owner_of_sortkeys(sortkeys, counts, c: int, log_p: int):
+def _owner_of_sortkeys(sortkeys, weights, c: int, log_p: int):
     """Owner shard of each entry: top log_p bits of the 2k-bit sortkey.
-    PAD entries (count == 0) get owner -1 (sent nowhere)."""
+    PAD entries (weight == 0) get owner -1 (sent nowhere)."""
     if log_p == 0:
-        return jnp.where(counts == 0, -1, 0).astype(jnp.int32)
+        return jnp.where(weights == 0, -1, 0).astype(jnp.int32)
     top = mw.mw_shift_right(sortkeys, c - log_p)
     owner = top[..., 0].astype(jnp.int32) & ((1 << log_p) - 1)
-    return jnp.where(counts == 0, -1, owner)
-
-
-def _exchange_and_count(keys, counts, c: int, n_shards: int):
-    """Inside shard_map: route each entry to its owner shard, then dedup.
-
-    keys [N, W], counts [N] (a local deduplicated run). Returns a run of
-    capacity n_shards * N holding every entry this shard owns globally.
-    """
-    N, W = keys.shape
-    log_p = ceil_log2(n_shards)
-    owner = _owner_of_sortkeys(keys, counts, c, log_p)
-
-    dst = jnp.arange(n_shards, dtype=jnp.int32)
-    send_mask = owner[None, :] == dst[:, None]  # [P, N]
-    sent_counts = jnp.where(send_mask, counts[None, :], 0)
-    sent_keys = jnp.where(
-        send_mask[..., None], keys[None, :, :], jnp.uint32(0xFFFFFFFF)
-    )
-
-    if n_shards > 1:
-        recv_keys = jax.lax.all_to_all(
-            sent_keys, AXIS, split_axis=0, concat_axis=0, tiled=True
-        )
-        recv_counts = jax.lax.all_to_all(
-            sent_counts, AXIS, split_axis=0, concat_axis=0, tiled=True
-        )
-    else:
-        recv_keys, recv_counts = sent_keys, sent_counts
-
-    flat_keys = recv_keys.reshape(n_shards * N, W)
-    flat_counts = recv_counts.reshape(n_shards * N)
-    return sort_unique(flat_keys, flat_counts)
+    return jnp.where(weights == 0, -1, owner)
 
 
 def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool):
-    """Jitted per-step program: [P, L] chunks -> per-shard owned runs."""
+    """Jitted per-step program: [P, L] chunks -> per-shard raw owned runs
+    [P, P*N, W] / [P, P*N] (weights in {0,1})."""
     n_shards = mesh.devices.size
     c = 2 * k
+    log_p = ceil_log2(n_shards)
 
-    def local(chunk, bit_matrix):
+    def local(chunk, masks):
         chunk = chunk.reshape(-1)  # [1, L] block -> [L]
         codes = encode_codes(chunk)
         mers, valid = extract_mers(codes, k, canonical)
-        sk = sortkey_of_mers(mers, bit_matrix, k, lsize)
-        keys, counts = sort_unique(sk, valid.astype(jnp.uint32))
-        rkeys, rcounts = _exchange_and_count(keys, counts, c, n_shards)
-        return rkeys[None], rcounts[None]
+        sk = sortkey_of_mers(mers, masks, k, lsize)
+        w = valid.astype(jnp.uint32)
+        N, W = sk.shape
+
+        owner = _owner_of_sortkeys(sk, w, c, log_p)
+        dst = jnp.arange(n_shards, dtype=jnp.int32)
+        send_mask = owner[None, :] == dst[:, None]  # [P, N]
+        sent_w = jnp.where(send_mask, w[None, :], 0)
+        sent_keys = jnp.where(
+            send_mask[..., None], sk[None, :, :], jnp.uint32(0xFFFFFFFF)
+        )
+        if n_shards > 1:
+            recv_keys = jax.lax.all_to_all(
+                sent_keys, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            recv_w = jax.lax.all_to_all(
+                sent_w, AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+        else:
+            recv_keys, recv_w = sent_keys, sent_w
+        return (
+            recv_keys.reshape(1, n_shards * N, W),
+            recv_w.reshape(1, n_shards * N),
+        )
 
     a_spec = PartitionSpec() if has_matrix else None
     shard_fn = jax.shard_map(
@@ -118,55 +118,122 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool):
     return jax.jit(shard_fn)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
-def _merge_batched(a_keys, a_lo, a_hi, b_keys, b_lo, b_hi):
-    return jax.vmap(merge_runs)(a_keys, a_lo, a_hi, b_keys, b_lo, b_hi)
+@functools.lru_cache(maxsize=64)
+def _merge_raw_batched_fn(n_runs: int, use_vword: bool):
+    @functools.partial(jax.jit, donate_argnums=tuple(range(2 * n_runs)))
+    def f(*args):
+        keys = jnp.concatenate(args[0::2], axis=1)
+        w = jnp.concatenate(args[1::2], axis=1)
+        return jax.vmap(lambda kk, ww: merge_raw(kk, ww, use_vword))(keys, w)
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
+    n_args = sum(arity)
+    any_hi = any(a == 3 for a in arity)
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_args)))
+    def f(*args):
+        keys, lo, hi = [], [], []
+        off = 0
+        for a in arity:
+            keys.append(args[off])
+            lo.append(args[off + 1])
+            if any_hi:
+                hi.append(
+                    args[off + 2] if a == 3
+                    else jnp.zeros_like(args[off + 1])
+                )
+            off += a
+        kk = jnp.concatenate(keys, axis=1)
+        ll = jnp.concatenate(lo, axis=1)
+        if any_hi:
+            hh = jnp.concatenate(hi, axis=1)
+            return jax.vmap(
+                lambda a_, b_, c_: merge_many(
+                    a_, b_, c_, use_vword=use_vword, compact=compact
+                )
+            )(kk, ll, hh)
+        return jax.vmap(
+            lambda a_, b_: merge_many(
+                a_, b_, None, use_vword=use_vword, compact=compact
+            )
+        )(kk, ll)
+
+    return f
 
 
 class _ShardedStore:
-    """Per-shard LSM of sorted runs: arrays carry a leading [P] shard axis
-    sharded over the mesh, so every merge stays chip-local (no collectives)."""
+    """Forest store with a leading [P] shard axis kept sharded on the mesh
+    so every merge stays chip-local (no collectives). Runs are tuples
+    (keys [P, M, W], lo [P, M], hi [P, M] | None)."""
 
-    def __init__(self, mesh, W: int, max_levels: int = 28):
+    def __init__(self, W: int, key_bits: int, branch: int = 8,
+                 max_levels: int = 16):
         self.W = W
-        self.mesh = mesh
-        self.levels: list = [None] * max_levels
+        self.branch = int(branch)
+        self.use_vword = key_bits % 32 == 0
+        self.levels: list[list] = [[] for _ in range(max_levels)]
+        self.total_weight = 0
+        self._raw0 = True  # level-0 runs are raw (weights in {0,1})
 
-    def insert_run(self, keys, lo, hi) -> None:
-        carry = (keys, lo, hi)
+    def insert_raw(self, keys, weights, max_weight: int) -> None:
+        self.levels[0].append((keys, weights, None))
+        self.total_weight += int(max_weight)
         lvl = 0
-        while self.levels[lvl] is not None:
-            a = self.levels[lvl]
-            k2, l2, h2, _ = _merge_batched(
-                a[0], a[1], a[2], carry[0], carry[1], carry[2]
-            )
-            carry = (k2, l2, h2)
-            self.levels[lvl] = None
+        while len(self.levels[lvl]) >= self.branch:
+            group = self.levels[lvl]
+            self.levels[lvl] = []
+            merged = self._merge_group(group, raw=(lvl == 0))
+            if lvl + 1 >= len(self.levels):
+                raise RuntimeError("forest store exceeded maximum level count")
+            self.levels[lvl + 1].append(merged)
             lvl += 1
-            if lvl >= len(self.levels):
-                raise RuntimeError("LSM store exceeded maximum level count")
-        self.levels[lvl] = carry
+
+    def _merge_group(self, group, raw: bool):
+        if raw and self.total_weight < (1 << 32):
+            args = []
+            for r in group:
+                args += [r[0], r[1]]
+            k2, c2 = _merge_raw_batched_fn(len(group), self.use_vword)(*args)
+            return (k2, c2, None)
+        arity = tuple(2 if r[2] is None else 3 for r in group)
+        args = []
+        for r in group:
+            args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
+        k2, l2, h2, _ = _merge_general_batched_fn(
+            arity, self.use_vword, False
+        )(*args)
+        return (k2, l2, h2)
+
+    def occupied_runs(self):
+        return [r for level in self.levels for r in level]
 
     def finalize(self):
-        """Merge all levels; returns (keys [P, M, W], lo, hi, ns [P])."""
-        runs = [r for r in self.levels if r is not None]
+        """Returns (keys [P, M, W], lo, hi, ns [P]) compacted per shard."""
+        runs = self.occupied_runs()
         if not runs:
             return None
-        acc = runs[0]
-        ns = None
-        for r in runs[1:]:
-            k2, l2, h2, ns = _merge_batched(
-                acc[0], acc[1], acc[2], r[0], r[1], r[2]
-            )
-            acc = (k2, l2, h2)
-        if ns is None:
-            ns = jnp.sum((acc[1] | acc[2]) != 0, axis=-1)
-        self.levels = [None] * len(self.levels)
-        self.levels[0] = acc
-        return acc[0], acc[1], acc[2], ns
+        arity = tuple(2 if r[2] is None else 3 for r in runs)
+        args = []
+        for r in runs:
+            args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
+        k2, l2, h2, ns = _merge_general_batched_fn(
+            arity, self.use_vword, True
+        )(*args)
+        if h2 is None:
+            h2 = jnp.zeros_like(l2)
+        for level in self.levels:
+            level.clear()
+        self.levels[-1].append((k2, l2, h2))
+        return k2, l2, h2, ns
 
     def reset(self):
-        self.levels = [None] * len(self.levels)
+        for level in self.levels:
+            level.clear()
+        self.total_weight = 0
 
 
 class ShardedMerCounter:
@@ -210,13 +277,15 @@ class ShardedMerCounter:
             self._A = None
             self._Ainv = None
         else:
-            self._A = jnp.asarray(self.matrix.bit_matrix())
-            self._Ainv = jnp.asarray(self.matrix.inverse_bit_matrix())
+            self._A = jnp.asarray(masks_of_matrix(self.matrix, self.W))
+            self._Ainv = jnp.asarray(
+                inverse_masks_of_matrix(self.matrix, self.W)
+            )
 
         self._step = _build_step(
             self.mesh, self.k, self.lsize, self.canonical, self._A is not None
         )
-        self.store = _ShardedStore(self.mesh, self.W)
+        self.store = _ShardedStore(self.W, key_bits=c)
         self._run_sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
 
     # -- ingestion ------------------------------------------------------------
@@ -229,9 +298,8 @@ class ShardedMerCounter:
             raise ValueError(f"expected [{self.n_shards}, L] chunks")
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         dev = jax.device_put(jnp.asarray(chunks, dtype=jnp.uint8), sharding)
-        keys, counts = self._step(dev, self._A)
-        zeros = jnp.zeros_like(counts)
-        self.store.insert_run(keys, counts, zeros)
+        keys, weights = self._step(dev, self._A)
+        self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
 
     def step(self, chunks_dev):
         """One jitted counting step on device-resident chunks (bench path)."""

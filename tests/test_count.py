@@ -25,14 +25,19 @@ def test_sortkey_bijection(rng, k, lsize):
     m = GF2Matrix.random_invertible(lsize, 2 * k, rng)
     keys = [int(rng.integers(0, 1 << 62)) & ((1 << (2 * k)) - 1) for _ in range(64)]
     W = mw.nwords(2 * k)
+    from jellyfish_tpu.ops.hashing import (
+        inverse_masks_of_matrix,
+        masks_of_matrix,
+    )
+
     arr = jnp.asarray(mw.from_ints(keys, W))
-    A = jnp.asarray(m.bit_matrix())
+    A = jnp.asarray(masks_of_matrix(m, W))
     sk = sortkey_of_mers(arr, A, k, lsize)
     got = [int(v) for v in mw.to_ints(np.asarray(sk))]
     expect = [sortkey_oracle(key, m, k, lsize) for key in keys]
     assert got == expect
     # invert
-    Ainv = jnp.asarray(m.inverse_bit_matrix())
+    Ainv = jnp.asarray(inverse_masks_of_matrix(m, W))
     back = mers_of_sortkeys(sk, Ainv, k, lsize)
     assert [int(v) for v in mw.to_ints(np.asarray(back))] == keys
 
