@@ -142,12 +142,12 @@ def run_bc(args, argv):
     # bloom insert per distinct mer with its multiplicity
     counter = MerCounter(k, size=1 << 16, canonical=args.canonical)
 
-    from jellyfish_tpu.counter import _chunk_pipeline, _recover_mers
+    from jellyfish_tpu.counter import _chunk_pipeline_dedup, _recover_mers
 
     for chunk in chunker.chunks():
         if len(chunk) < k:
             continue
-        keys, counts = _chunk_pipeline(
+        keys, counts = _chunk_pipeline_dedup(
             jnp.asarray(chunk, dtype=jnp.uint8), counter._A,
             k=k, lsize=counter.lsize, canonical=args.canonical,
         )

@@ -22,7 +22,11 @@ import numpy as np
 
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import merge_many, sort_unique
+from jellyfish_tpu.ops.count import (
+    consolidate_premasked,
+    merge_many,
+    sort_unique,
+)
 from jellyfish_tpu.ops.hashing import (
     inverse_masks_of_matrix,
     masks_of_matrix,
@@ -40,26 +44,31 @@ def ceil_log2(x: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
-def _chunk_pipeline(chunk_u8, bit_matrix, k, lsize, canonical):
-    """chunk bytes -> RAW (sortkeys, weights). No per-chunk sort: the forest
-    store's first K-way merge performs the one sort pass for R chunks at
-    once (store.py), halving total sorted-element traffic vs sorting each
-    chunk then merging."""
+def _chunk_pipeline(chunk_u8, masks, k, lsize, canonical):
+    """chunk bytes -> (premasked sortkeys, n_valid scalar). No per-chunk
+    sort and no weight payload: invalid windows become the all-ones PAD
+    pattern; the store sorts the raw backlog lazily and counts segments by
+    length (store.py), with the PAD inflation of the all-ones segment
+    corrected host-side from n_valid."""
     codes = encode_codes(chunk_u8)
     mers, valid = extract_mers(codes, k, canonical)
-    sk = sortkey_of_mers(mers, bit_matrix, k, lsize)
-    return sk, valid.astype(jnp.uint32)
+    sk = sortkey_of_mers(mers, masks, k, lsize)
+    sk = jnp.where(valid[:, None], sk, jnp.uint32(0xFFFFFFFF))
+    return sk, jnp.sum(valid, dtype=jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
-def _chunk_pipeline_dedup(chunk_u8, bit_matrix, k, lsize, canonical):
+def _chunk_pipeline_dedup(chunk_u8, masks, k, lsize, canonical):
     """Deduplicated per-chunk variant (bloom-filter modes and --if need
-    per-chunk distinct mers with multiplicities)."""
-    sk, w = _chunk_pipeline(chunk_u8, bit_matrix, k, lsize, canonical)
-    keys, lo, hi, _ = merge_many(
-        sk, w, None, use_vword=(2 * k) % 32 == 0, compact=True
-    )
-    return keys, lo
+    per-chunk distinct mers with multiplicities). The PAD segment keeps the
+    pad-inflated count; callers pair it with the n_valid scalar."""
+    sk, n_valid = _chunk_pipeline(chunk_u8, masks, k, lsize, canonical)
+    keys, counts = consolidate_premasked(sk)
+    # remove the PAD inflation on device: the last sorted row always ends
+    # the final (all-ones-or-maximal) segment, and pads = N - n_valid
+    pads = jnp.uint32(sk.shape[0]) - n_valid
+    counts = counts.at[-1].add(jnp.uint32(0) - pads)
+    return keys, counts
 
 
 @functools.partial(jax.jit, static_argnames=("k", "lsize"))
@@ -148,11 +157,11 @@ class MerCounter:
             counts = jnp.asarray(new_counts.astype(np.uint32))
             self.store.insert_run(keys, counts, None, total=keys.shape[0])
         else:
-            keys, weights = _chunk_pipeline(
+            keys, n_valid = _chunk_pipeline(
                 chunk, self._A,
                 k=self.k, lsize=self.lsize, canonical=self.canonical,
             )
-            self.store.insert_raw(keys, weights)
+            self.store.insert_raw(keys, n_valid)
 
     def add_mers_np(self, mers_int_iterable, value: int = 1) -> None:
         """Host-side path to add explicit mers (used by bindings/tests)."""
@@ -175,29 +184,44 @@ class MerCounter:
             if len(chunk_u8) < self.k:
                 continue
             chunk = jnp.asarray(chunk_u8, dtype=jnp.uint8)
-            keys, weights = _chunk_pipeline(
+            keys, n_valid = _chunk_pipeline(
                 chunk, self._A, k=self.k, lsize=self.lsize,
                 canonical=self.canonical,
             )
-            self._restrict_store.insert_raw(keys, weights)
+            self._restrict_store.insert_raw(keys, n_valid)
 
     # -- extraction -----------------------------------------------------------
 
-    def finalize(self):
-        """Return (mers [n] object ints, counts [n] uint64 np) in hash order
-        (the reference's dump order: ascending (pos, key))."""
-        keys, lo, hi, n = self.store.finalize()
+    @staticmethod
+    def _fetch_corrected(store):
+        """Host copy of a finalized store with the all-ones PAD inflation
+        removed (see store.py docstring). Returns (keys [n, W], counts u64)."""
+        keys, lo, hi, n, pads = store.finalize()
         if n == 0:
-            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+            return None, None
         keys_np = np.asarray(keys)[:n]
         lo_np = np.asarray(lo)[:n].astype(np.uint64)
         hi_np = np.asarray(hi)[:n].astype(np.uint64)
         counts = lo_np | (hi_np << np.uint64(32))
+        if pads and (keys_np[-1] == np.uint32(0xFFFFFFFF)).all():
+            counts = counts.copy()
+            counts[-1] -= np.uint64(pads)
+            if counts[-1] == 0:
+                keys_np, counts = keys_np[:-1], counts[:-1]
+        return keys_np, counts
+
+    def finalize(self):
+        """Return (mers [n] object ints, counts [n] uint64 np) in hash order
+        (the reference's dump order: ascending (pos, key))."""
+        keys_np, counts = self._fetch_corrected(self.store)
+        if keys_np is None or len(keys_np) == 0:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
         if self._restrict_store is not None:
-            akeys, _, _, an = self._restrict_store.finalize()
-            allowed = {
-                row.tobytes() for row in np.asarray(akeys)[:an]
-            }
+            akeys, _ = self._fetch_corrected(self._restrict_store)
+            allowed = (
+                set() if akeys is None
+                else {row.tobytes() for row in akeys}
+            )
             sel = np.fromiter(
                 (row.tobytes() in allowed for row in keys_np),
                 dtype=bool, count=len(keys_np),

@@ -71,12 +71,11 @@ def _restack(slimbs, M, W):
 def merge_raw(keys, weights, use_vword: bool):
     """Combine concatenated RAW runs: weights in {0,1}, duplicates allowed.
 
-    The hot kernel of the forest store: counts come from segment LENGTHS
-    (idx - start + 1), so the sort carries no count payload and no
-    cumulative sums are needed; output is masked in place (sorted keys with
-    zero-count PAD rows interspersed), deferring compaction to finalize.
-    Returns (keys [M, W], counts [M]); counts < 2^32 by construction
-    (M rows of weight <= 1).
+    Counts come from segment LENGTHS (idx - start + 1), so the sort carries
+    no count payload and no cumulative sums are needed; output is masked in
+    place (sorted keys with zero-count PAD rows interspersed), deferring
+    compaction to finalize. Returns (keys [M, W], counts [M]); counts
+    < 2^32 by construction (M rows of weight <= 1).
     """
     M, W = keys.shape
     slimbs, _, spad = _sort_runs(keys, weights == 0, use_vword, [])
@@ -86,6 +85,39 @@ def merge_raw(keys, weights, use_vword: bool):
     out_keys = jnp.where(
         keep[:, None], _restack(slimbs, M, W), jnp.uint32(0xFFFFFFFF)
     )
+    return out_keys, counts
+
+
+def consolidate_premasked(keys):
+    """Sort concatenated PREMASKED raw runs and count by segment length.
+
+    keys [M, W]: raw sortkeys with invalid windows already set to the PAD
+    pattern (all-ones) by the pipeline — every row carries implicit weight
+    1, INCLUDING pads, so the sort needs no validity operand for any k.
+    The all-ones segment's count therefore includes the pad rows; the store
+    tracks the exact pad total host-side and subtracts it at finalize
+    (bijectivity of the sortkey makes all-ones at most one real mer).
+
+    Returns (keys [M, W], counts [M]) masked in place: the count sits on
+    the last row of each segment, other rows are PAD with count 0.
+    """
+    M, W = keys.shape
+    limbs = [keys[:, W - 1 - w] for w in range(W)]
+    s = jax.lax.sort(limbs, num_keys=W, is_stable=False)
+    neq = s[0] != jnp.roll(s[0], 1)
+    for l in s[1:]:
+        neq = neq | (l != jnp.roll(l, 1))
+    is_new = neq.at[0].set(True)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    is_last = jnp.roll(is_new, -1).at[M - 1].set(True)
+    counts = jnp.where(is_last, (idx - start + 1).astype(jnp.uint32), 0)
+    out_keys = jnp.where(
+        is_last[:, None], _restack(s, M, W), jnp.uint32(0xFFFFFFFF)
+    )
+    # rows that are not segment-ends become PAD with count 0; the genuine
+    # all-ones segment end keeps its (pad-inflated) count for later
+    # correction
     return out_keys, counts
 
 
@@ -100,13 +132,16 @@ def _wrapped_segment_sums(vals, start):
     return csum - prev
 
 
-def merge_many(keys, lo, hi=None, *, use_vword: bool = True,
-               compact: bool = True):
+def merge_many(keys, lo, hi=None, *, compact: bool = True):
     """K-way combine of concatenated runs with 64-bit counts.
 
     keys [M, W], lo [M] uint32, hi [M] uint32 or None (counts known < 2^32).
-    Rows with count 0 are PAD/invalid. Duplicate keys are allowed and their
-    counts are summed with full 64-bit carry.
+    Rows with count 0 contribute nothing (PAD rows are all-ones keys with
+    count 0; zero-count rows with real keys — e.g. bloom-filtered — are
+    equally harmless: segments whose total is 0 are dropped). No validity
+    sort operand is needed for any k: an all-ones segment that mixes PADs
+    with a genuine all-ones key is resolved by the store's host-side pad
+    accounting.
 
     compact=True: returns (keys, lo, hi, n) with real entries in the dense
     ascending prefix (scatter compaction — use for finalize).
@@ -114,16 +149,23 @@ def merge_many(keys, lo, hi=None, *, use_vword: bool = True,
     zero-count rows interspersed — fine as input to further merges).
 
     Exactness invariant: per duplicate-key group, sum(lo & 0xffff),
-    sum(lo >> 16) (and likewise hi) each < 2^32. Holds for raw batch rows
+    sum(lo >> 16) (and likewise hi) each < 2^32. Holds for raw rows
     (lo <= 1, < 2^32 rows) and for <= 2^16 deduplicated runs, in any mix.
     """
     M, W = keys.shape
-    valid = (lo != 0) if hi is None else ((lo | hi) != 0)
     payloads = [lo] if hi is None else [lo, hi]
-    slimbs, spay, spad = _sort_runs(keys, ~valid, use_vword, payloads)
-    slo = spay[0]
-    shi = spay[1] if hi is not None else None
-    idx, start, is_last = _segment_marks(slimbs, spad, M)
+    limbs = [keys[:, W - 1 - w] for w in range(W)]
+    s = jax.lax.sort(limbs + payloads, num_keys=W, is_stable=False)
+    slimbs = s[:W]
+    slo = s[W]
+    shi = s[W + 1] if hi is not None else None
+    neq = slimbs[0] != jnp.roll(slimbs[0], 1)
+    for l in slimbs[1:]:
+        neq = neq | (l != jnp.roll(l, 1))
+    is_new = neq.at[0].set(True)
+    idx = jnp.arange(M, dtype=jnp.int32)
+    start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    is_last = jnp.roll(is_new, -1).at[M - 1].set(True)
 
     m16 = jnp.uint32(0xFFFF)
     a = _wrapped_segment_sums(slo & m16, start)       # < 2^32 exact
@@ -142,7 +184,7 @@ def merge_many(keys, lo, hi=None, *, use_vword: bool = True,
     else:
         hi_sum = carry
 
-    keep = is_last & (~spad)
+    keep = is_last & ((lo_sum | hi_sum) != 0)
     if not compact:
         out_keys = jnp.where(
             keep[:, None], _restack(slimbs, M, W), jnp.uint32(0xFFFFFFFF)

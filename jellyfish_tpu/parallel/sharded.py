@@ -152,14 +152,10 @@ def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
         if any_hi:
             hh = jnp.concatenate(hi, axis=1)
             return jax.vmap(
-                lambda a_, b_, c_: merge_many(
-                    a_, b_, c_, use_vword=use_vword, compact=compact
-                )
+                lambda a_, b_, c_: merge_many(a_, b_, c_, compact=compact)
             )(kk, ll, hh)
         return jax.vmap(
-            lambda a_, b_: merge_many(
-                a_, b_, None, use_vword=use_vword, compact=compact
-            )
+            lambda a_, b_: merge_many(a_, b_, None, compact=compact)
         )(kk, ll)
 
     return f

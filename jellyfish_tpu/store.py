@@ -1,72 +1,59 @@
-"""HBM-resident forest store of (sortkey, count64) runs.
+"""HBM-resident lazy-consolidation store of (sortkey, count64) runs.
 
 This replaces the reference's lock-free open-addressing table + cooperative
 size-doubling (large_hash_array.hpp, hash_counter.hpp:178-238) with a
-branching-factor-R log-structured forest:
+design driven by measured TPU costs — lax.sort passes dominate, every
+dispatch pays fixed latency — so the store does the MINIMUM possible
+sorting: ~1 sort pass per ingested mer in steady state.
 
-  - level 0 accepts RAW runs straight from the extraction pipeline
-    (unsorted, weights in {0,1}, duplicates allowed) — no per-chunk sort;
-  - when a level accumulates R runs, ONE jitted program concatenates them
-    and K-way combines with a single sort pass;
-  - merged runs stay masked-in-place (no compaction scatters) until
-    finalize(), whose compacted output IS the reference's dump order.
+  - the pipeline appends RAW runs of PREMASKED sortkeys (invalid windows
+    already set to the all-ones PAD pattern) — keys only, no payload, no
+    per-chunk device work at all;
+  - raw rows accumulate until `consolidate_rows`; ONE jitted program then
+    sorts the whole backlog and counts segments by LENGTH
+    (ops/count.consolidate_premasked) — a keys-only sort, the cheapest
+    possible combine;
+  - consolidated (deduplicated) runs collect in a branch-8 forest merged
+    with ops/count.merge_many (64-bit exact counts);
+  - finalize() K-way combines everything, compacts, and is the reference's
+    dump order (compare sorted_dumper.hpp:57-101's mer_heap + token-ring
+    recovery — here hash order is the resting state).
 
-Design driven by measured TPU costs: lax.sort passes and per-dispatch
-latency dominate, so the store minimizes sorted-element passes (log_R
-instead of log_2), auxiliary O(M) passes (raw merges need no cumulative
-sums or count payloads — counts are segment lengths), and dispatches (one
-per R inserts, amortized). The reference needs mer_heap + token-ring
-machinery to recover dump order from its reprobe-scrambled table
-(sorted_dumper.hpp:57-101); here hash order is the resting state.
-
-Count-width bookkeeping: runs created while the store has seen < 2^32
-total weight carry no hi limb (counts provably fit u32); the general
-merge path keeps exact 64-bit counts once that no longer holds.
+PAD accounting: premasked PAD rows carry implicit weight 1 through raw
+sorts, inflating the all-ones segment. The store tracks the exact number
+of pad rows (a per-chunk device scalar of valid-window counts, summed in
+one dispatch at finalize) and subtracts it from the trailing all-ones
+entry — the sortkey is a bijection, so at most one REAL mer maps there.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jellyfish_tpu.ops.count import merge_many, merge_raw
+from jellyfish_tpu.ops.count import consolidate_premasked, merge_many
 
 __all__ = ["SortedCountStore"]
 
 
-class Run(NamedTuple):
-    keys: object          # [M, W] uint32
-    lo: object            # [M] uint32
-    hi: Optional[object]  # [M] uint32 or None (counts < 2^32)
-    raw: bool             # weights in {0,1}, unsorted, duplicates allowed
+@functools.lru_cache(maxsize=64)
+def _consolidate_fn(n_runs: int):
+    """Concat n premasked raw key runs, sort, count segments."""
 
-    def arrays(self):
-        return (self.keys, self.lo) if self.hi is None else (
-            self.keys, self.lo, self.hi
-        )
-
-
-@functools.lru_cache(maxsize=128)
-def _merge_raw_fn(n_runs: int, use_vword: bool):
-    """Concat n raw (keys, weights) runs and combine via merge_raw."""
-
-    @functools.partial(jax.jit, donate_argnums=tuple(range(2 * n_runs)))
-    def f(*args):
-        keys = jnp.concatenate(args[0::2], axis=0)
-        w = jnp.concatenate(args[1::2], axis=0)
-        return merge_raw(keys, w, use_vword)
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
+    def f(*keys):
+        return consolidate_premasked(jnp.concatenate(keys, axis=0))
 
     return f
 
 
 @functools.lru_cache(maxsize=128)
-def _merge_general_fn(arity: tuple, use_vword: bool, compact: bool):
-    """Concat runs of mixed shapes/widths and combine via merge_many.
-    arity[i] is 2 (keys, lo) or 3 (keys, lo, hi) for run i."""
+def _merge_general_fn(arity: tuple, compact: bool):
+    """Concat and combine mixed runs. arity[i]: 1 = premasked raw keys
+    (implicit weight 1 per row), 2 = (keys, lo), 3 = (keys, lo, hi)."""
     n_args = sum(arity)
     any_hi = any(a == 3 for a in arity)
 
@@ -76,114 +63,150 @@ def _merge_general_fn(arity: tuple, use_vword: bool, compact: bool):
         off = 0
         for a in arity:
             keys.append(args[off])
-            lo.append(args[off + 1])
-            if any_hi:
-                if a == 3:
-                    hi.append(args[off + 2])
-                else:
-                    hi.append(jnp.zeros_like(args[off + 1]))
+            rows = args[off].shape[0]
+            if a == 1:
+                lo.append(jnp.ones(rows, dtype=jnp.uint32))
+                if any_hi:
+                    hi.append(jnp.zeros(rows, dtype=jnp.uint32))
+            else:
+                lo.append(args[off + 1])
+                if any_hi:
+                    hi.append(
+                        args[off + 2] if a == 3
+                        else jnp.zeros(rows, dtype=jnp.uint32)
+                    )
             off += a
         k = jnp.concatenate(keys, axis=0)
         l = jnp.concatenate(lo, axis=0)
         h = jnp.concatenate(hi, axis=0) if any_hi else None
-        return merge_many(k, l, h, use_vword=use_vword, compact=compact)
+        return merge_many(k, l, h, compact=compact)
+
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _sum_scalars_fn(n: int):
+    @jax.jit
+    def f(*xs):
+        acc = jnp.uint64(0)
+        for x in xs:
+            acc = acc + x.astype(jnp.uint64)
+        return acc
 
     return f
 
 
 class SortedCountStore:
-    """Branching-factor-R forest of (sortkey, count) runs.
+    """Lazy-consolidation count store (see module docstring)."""
 
-    use_vword: validity must ride the sort as its own operand only when a
-    real sortkey can be all-ones, i.e. when the key width fills its limbs
-    exactly (2k % 32 == 0); callers pass key_bits to decide.
-    """
-
-    def __init__(self, W: int, branch: int = 8, max_levels: int = 16,
-                 key_bits: int | None = None):
+    def __init__(self, W: int, branch: int = 8,
+                 consolidate_rows: int = 1 << 27, key_bits: int | None = None):
         self.W = W
         self.branch = int(branch)
-        self.use_vword = key_bits is None or key_bits % 32 == 0
-        self.levels: list[list[Run]] = [[] for _ in range(max_levels)]
+        self.consolidate_rows = int(consolidate_rows)
+        self.raw: list = []          # [(keys [M, W],)] premasked
+        self.raw_rows = 0
+        self.valid_scalars: list = []  # device scalars: valid rows per raw run
+        self.raw_rows_ever = 0         # host int: all raw rows ever inserted
+        self.dedup: list = []        # [(keys, lo, hi|None)]
         self.total_inserted = 0
-        self.total_weight = 0  # python int: upper bound on any single count
+        # pads already baked into the stored all-ones entry by a previous
+        # finalize (the device entry stays inflated; the correction is
+        # host-side), carried so repeated finalizes stay exact
+        self.residual_pads = 0
 
-    def insert_raw(self, keys, weights, max_weight: int | None = None) -> None:
-        """Insert a raw pipeline run (weights in {0,1})."""
-        self.levels[0].append(Run(keys, weights, None, True))
-        self.total_weight += int(
-            max_weight if max_weight is not None else keys.shape[0]
-        )
-        self._bump()
+    # -- ingestion ------------------------------------------------------------
+
+    def insert_raw(self, keys, n_valid_scalar) -> None:
+        """Append a premasked raw run; n_valid_scalar is the device scalar
+        count of non-PAD rows (for the all-ones correction)."""
+        self.raw.append(keys)
+        self.raw_rows += keys.shape[0]
+        self.raw_rows_ever += keys.shape[0]
+        self.valid_scalars.append(n_valid_scalar)
+        self.total_inserted += 1
+        if self.raw_rows >= self.consolidate_rows:
+            self._consolidate()
 
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
-        """Insert a deduplicated (or filtered) run; hi may be None when all
-        counts are < 2^32."""
-        self.levels[0].append(Run(keys, lo, hi, False))
-        self.total_weight += int(total if total is not None else keys.shape[0])
-        self._bump()
-
-    def _bump(self):
+        """Insert a deduplicated (or filtered) run; hi None when counts are
+        known < 2^32."""
+        self.dedup.append((keys, lo, hi))
         self.total_inserted += 1
-        lvl = 0
-        while len(self.levels[lvl]) >= self.branch:
-            group = self.levels[lvl]
-            self.levels[lvl] = []
-            merged = self._merge_group(group, compact=False)
-            if lvl + 1 >= len(self.levels):
-                raise RuntimeError("forest store exceeded maximum level count")
-            self.levels[lvl + 1].append(merged)
-            lvl += 1
+        self._maybe_merge_dedup()
 
-    def _merge_group(self, group: list[Run], compact: bool) -> Run:
-        if all(r.raw for r in group) and self.total_weight < (1 << 32):
-            args = []
-            for r in group:
-                args += [r.keys, r.lo]
-            k2, c2 = _merge_raw_fn(len(group), self.use_vword)(*args)
-            return Run(k2, c2, None, False)
-        arity = tuple(2 if r.hi is None else 3 for r in group)
-        args = [x for r in group for x in r.arrays()]
-        k2, l2, h2, _ = _merge_general_fn(
-            arity, self.use_vword, compact
-        )(*args)
-        return Run(k2, l2, h2, False)
+    def _consolidate(self) -> None:
+        if not self.raw:
+            return
+        runs, self.raw, self.raw_rows = self.raw, [], 0
+        k2, c2 = _consolidate_fn(len(runs))(*runs)
+        self.dedup.append((k2, c2, None))
+        self._maybe_merge_dedup()
 
-    def occupied_runs(self):
-        return [r for level in self.levels for r in level]
+    def _maybe_merge_dedup(self) -> None:
+        if len(self.dedup) < self.branch:
+            return
+        group, self.dedup = self.dedup, []
+        arity = tuple(2 if r[2] is None else 3 for r in group)
+        args = [x for r in group for x in (r[:2] if r[2] is None else r)]
+        k2, l2, h2, _ = _merge_general_fn(arity, False)(*args)
+        self.dedup.append((k2, l2, h2))
 
-    # back-compat alias (bench warm-up sync iterates this)
+    # -- inspection -----------------------------------------------------------
+
     def occupied_levels(self):
-        return [r.arrays() for r in self.occupied_runs()]
-
-    def finalize(self):
-        """Combine every run into one. Returns (keys, lo, hi, n_distinct)
-        with real entries in the dense ascending prefix [0, n)."""
-        runs = self.occupied_runs()
-        if not runs:
-            keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
-            z = jnp.zeros(1, dtype=jnp.uint32)
-            return keys, z, z, 0
-        # finalize always goes through the general compacting path: it
-        # normalizes raw/filtered/masked runs to the dense-prefix invariant
-        arity = tuple(2 if r.hi is None else 3 for r in runs)
-        args = [x for r in runs for x in r.arrays()]
-        k2, l2, h2, n = _merge_general_fn(arity, self.use_vword, True)(*args)
-        if h2 is None:
-            h2 = jnp.zeros_like(l2)  # finalize contract: hi always present
-        for level in self.levels:
-            level.clear()
-        self.levels[-1].append(Run(k2, l2, h2, False))
-        return k2, l2, h2, int(n)
-
-    def reset(self) -> None:
-        for level in self.levels:
-            level.clear()
-        self.total_inserted = 0
-        self.total_weight = 0
+        """All live device arrays (sync/debug helper)."""
+        out = [(k,) for k in self.raw]
+        for r in self.dedup:
+            out.append(tuple(x for x in r if x is not None))
+        return out
 
     def device_bytes(self) -> int:
         total = 0
-        for r in self.occupied_runs():
-            total += sum(int(np.prod(x.shape)) * 4 for x in r.arrays())
+        for arrays in self.occupied_levels():
+            total += sum(int(np.prod(x.shape)) * 4 for x in arrays)
         return total
+
+    def total_pads(self) -> int:
+        """Exact count of PAD rows inserted via raw runs (one device sum)."""
+        if not self.valid_scalars:
+            return 0
+        total_valid = int(
+            _sum_scalars_fn(len(self.valid_scalars))(*self.valid_scalars)
+        )
+        return self.raw_rows_ever - total_valid
+
+    # -- extraction -----------------------------------------------------------
+
+    def finalize(self):
+        """Combine everything and compact. Returns (keys, lo, hi, n, pads):
+        real entries in the ascending dense prefix [0, n); `pads` must be
+        subtracted from the trailing all-ones entry by the caller (and the
+        entry dropped if it reaches zero)."""
+        pads = self.residual_pads + self.total_pads()
+        runs = [(k,) for k in self.raw] + [
+            (r[:2] if r[2] is None else r) for r in self.dedup
+        ]
+        if not runs:
+            keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
+            z = jnp.zeros(1, dtype=jnp.uint32)
+            return keys, z, z, 0, 0
+        arity = tuple(len(r) for r in runs)
+        args = [x for r in runs for x in r]
+        k2, l2, h2, n = _merge_general_fn(arity, True)(*args)
+        if h2 is None:
+            h2 = jnp.zeros_like(l2)
+        self.raw, self.raw_rows = [], 0
+        self.valid_scalars = []
+        self.raw_rows_ever = 0
+        self.residual_pads = pads
+        self.dedup = [(k2, l2, h2)]
+        return k2, l2, h2, int(n), pads
+
+    def reset(self) -> None:
+        self.raw, self.raw_rows = [], 0
+        self.valid_scalars = []
+        self.raw_rows_ever = 0
+        self.residual_pads = 0
+        self.dedup = []
+        self.total_inserted = 0
