@@ -65,7 +65,7 @@ def main():
 
     k = 21
     L = int(os.environ.get("JF_BENCH_CHUNK_LEN", 1 << 20))
-    n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 48))
+    n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 96))
     counter = MerCounter(
         k, size=1 << 22, canonical=True, rng=np.random.default_rng(42)
     )
@@ -77,7 +77,7 @@ def main():
     # the "Counting" phase in the reference's --timing split
     # (count_main.cc:377-382) — ingest + all table combines; the once-per-
     # job output formatting (finalize compaction + file write) is Writing.
-    counter.store.consolidate_rows = 16 * (L - k + 1)
+    counter.store.consolidate_rows = int(os.environ.get("JF_BENCH_CADENCE", 8)) * (L - k + 1)
 
     import functools as _ft
 

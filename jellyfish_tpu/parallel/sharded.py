@@ -149,13 +149,18 @@ def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
             off += a
         kk = jnp.concatenate(keys, axis=1)
         ll = jnp.concatenate(lo, axis=1)
+        nd = len(arity)
         if any_hi:
             hh = jnp.concatenate(hi, axis=1)
             return jax.vmap(
-                lambda a_, b_, c_: merge_many(a_, b_, c_, compact=compact)
+                lambda a_, b_, c_: merge_many(
+                    a_, b_, c_, max_dups=nd, compact=compact
+                )
             )(kk, ll, hh)
         return jax.vmap(
-            lambda a_, b_: merge_many(a_, b_, None, compact=compact)
+            lambda a_, b_: merge_many(
+                a_, b_, None, max_dups=nd, compact=compact
+            )
         )(kk, ll)
 
     return f
@@ -209,6 +214,11 @@ class _ShardedStore:
 
     def finalize(self):
         """Returns (keys [P, M, W], lo, hi, ns [P]) compacted per shard."""
+        # level-0 raw runs have unbounded duplicates: combine them via the
+        # raw kernel first so the general merge only sees dedup runs
+        if self.levels[0]:
+            group, self.levels[0] = self.levels[0], []
+            self.levels[1].append(self._merge_group(group, raw=True))
         runs = self.occupied_runs()
         if not runs:
             return None

@@ -52,8 +52,8 @@ def _consolidate_fn(n_runs: int):
 
 @functools.lru_cache(maxsize=128)
 def _merge_general_fn(arity: tuple, compact: bool):
-    """Concat and combine mixed runs. arity[i]: 1 = premasked raw keys
-    (implicit weight 1 per row), 2 = (keys, lo), 3 = (keys, lo, hi)."""
+    """Concat and combine DEDUPLICATED runs. arity[i]: 2 = (keys, lo),
+    3 = (keys, lo, hi). Duplicates per key bounded by len(arity)."""
     n_args = sum(arity)
     any_hi = any(a == 3 for a in arity)
 
@@ -64,22 +64,17 @@ def _merge_general_fn(arity: tuple, compact: bool):
         for a in arity:
             keys.append(args[off])
             rows = args[off].shape[0]
-            if a == 1:
-                lo.append(jnp.ones(rows, dtype=jnp.uint32))
-                if any_hi:
-                    hi.append(jnp.zeros(rows, dtype=jnp.uint32))
-            else:
-                lo.append(args[off + 1])
-                if any_hi:
-                    hi.append(
-                        args[off + 2] if a == 3
-                        else jnp.zeros(rows, dtype=jnp.uint32)
-                    )
+            lo.append(args[off + 1])
+            if any_hi:
+                hi.append(
+                    args[off + 2] if a == 3
+                    else jnp.zeros(rows, dtype=jnp.uint32)
+                )
             off += a
         k = jnp.concatenate(keys, axis=0)
         l = jnp.concatenate(lo, axis=0)
         h = jnp.concatenate(hi, axis=0) if any_hi else None
-        return merge_many(k, l, h, compact=compact)
+        return merge_many(k, l, h, max_dups=len(arity), compact=compact)
 
     return f
 
@@ -100,7 +95,10 @@ class SortedCountStore:
     """Lazy-consolidation count store (see module docstring)."""
 
     def __init__(self, W: int, branch: int = 8,
-                 consolidate_rows: int = 1 << 27, key_bits: int | None = None):
+                 consolidate_rows: int = 1 << 23, key_bits: int | None = None):
+        # consolidate_rows ~8M measured optimal on TPU v5e: small enough
+        # that the keys-only sort stays in its fast regime, large enough to
+        # amortize dispatch latency
         self.W = W
         self.branch = int(branch)
         self.consolidate_rows = int(consolidate_rows)
@@ -108,7 +106,11 @@ class SortedCountStore:
         self.raw_rows = 0
         self.valid_scalars: list = []  # device scalars: valid rows per raw run
         self.raw_rows_ever = 0         # host int: all raw rows ever inserted
-        self.dedup: list = []        # [(keys, lo, hi|None)]
+        # dedup runs by generation: level i holds runs produced by i
+        # merges; merging only within a level keeps total sorted work at
+        # O(log_R) passes per element (no re-sorting of big runs every
+        # cycle)
+        self.dedup_levels: list[list] = [[] for _ in range(16)]
         self.total_inserted = 0
         # pads already baked into the stored all-ones entry by a previous
         # finalize (the device entry stays inflated; the correction is
@@ -131,7 +133,7 @@ class SortedCountStore:
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
         known < 2^32."""
-        self.dedup.append((keys, lo, hi))
+        self.dedup_levels[0].append((keys, lo, hi))
         self.total_inserted += 1
         self._maybe_merge_dedup()
 
@@ -140,24 +142,31 @@ class SortedCountStore:
             return
         runs, self.raw, self.raw_rows = self.raw, [], 0
         k2, c2 = _consolidate_fn(len(runs))(*runs)
-        self.dedup.append((k2, c2, None))
+        self.dedup_levels[0].append((k2, c2, None))
         self._maybe_merge_dedup()
 
     def _maybe_merge_dedup(self) -> None:
-        if len(self.dedup) < self.branch:
-            return
-        group, self.dedup = self.dedup, []
-        arity = tuple(2 if r[2] is None else 3 for r in group)
-        args = [x for r in group for x in (r[:2] if r[2] is None else r)]
-        k2, l2, h2, _ = _merge_general_fn(arity, False)(*args)
-        self.dedup.append((k2, l2, h2))
+        lvl = 0
+        while len(self.dedup_levels[lvl]) >= self.branch:
+            group = self.dedup_levels[lvl]
+            self.dedup_levels[lvl] = []
+            arity = tuple(2 if r[2] is None else 3 for r in group)
+            args = [x for r in group for x in (r[:2] if r[2] is None else r)]
+            k2, l2, h2, _ = _merge_general_fn(arity, False)(*args)
+            if lvl + 1 >= len(self.dedup_levels):
+                raise RuntimeError("store exceeded maximum level count")
+            self.dedup_levels[lvl + 1].append((k2, l2, h2))
+            lvl += 1
+
+    def _all_dedup(self):
+        return [r for level in self.dedup_levels for r in level]
 
     # -- inspection -----------------------------------------------------------
 
     def occupied_levels(self):
         """All live device arrays (sync/debug helper)."""
         out = [(k,) for k in self.raw]
-        for r in self.dedup:
+        for r in self._all_dedup():
             out.append(tuple(x for x in r if x is not None))
         return out
 
@@ -184,9 +193,11 @@ class SortedCountStore:
         subtracted from the trailing all-ones entry by the caller (and the
         entry dropped if it reaches zero)."""
         pads = self.residual_pads + self.total_pads()
-        runs = [(k,) for k in self.raw] + [
-            (r[:2] if r[2] is None else r) for r in self.dedup
-        ]
+        # raw rows have unbounded duplicates: consolidate them first so the
+        # final combine only sees deduplicated runs (bounded duplicates for
+        # merge_many's log-scan)
+        self._consolidate()
+        runs = [(r[:2] if r[2] is None else r) for r in self._all_dedup()]
         if not runs:
             keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
             z = jnp.zeros(1, dtype=jnp.uint32)
@@ -200,7 +211,9 @@ class SortedCountStore:
         self.valid_scalars = []
         self.raw_rows_ever = 0
         self.residual_pads = pads
-        self.dedup = [(k2, l2, h2)]
+        for level in self.dedup_levels:
+            level.clear()
+        self.dedup_levels[-1].append((k2, l2, h2))
         return k2, l2, h2, int(n), pads
 
     def reset(self) -> None:
@@ -208,5 +221,6 @@ class SortedCountStore:
         self.valid_scalars = []
         self.raw_rows_ever = 0
         self.residual_pads = 0
-        self.dedup = []
+        for level in self.dedup_levels:
+            level.clear()
         self.total_inserted = 0
