@@ -184,23 +184,26 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True):
     lo_sum, hi_sum = cur_lo, cur_hi
 
     keep = is_last & ((lo_sum | hi_sum) != 0)
+    zero = jnp.uint32(0)
+    masked_limbs = [
+        jnp.where(keep, l, jnp.uint32(0xFFFFFFFF)) for l in slimbs
+    ]
+    masked_lo = jnp.where(keep, lo_sum, zero)
+    masked_hi = jnp.where(keep, hi_sum, zero)
     if not compact:
-        out_keys = jnp.where(
-            keep[:, None], _restack(slimbs, M, W), jnp.uint32(0xFFFFFFFF)
-        )
-        zero = jnp.uint32(0)
-        return (out_keys, jnp.where(keep, lo_sum, zero),
-                jnp.where(keep, hi_sum, zero), None)
+        return (_restack(masked_limbs, M, W), masked_lo, masked_hi, None)
 
+    # compaction by a second keys-only sort (scatters measured ~10x the
+    # cost of a sort pass on TPU). Bitwise-inverted counts ride as the
+    # least-significant sort key so a genuine all-ones entry (count > 0)
+    # orders before pure-PAD rows within the all-ones block.
     n = jnp.sum(keep.astype(jnp.int32))
-    dst = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    scidx = jnp.where(keep, dst, M)
-    out_lo = jnp.zeros(M, dtype=jnp.uint32).at[scidx].set(lo_sum, mode="drop")
-    out_hi = jnp.zeros(M, dtype=jnp.uint32).at[scidx].set(hi_sum, mode="drop")
-    out_keys = jnp.full((M, W), 0xFFFFFFFF, dtype=jnp.uint32)
-    for w in range(W):
-        out_keys = out_keys.at[scidx, W - 1 - w].set(slimbs[w], mode="drop")
-    return out_keys, out_lo, out_hi, n
+    s2 = jax.lax.sort(
+        masked_limbs + [~masked_lo, masked_hi], num_keys=W + 1,
+        is_stable=False,
+    )
+    out_keys = _restack(s2[:W], M, W)
+    return out_keys, ~s2[W], s2[W + 1], n
 
 
 def _sort_ops(vword, keys, payloads):
