@@ -20,6 +20,19 @@ compatible with the reference so that databases interoperate.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# honor JAX_PLATFORMS even though the axon TPU plugin overrides the env
+# var at backend init (must run before any backend is initialized)
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _plat.lower())
+    except Exception:
+        pass
+
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.mer import MerDNA, string_canonicals, string_mers
 

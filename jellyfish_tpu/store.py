@@ -81,12 +81,18 @@ def _merge_general_fn(arity: tuple, compact: bool):
 
 @functools.lru_cache(maxsize=16)
 def _sum_scalars_fn(n: int):
+    """Sum u32 scalars exactly as a (lo, hi) u32 pair (uint64 silently
+    truncates to uint32 without jax_enable_x64)."""
+
     @jax.jit
     def f(*xs):
-        acc = jnp.uint64(0)
+        lo = jnp.uint32(0)
+        hi = jnp.uint32(0)
         for x in xs:
-            acc = acc + x.astype(jnp.uint64)
-        return acc
+            nl = lo + x
+            hi = hi + (nl < x).astype(jnp.uint32)
+            lo = nl
+        return lo, hi
 
     return f
 
@@ -180,9 +186,8 @@ class SortedCountStore:
         """Exact count of PAD rows inserted via raw runs (one device sum)."""
         if not self.valid_scalars:
             return 0
-        total_valid = int(
-            _sum_scalars_fn(len(self.valid_scalars))(*self.valid_scalars)
-        )
+        lo, hi = _sum_scalars_fn(len(self.valid_scalars))(*self.valid_scalars)
+        total_valid = int(lo) | (int(hi) << 32)
         return self.raw_rows_ever - total_valid
 
     # -- extraction -----------------------------------------------------------
