@@ -29,15 +29,28 @@ BASELINE_MERS_PER_SEC = float(
 
 
 def synth_chunks(n_chunks: int, L: int, read_len: int = 150, seed: int = 1234):
-    """FASTQ-like chunk bytes: `read_len`-base reads joined by one separator
-    (what SequenceChunker emits for a typical Illumina FASTQ stream)."""
+    """FASTQ-like chunk bytes: `read_len`-base reads sampled from a fixed
+    synthetic genome (sequencing-coverage workload, the north-star config),
+    joined by one separator byte per read like SequenceChunker emits.
+
+    Genome size defaults to (total bases) / 8 — i.e. ~8x coverage — and is
+    overridable with JF_BENCH_GENOME."""
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    total = n_chunks * L
+    G = int(os.environ.get("JF_BENCH_GENOME", max(total // 8, 1 << 20)))
+    genome = bases[rng.integers(0, 4, size=G)]
     out = np.empty((n_chunks, L), dtype=np.uint8)
+    stride = read_len + 1
+    n_reads = (L + stride - 1) // stride
     for i in range(n_chunks):
-        row = bases[rng.integers(0, 4, size=L)]
-        row[read_len :: read_len + 1] = ord("N")
-        out[i] = row
+        starts = rng.integers(0, G - read_len, size=n_reads)
+        idx = starts[:, None] + np.arange(read_len)[None, :]
+        reads = np.concatenate(
+            [genome[idx], np.full((n_reads, 1), ord("N"), dtype=np.uint8)],
+            axis=1,
+        ).reshape(-1)
+        out[i] = reads[:L]
     return out
 
 

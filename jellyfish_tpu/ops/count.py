@@ -88,7 +88,34 @@ def merge_raw(keys, weights, use_vword: bool):
     return out_keys, counts
 
 
-def consolidate_premasked(keys):
+def _narrow_top(limbs, key_bits):
+    """Cast the most-significant limb to the smallest dtype that holds its
+    used bits (sort traffic is comparator-bound; for k=21 the top limb has
+    10 bits -> u16 saves ~20% of key bytes). Safe for PAD rows: all-ones
+    truncates to the dtype's all-ones, still above every real key."""
+    if key_bits is None:
+        return limbs
+    top_bits = key_bits - 32 * (len(limbs) - 1)
+    # strict inequality: a real top limb must never equal the narrow
+    # dtype's all-ones, which _widen_top maps back to the PAD pattern
+    if len(limbs) < 2 or top_bits > 15:
+        return limbs
+    dt = jnp.uint8 if top_bits <= 7 else jnp.uint16
+    return [limbs[0].astype(dt)] + limbs[1:]
+
+
+def _widen_top(slimbs):
+    slimbs = list(slimbs)
+    if slimbs[0].dtype != jnp.uint32:
+        m = jnp.uint32(0xFF if slimbs[0].dtype == jnp.uint8 else 0xFFFF)
+        top = slimbs[0].astype(jnp.uint32)
+        # restore the canonical all-ones PAD pattern
+        top = jnp.where(top == m, jnp.uint32(0xFFFFFFFF), top)
+        return [top] + slimbs[1:]
+    return slimbs
+
+
+def consolidate_premasked(keys, key_bits=None):
     """Sort concatenated PREMASKED raw runs and count by segment length.
 
     keys [M, W]: raw sortkeys with invalid windows already set to the PAD
@@ -102,8 +129,10 @@ def consolidate_premasked(keys):
     the last row of each segment, other rows are PAD with count 0.
     """
     M, W = keys.shape
-    limbs = [keys[:, W - 1 - w] for w in range(W)]
-    s = jax.lax.sort(limbs, num_keys=W, is_stable=False)
+    limbs = _narrow_top(
+        [keys[:, W - 1 - w] for w in range(W)], key_bits
+    )
+    s = _widen_top(jax.lax.sort(limbs, num_keys=W, is_stable=False))
     neq = s[0] != jnp.roll(s[0], 1)
     for l in s[1:]:
         neq = neq | (l != jnp.roll(l, 1))
@@ -132,7 +161,8 @@ def _wrapped_segment_sums(vals, start):
     return csum - prev
 
 
-def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True):
+def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
+               key_bits=None):
     """K-way combine of concatenated DEDUPLICATED runs with 64-bit counts.
 
     keys [M, W], lo [M] uint32, hi [M] uint32 or None (counts known
@@ -157,9 +187,9 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True):
     """
     M, W = keys.shape
     payloads = [lo] if hi is None else [lo, hi]
-    limbs = [keys[:, W - 1 - w] for w in range(W)]
+    limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
     s = jax.lax.sort(limbs + payloads, num_keys=W, is_stable=False)
-    slimbs = s[:W]
+    slimbs = _widen_top(list(s[:W]))
     cur_lo = s[W]
     cur_hi = s[W + 1] if hi is not None else jnp.zeros_like(cur_lo)
     neq = slimbs[0] != jnp.roll(slimbs[0], 1)
@@ -199,10 +229,10 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True):
     # orders before pure-PAD rows within the all-ones block.
     n = jnp.sum(keep.astype(jnp.int32))
     s2 = jax.lax.sort(
-        masked_limbs + [~masked_lo, masked_hi], num_keys=W + 1,
-        is_stable=False,
+        _narrow_top(masked_limbs, key_bits) + [~masked_lo, masked_hi],
+        num_keys=W + 1, is_stable=False,
     )
-    out_keys = _restack(s2[:W], M, W)
+    out_keys = _restack(_widen_top(list(s2[:W])), M, W)
     return out_keys, ~s2[W], s2[W + 1], n
 
 

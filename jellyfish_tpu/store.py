@@ -40,18 +40,20 @@ __all__ = ["SortedCountStore"]
 
 
 @functools.lru_cache(maxsize=64)
-def _consolidate_fn(n_runs: int):
+def _consolidate_fn(n_runs: int, key_bits):
     """Concat n premasked raw key runs, sort, count segments."""
 
     @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
     def f(*keys):
-        return consolidate_premasked(jnp.concatenate(keys, axis=0))
+        return consolidate_premasked(
+            jnp.concatenate(keys, axis=0), key_bits
+        )
 
     return f
 
 
 @functools.lru_cache(maxsize=128)
-def _merge_general_fn(arity: tuple, compact: bool):
+def _merge_general_fn(arity: tuple, compact: bool, key_bits=None):
     """Concat and combine DEDUPLICATED runs. arity[i]: 2 = (keys, lo),
     3 = (keys, lo, hi). Duplicates per key bounded by len(arity)."""
     n_args = sum(arity)
@@ -74,7 +76,20 @@ def _merge_general_fn(arity: tuple, compact: bool):
         k = jnp.concatenate(keys, axis=0)
         l = jnp.concatenate(lo, axis=0)
         h = jnp.concatenate(hi, axis=0) if any_hi else None
-        return merge_many(k, l, h, max_dups=len(arity), compact=compact)
+        return merge_many(
+            k, l, h, max_dups=len(arity), compact=compact, key_bits=key_bits
+        )
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _shrink_fn(cap: int, has_hi: bool):
+    n_args = 3 if has_hi else 2
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_args)))
+    def f(*args):
+        return tuple(x[:cap] for x in args)
 
     return f
 
@@ -107,11 +122,13 @@ class SortedCountStore:
         # amortize dispatch latency
         self.W = W
         self.branch = int(branch)
+        self.key_bits = key_bits
         self.consolidate_rows = int(consolidate_rows)
         self.raw: list = []          # [(keys [M, W],)] premasked
         self.raw_rows = 0
         self.valid_scalars: list = []  # device scalars: valid rows per raw run
         self.raw_rows_ever = 0         # host int: all raw rows ever inserted
+        self.total_weight = 0          # host upper bound on any single count
         # dedup runs by generation: level i holds runs produced by i
         # merges; merging only within a level keeps total sorted work at
         # O(log_R) passes per element (no re-sorting of big runs every
@@ -131,6 +148,7 @@ class SortedCountStore:
         self.raw.append(keys)
         self.raw_rows += keys.shape[0]
         self.raw_rows_ever += keys.shape[0]
+        self.total_weight += keys.shape[0]
         self.valid_scalars.append(n_valid_scalar)
         self.total_inserted += 1
         if self.raw_rows >= self.consolidate_rows:
@@ -140,6 +158,9 @@ class SortedCountStore:
         """Insert a deduplicated (or filtered) run; hi None when counts are
         known < 2^32."""
         self.dedup_levels[0].append((keys, lo, hi))
+        self.total_weight += int(
+            total if total is not None else keys.shape[0]
+        )
         self.total_inserted += 1
         self._maybe_merge_dedup()
 
@@ -147,7 +168,7 @@ class SortedCountStore:
         if not self.raw:
             return
         runs, self.raw, self.raw_rows = self.raw, [], 0
-        k2, c2 = _consolidate_fn(len(runs))(*runs)
+        k2, c2 = _consolidate_fn(len(runs), self.key_bits)(*runs)
         self.dedup_levels[0].append((k2, c2, None))
         self._maybe_merge_dedup()
 
@@ -158,11 +179,34 @@ class SortedCountStore:
             self.dedup_levels[lvl] = []
             arity = tuple(2 if r[2] is None else 3 for r in group)
             args = [x for r in group for x in (r[:2] if r[2] is None else r)]
-            k2, l2, h2, _ = _merge_general_fn(arity, False)(*args)
+            # dedup merges COMPACT so device memory tracks the distinct
+            # count, not total ingested rows; the run is then truncated to
+            # a power-of-2 capacity (host fetch of n — once per branch^lvl
+            # consolidations, negligible)
+            k2, l2, h2, n = _merge_general_fn(
+                arity, True, self.key_bits
+            )(*args)
+            if h2 is not None and self.total_weight < (1 << 32):
+                h2 = None  # counts provably fit u32: drop the limb
+            k2, l2, h2 = self._shrink(k2, l2, h2, int(n))
             if lvl + 1 >= len(self.dedup_levels):
                 raise RuntimeError("store exceeded maximum level count")
             self.dedup_levels[lvl + 1].append((k2, l2, h2))
             lvl += 1
+
+    @staticmethod
+    def _shrink(keys, lo, hi, n: int):
+        """Truncate a compacted run to the next power-of-2 >= n (keeps the
+        set of jitted shapes small)."""
+        M = keys.shape[0]
+        cap = 1 << max(10, (max(n, 1) - 1).bit_length())
+        if cap >= M:
+            return keys, lo, hi
+        fn = _shrink_fn(cap, hi is not None)
+        if hi is None:
+            k2, l2 = fn(keys, lo)
+            return k2, l2, None
+        return fn(keys, lo, hi)
 
     def _all_dedup(self):
         return [r for level in self.dedup_levels for r in level]
@@ -209,7 +253,7 @@ class SortedCountStore:
             return keys, z, z, 0, 0
         arity = tuple(len(r) for r in runs)
         args = [x for r in runs for x in r]
-        k2, l2, h2, n = _merge_general_fn(arity, True)(*args)
+        k2, l2, h2, n = _merge_general_fn(arity, True, self.key_bits)(*args)
         if h2 is None:
             h2 = jnp.zeros_like(l2)
         self.raw, self.raw_rows = [], 0
@@ -225,6 +269,7 @@ class SortedCountStore:
         self.raw, self.raw_rows = [], 0
         self.valid_scalars = []
         self.raw_rows_ever = 0
+        self.total_weight = 0
         self.residual_pads = 0
         for level in self.dedup_levels:
             level.clear()
