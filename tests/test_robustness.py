@@ -1,0 +1,105 @@
+"""Malformed/degenerate input handling (the reference dies with err::die;
+we raise/exit with clear messages and never corrupt output)."""
+
+import numpy as np
+import pytest
+
+
+def test_truncated_fastq_qual_mismatch(tmp_path):
+    from jellyfish_tpu.io.parse import iter_reads
+
+    p = tmp_path / "bad.fq"
+    p.write_bytes(b"@r1\nACGTACGT\n+\nIIII\n@r2\nACGT\n+\nIIII\n")
+    with pytest.raises(ValueError, match="quality length"):
+        list(iter_reads(open(p, "rb")))
+
+
+def test_unknown_format(tmp_path):
+    from jellyfish_tpu.io.parse import iter_reads
+
+    p = tmp_path / "junk.txt"
+    p.write_bytes(b"this is not sequence data\n")
+    with pytest.raises(ValueError, match="unrecognized"):
+        list(iter_reads(open(p, "rb")))
+
+
+def test_empty_input_produces_empty_db(tmp_path):
+    from jellyfish_tpu.cli import main as cli
+    from jellyfish_tpu.io.files import DBReader
+
+    fa = tmp_path / "empty.fa"
+    fa.write_bytes(b"")
+    db = str(tmp_path / "e.jf")
+    cli(["count", "-m", "15", "-s", "1k", "-o", db, str(fa)])
+    with DBReader(db) as r:
+        assert list(r) == []
+    # downstream tools handle the empty db
+    cli(["histo", db])
+    cli(["stats", db])
+
+
+def test_reads_shorter_than_k(tmp_path):
+    from jellyfish_tpu.cli import main as cli
+    from jellyfish_tpu.io.files import DBReader
+
+    fa = tmp_path / "short.fa"
+    fa.write_text(">a\nACG\n>b\nACGTACGTACGTACGTACGTACG\n>c\nTT\n")
+    db = str(tmp_path / "s.jf")
+    cli(["count", "-m", "21", "-s", "1k", "-o", db, str(fa)])
+    with DBReader(db) as r:
+        recs = list(r)
+    assert len(recs) == 3  # only read b has 21-mers (23 - 21 + 1 = 3)
+
+
+def test_not_a_database(tmp_path):
+    from jellyfish_tpu.io.header import FileHeader
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"garbage data here")
+    with pytest.raises(ValueError, match="not a jellyfish header"):
+        with open(p, "rb") as f:
+            FileHeader.read(f)
+
+
+def test_merge_incompatible_dbs(tmp_path):
+    from jellyfish_tpu.cli import main as cli
+    from jellyfish_tpu.merge import MergeError, merge_files
+
+    fa = tmp_path / "m.fa"
+    fa.write_text(">a\n" + "ACGT" * 50 + "\n")
+    db1 = str(tmp_path / "a.jf")
+    db2 = str(tmp_path / "b.jf")
+    cli(["count", "-m", "11", "-s", "1k", "-o", db1, str(fa)])
+    cli(["count", "-m", "13", "-s", "1k", "-o", db2, str(fa)])
+    with pytest.raises(MergeError, match="key length"):
+        merge_files([db1, db2], str(tmp_path / "out.jf"))
+
+
+def test_query_text_db_rejected(tmp_path):
+    from jellyfish_tpu.cli import main as cli
+
+    fa = tmp_path / "t.fa"
+    fa.write_text(">a\n" + "ACGT" * 50 + "\n")
+    db = str(tmp_path / "t.jf")
+    cli(["count", "-m", "11", "-s", "1k", "--text", "-o", db, str(fa)])
+    with pytest.raises(SystemExit):
+        cli(["query", db, "ACGTACGTACG"])
+
+
+def test_gzip_input(tmp_path, rng):
+    import gzip
+
+    from jellyfish_tpu.cli import main as cli
+    from tests.conftest import oracle_counts, random_dna
+
+    seq = random_dna(rng, 500)
+    gz = tmp_path / "z.fa.gz"
+    with gzip.open(gz, "wb") as f:
+        f.write(f">r\n{seq}\n".encode())
+    db = str(tmp_path / "z.jf")
+    cli(["count", "-m", "15", "-s", "1k", "-o", db, str(gz)])
+    from jellyfish_tpu.io.files import DBReader
+
+    with DBReader(db) as r:
+        got = dict(iter(r))
+    assert got == oracle_counts([seq], 15, False)
