@@ -33,7 +33,7 @@ from jellyfish_tpu.ops.hashing import (
     mers_of_sortkeys,
     sortkey_of_mers,
 )
-from jellyfish_tpu.ops.mers import encode_codes, extract_mers
+from jellyfish_tpu.ops.mers import encode_codes, extract_mers_phased
 from jellyfish_tpu.store import SortedCountStore
 
 __all__ = ["MerCounter", "ceil_log2"]
@@ -51,7 +51,7 @@ def _chunk_pipeline(chunk_u8, masks, k, lsize, canonical):
     length (store.py), with the PAD inflation of the all-ones segment
     corrected host-side from n_valid."""
     codes = encode_codes(chunk_u8)
-    mers, valid = extract_mers(codes, k, canonical)
+    mers, valid = extract_mers_phased(codes, k, canonical)
     sk = sortkey_of_mers(mers, masks, k, lsize)
     sk = jnp.where(valid[:, None], sk, jnp.uint32(0xFFFFFFFF))
     return sk, jnp.sum(valid, dtype=jnp.uint32)

@@ -46,7 +46,7 @@ from jellyfish_tpu.ops.hashing import (
     mers_of_sortkeys,
     sortkey_of_mers,
 )
-from jellyfish_tpu.ops.mers import encode_codes, extract_mers
+from jellyfish_tpu.ops.mers import encode_codes, extract_mers_phased
 
 __all__ = ["ShardedMerCounter", "make_mesh"]
 
@@ -82,7 +82,7 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool):
     def local(chunk, masks):
         chunk = chunk.reshape(-1)  # [1, L] block -> [L]
         codes = encode_codes(chunk)
-        mers, valid = extract_mers(codes, k, canonical)
+        mers, valid = extract_mers_phased(codes, k, canonical)
         sk = sortkey_of_mers(mers, masks, k, lsize)
         w = valid.astype(jnp.uint32)
         N, W = sk.shape
