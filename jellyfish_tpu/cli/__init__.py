@@ -54,6 +54,25 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", plat.lower())
 
+    # persistent XLA compile cache: the counting programs are identical
+    # across runs per (k, chunk_len), so repeat invocations skip the
+    # expensive first-compile entirely
+    if not os.environ.get("JF_NO_COMPILE_CACHE"):
+        import jax
+
+        cache = os.environ.get(
+            "JF_COMPILE_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "jellyfish_tpu", "xla"
+            ),
+        )
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass
+
     argv = list(sys.argv[1:] if argv is None else argv)
     parser = build_parser()
     args = parser.parse_args(argv)

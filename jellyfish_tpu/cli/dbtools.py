@@ -80,7 +80,8 @@ def add_dump_parser(sub):
 
 def run_dump(args, argv):
     from jellyfish_tpu.cli.common import open_output
-    from jellyfish_tpu.io.files import DBReader
+    from jellyfish_tpu.io.files import DBReader, mer_strings_np
+    from jellyfish_tpu.io.header import FileHeader
     from jellyfish_tpu.mer import MerDNA
 
     out = open_output(args.output)
@@ -88,18 +89,44 @@ def run_dump(args, argv):
     lo, hi = args.lower_count, args.upper_count
     with DBReader(args.db) as r:
         k = r.k
-        buf = []
-        for key, val in r:
-            if val < lo or val > hi:
-                continue
-            if args.column:
-                buf.append(f"{MerDNA(k, key)}{sep}{val}\n")
-            else:
-                buf.append(f">{val}\n{MerDNA(k, key)}\n")
-            if len(buf) >= 65536:
-                out.write("".join(buf))
-                buf = []
-        out.write("".join(buf))
+        if r.fmt == FileHeader.FORMAT_BINARY:
+            # bulk path: vectorized key->string decoding
+            key_bytes, counts = r.records_np()
+            n = len(counts)
+            W = (2 * k + 31) // 32
+            kb = np.zeros((n, 4 * W), dtype=np.uint8)
+            kb[:, : key_bytes.shape[1]] = key_bytes
+            limbs = kb.view("<u4").reshape(n, W)
+            sel = (counts >= np.uint64(lo)) & (counts <= np.uint64(hi))
+            limbs, counts = limbs[sel], counts[sel]
+            sepb = sep.encode()
+            for off in range(0, len(counts), 1 << 20):
+                chars = mer_strings_np(limbs[off : off + (1 << 20)], k)
+                cs = counts[off : off + (1 << 20)]
+                if args.column:
+                    block = b"".join(
+                        b"%s%s%d\n" % (chars[i].tobytes(), sepb, cs[i])
+                        for i in range(len(cs))
+                    )
+                else:
+                    block = b"".join(
+                        b">%d\n%s\n" % (cs[i], chars[i].tobytes())
+                        for i in range(len(cs))
+                    )
+                out.write(block.decode())
+        else:
+            buf = []
+            for key, val in r:
+                if val < lo or val > hi:
+                    continue
+                if args.column:
+                    buf.append(f"{MerDNA(k, key)}{sep}{val}\n")
+                else:
+                    buf.append(f">{val}\n{MerDNA(k, key)}\n")
+                if len(buf) >= 65536:
+                    out.write("".join(buf))
+                    buf = []
+            out.write("".join(buf))
     if args.output:
         out.close()
     return 0

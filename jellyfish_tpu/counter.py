@@ -210,12 +210,15 @@ class MerCounter:
                 keys_np, counts = keys_np[:-1], counts[:-1]
         return keys_np, counts
 
-    def finalize(self):
-        """Return (mers [n] object ints, counts [n] uint64 np) in hash order
-        (the reference's dump order: ascending (pos, key))."""
+    def finalize_np(self):
+        """Return (mer limbs [n, W] uint32, counts [n] uint64) in hash
+        order (the reference's dump order: ascending (pos, key)). The fast
+        bulk path: no per-mer python objects."""
+        empty = (np.zeros((0, self.W), dtype=np.uint32),
+                 np.zeros(0, dtype=np.uint64))
         keys_np, counts = self._fetch_corrected(self.store)
         if keys_np is None or len(keys_np) == 0:
-            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+            return empty
         if self._restrict_store is not None:
             akeys, _ = self._fetch_corrected(self._restrict_store)
             allowed = (
@@ -228,11 +231,19 @@ class MerCounter:
             )
             keys_np, counts = keys_np[sel], counts[sel]
             if len(keys_np) == 0:
-                return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+                return empty
         mers_dev = _recover_mers(
             jnp.asarray(keys_np), self._Ainv, k=self.k, lsize=self.lsize
         )
-        return mw.to_ints(np.asarray(mers_dev)), counts
+        return np.asarray(mers_dev), counts
+
+    def finalize(self):
+        """Return (mers [n] object ints, counts [n] uint64 np) in hash
+        order (scripting convenience over finalize_np)."""
+        mers, counts = self.finalize_np()
+        if len(counts) == 0:
+            return np.zeros(0, dtype=object), counts
+        return mw.to_ints(mers), counts
 
     def reset(self) -> None:
         self.store.reset()

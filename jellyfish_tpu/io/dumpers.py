@@ -3,17 +3,17 @@
 The reference reconstructs hash order from a reprobe-scrambled table with a
 per-region min-heap and token-ring ordered writes (sorted_dumper.hpp:57-101);
 here the finalized store is already in hash order, so dumping is a linear
-write of (recovered key, count) records with optional L/U count filters.
-"""
+write of (recovered key, count) records with optional L/U count filters —
+fully vectorized with numpy (no per-record python objects)."""
 
 from __future__ import annotations
 
 import numpy as np
 
 from jellyfish_tpu.io.files import (
+    encode_binary_records_np,
     make_count_header,
-    write_binary_records,
-    write_text_records,
+    mer_strings_np,
 )
 from jellyfish_tpu.io.header import FileHeader
 
@@ -34,9 +34,12 @@ def dump_counter(
     header_extra: dict | None = None,
 ) -> int:
     """Finalize `counter` and write a jellyfish database. Returns #records."""
-    mers, counts = counter.finalize()
+    mers, counts = counter.finalize_np()
     if lower_count or upper_count is not None:
-        hi = np.uint64(upper_count) if upper_count is not None else np.iinfo(np.uint64).max
+        hi = (
+            np.uint64(upper_count) if upper_count is not None
+            else np.iinfo(np.uint64).max
+        )
         sel = (counts >= np.uint64(lower_count)) & (counts <= hi)
         mers, counts = mers[sel], counts[sel]
 
@@ -56,8 +59,24 @@ def dump_counter(
         header.root.update(header_extra)
     with open(path, "wb") as f:
         header.write(f)
+        block = 1 << 20
         if text:
-            write_text_records(f, mers, counts, counter.k)
+            k = counter.k
+            for off in range(0, len(counts), block):
+                chars = mer_strings_np(mers[off : off + block], k)
+                cs = counts[off : off + block]
+                f.write(
+                    b"".join(
+                        b"%s %d\n" % (chars[i].tobytes(), cs[i])
+                        for i in range(len(cs))
+                    )
+                )
         else:
-            write_binary_records(f, mers, counts, counter.k, counter_len_bytes)
-    return len(mers)
+            for off in range(0, len(counts), block):
+                f.write(
+                    encode_binary_records_np(
+                        mers[off : off + block], counts[off : off + block],
+                        counter.k, counter_len_bytes,
+                    )
+                )
+    return len(counts)
