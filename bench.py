@@ -112,14 +112,21 @@ def main():
             np.asarray(_checksum_fn(len(arrays))(*arrays))
 
     def run_pass():
-        for c in dev_chunks:
-            counter.add_chunk(c)
+        for pw, vb in dev_chunks:
+            counter.add_chunk_packed(pw, vb)
         counter.store._consolidate()  # drain the tail backlog
         sync(counter)
 
     chunks_np = synth_chunks(n_chunks, L)
     n_mers = count_valid_mers(chunks_np, k)
-    dev_chunks = [jax.device_put(jnp.asarray(c)) for c in chunks_np]
+    from jellyfish_tpu.native import pack_chunk
+
+    dev_chunks = []
+    for c in chunks_np:
+        pw, vb = pack_chunk(c)
+        dev_chunks.append(
+            (jax.device_put(jnp.asarray(pw)), jax.device_put(jnp.asarray(vb)))
+        )
 
     # warmup: one full pass so every program shape is compiled
     run_pass()

@@ -128,9 +128,15 @@ def run(args, argv):
             counter.reset()
             intermediates.append(path)
 
-    for chunk in chunker.chunks():
-        counter.add_chunk(chunk)
-        maybe_spill()
+    if filt is None and args.chunk_len % 32 == 0:
+        # fast ingest: host-packed 2-bit codes + validity bitstream
+        for pwords, validbits in chunker.chunks_packed():
+            counter.add_chunk_packed(pwords, validbits)
+            maybe_spill()
+    else:
+        for chunk in chunker.chunks():
+            counter.add_chunk(chunk)
+            maybe_spill()
 
     if args.if_files:
         allowed = SequenceChunker(list(args.if_files), k, chunk_len=args.chunk_len)

@@ -383,6 +383,17 @@ class SequenceChunker:
         if not emitted:
             yield np.full(self.chunk_len, SEPARATOR, dtype=np.uint8)
 
+    def chunks_packed(self):
+        """Yield (pwords [L/16] u32, validbits [L/32] u32) per chunk — the
+        device pipeline's native input (see native/chunker.cpp
+        jf_pack_chunk). Requires chunk_len % 32 == 0."""
+        if self.chunk_len % 32:
+            raise ValueError("chunk_len must be a multiple of 32 for packed")
+        from jellyfish_tpu.native import pack_chunk
+
+        for chunk in self.chunks():
+            yield pack_chunk(chunk)
+
     def _chunks_python(self) -> Iterator[np.ndarray]:
         L = self.chunk_len
         k = self.k

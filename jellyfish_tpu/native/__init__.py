@@ -64,8 +64,41 @@ def get_lib():
         lib.jf_chunker_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.jf_chunker_reads.restype = ctypes.c_ulonglong
         lib.jf_chunker_reads.argtypes = [ctypes.c_void_p]
+        lib.jf_pack_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p
+        ]
         _lib = lib
         return _lib
+
+
+def pack_chunk(chunk: np.ndarray):
+    """ASCII chunk [L] uint8 (L % 32 == 0) -> (pwords [L/16] u32,
+    validbits [L/32] u32). Native when available, numpy fallback."""
+    L = len(chunk)
+    assert L % 32 == 0, "chunk length must be a multiple of 32"
+    lib = get_lib()
+    if lib is not None:
+        pwords = np.empty(L // 16, dtype=np.uint32)
+        valid = np.empty(L // 32, dtype=np.uint32)
+        lib.jf_pack_chunk(
+            chunk.ctypes.data_as(ctypes.c_void_p), L,
+            pwords.ctypes.data_as(ctypes.c_void_p),
+            valid.ctypes.data_as(ctypes.c_void_p),
+        )
+        return pwords, valid
+    # numpy fallback (same layout)
+    t = (chunk >> 1) & 3
+    code = (t ^ (t >> 1)).astype(np.uint32)
+    shifts = (2 * (15 - np.arange(16, dtype=np.uint32)))[None, :]
+    pwords = (code.reshape(-1, 16) << shifts).sum(axis=1, dtype=np.uint32)
+    lower = chunk | 0x20
+    ok = (
+        (lower == ord("a")) | (lower == ord("c"))
+        | (lower == ord("g")) | (lower == ord("t"))
+    ).astype(np.uint32)
+    vshifts = np.arange(32, dtype=np.uint32)[None, :]
+    valid = (ok.reshape(-1, 32) << vshifts).sum(axis=1, dtype=np.uint32)
+    return pwords, valid
 
 
 class NativeChunker:

@@ -32,6 +32,7 @@ __all__ = [
     "encode_codes",
     "extract_mers",
     "extract_mers_phased",
+    "extract_mers_packed",
     "reverse_complement",
     "canonicalize",
     "mers_from_codes",
@@ -208,6 +209,108 @@ def extract_mers_phased(codes, k: int, canonical: bool):
         [jnp.stack(pl_, axis=-1) for pl_ in phase_limbs], axis=0
     ).reshape(16 * Mp, W)
     mers = mw.mw_and_mask_top(mers, 2 * k)
+
+    if canonical:
+        mers = canonicalize(mers, k)
+    return mers, valid_pm
+
+
+def _phased_windows_from_pwords(pw, k: int, Mp: int):
+    """Funnel-read the [16][W] phase limb arrays from a packed-code word
+    stream (one zero word prepended, guard-padded)."""
+    W = mw.nwords(2 * k)
+
+    def read32(off_bits: int):
+        q, r = divmod(off_bits, 32)
+        a = jax.lax.dynamic_slice_in_dim(pw, q, Mp)
+        if r == 0:
+            return a
+        b = jax.lax.dynamic_slice_in_dim(pw, q + 1, Mp)
+        return (a << np.uint32(r)) | (b >> np.uint32(32 - r))
+
+    phase_limbs = []
+    for phi in range(16):
+        limbs = []
+        for w in range(W):
+            off = 32 + 2 * phi + 2 * k - 32 * (w + 1)
+            limbs.append(read32(off))
+        phase_limbs.append(limbs)
+    mers = jnp.stack(
+        [jnp.stack(pl_, axis=-1) for pl_ in phase_limbs], axis=0
+    ).reshape(16 * Mp, W)
+    return mw.mw_and_mask_top(mers, 2 * k)
+
+
+def _window_invalid_stream(validbits, k: int):
+    """Sliding-window OR of the BAD bitstream: output bit i (little-endian
+    within u32 words) = some base in [i, i+k) is invalid. log2(k) packed
+    passes on L/32 words (overlap-tolerant doubling since OR is
+    idempotent)."""
+    nv = validbits.shape[0]
+    guard = (k + 31) // 32 + 1
+    bad = jnp.concatenate(
+        [~validbits, jnp.zeros(guard, dtype=jnp.uint32)]
+    )
+
+    def stream_shift(S, d: int):
+        q, r = divmod(d, 32)
+        a = jax.lax.dynamic_slice_in_dim(S, q, nv)
+        if r == 0:
+            return a
+        b = jax.lax.dynamic_slice_in_dim(S, q + 1, nv)
+        return (a >> np.uint32(r)) | (b << np.uint32(32 - r))
+
+    A = bad[:nv]
+    cov = 1
+    while cov < k:
+        d = min(cov, k - cov)
+        Apad = jnp.concatenate([A, jnp.zeros(guard, dtype=jnp.uint32)])
+        # recompute from the padded ORIGINAL coverage: A covers cov bits,
+        # shifting A by d and OR-ing extends coverage to cov + d (overlap
+        # is fine: OR is idempotent)
+        q, r = divmod(d, 32)
+        a = jax.lax.dynamic_slice_in_dim(Apad, q, nv)
+        if r:
+            b = jax.lax.dynamic_slice_in_dim(Apad, q + 1, nv)
+            a = (a >> np.uint32(r)) | (b << np.uint32(32 - r))
+        A = A | a
+        cov += d
+    return A  # bit i set => window i invalid (meaningful for i < N)
+
+
+def extract_mers_packed(pwords, validbits, k: int, L: int, canonical: bool):
+    """Packed-input phase-major extraction: host supplies 2-bit codes
+    (16/u32, big-endian in word — native/chunker.cpp jf_pack_chunk) and a
+    per-base validity bitstream. 4.25x less host->device traffic than
+    ASCII bytes and no device encode pass.
+
+    Returns (mers [16*Mp, W], valid [16*Mp] bool) in phase-major order
+    (order-free consumers only)."""
+    if L < k:
+        raise ValueError("chunk shorter than k")
+    N = L - k + 1
+    Mp = (L - k) // 16 + 1
+
+    guard = 2 + (2 * k + 30) // 32
+    pw = jnp.concatenate(
+        [jnp.zeros(1, dtype=jnp.uint32), pwords,
+         jnp.zeros(guard, dtype=jnp.uint32)]
+    )
+    mers = _phased_windows_from_pwords(pw, k, Mp)
+
+    inv = _window_invalid_stream(validbits, k)
+    # phase-major expansion: window (phi, m) = stream bit 16m + phi;
+    # word j holds (phi, m=2j) at bit phi and (phi, m=2j+1) at bit phi+16
+    nv = inv.shape[0]
+    miota = jnp.arange(Mp, dtype=jnp.int32)
+    phases = []
+    for phi in range(16):
+        even = (inv >> np.uint32(phi)) & jnp.uint32(1)
+        odd = (inv >> np.uint32(phi + 16)) & jnp.uint32(1)
+        v = jnp.stack([even, odd], axis=1).reshape(2 * nv)[:Mp] == 0
+        v = v & (16 * miota + phi < N)
+        phases.append(v)
+    valid_pm = jnp.stack(phases, axis=0).reshape(16 * Mp)
 
     if canonical:
         mers = canonicalize(mers, k)
