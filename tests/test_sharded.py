@@ -37,6 +37,29 @@ def test_sharded_matches_oracle(rng, k, canonical):
     assert got == expected
 
 
+def test_sharded_packed_matches_oracle(rng):
+    import jax
+
+    from jellyfish_tpu.native import pack_chunk
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P = len(jax.devices())
+    mesh = make_mesh()
+    k = 21
+    seqs = [random_dna(rng, 400, with_n=True) for _ in range(P * 2)]
+    counter = ShardedMerCounter(k, size=1 << 14, mesh=mesh, canonical=True,
+                                rng=rng)
+    for i in range(0, len(seqs), P):
+        chunks = _chunks_from_seqs(seqs[i : i + P], P, 512)
+        packed = [pack_chunk(c) for c in chunks]
+        pw = np.stack([p[0] for p in packed])
+        vb = np.stack([p[1] for p in packed])
+        counter.add_chunks_packed(pw, vb)
+    mers, counts = counter.finalize()
+    got = {int(m): int(c) for m, c in zip(mers, counts)}
+    assert got == oracle_counts(seqs, k, True)
+
+
 def test_sharded_order_is_global_hash_order(rng):
     import jax
 
