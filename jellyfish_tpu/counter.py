@@ -226,49 +226,70 @@ class MerCounter:
     # -- extraction -----------------------------------------------------------
 
     @staticmethod
-    def _fetch_corrected(store):
-        """Host copy of a finalized store with the all-ones PAD inflation
-        removed (see store.py docstring). Returns (keys [n, W], counts u64)."""
-        keys, lo, hi, n, pads = store.finalize()
-        if n == 0:
-            return None, None
-        keys_np = np.asarray(keys)[:n]
-        lo_np = np.asarray(lo)[:n].astype(np.uint64)
-        hi_np = np.asarray(hi)[:n].astype(np.uint64)
-        counts = lo_np | (hi_np << np.uint64(32))
-        if pads and (keys_np[-1] == np.uint32(0xFFFFFFFF)).all():
-            counts = counts.copy()
-            counts[-1] -= np.uint64(pads)
-            if counts[-1] == 0:
-                keys_np, counts = keys_np[:-1], counts[:-1]
-        return keys_np, counts
+    def _fetch_counts_corrected(store, keys, lo, hi, n, pads):
+        """Host counts with the all-ones PAD inflation removed. Also
+        reports whether the trailing (all-ones) entry must be dropped.
+        Fetches only the live slices; skips hi when counts provably fit
+        u32 (store.total_weight)."""
+        lo_np = np.asarray(lo[:n]).astype(np.uint64)
+        if store.total_weight < (1 << 32):
+            counts = lo_np
+        else:
+            counts = lo_np | (
+                np.asarray(hi[:n]).astype(np.uint64) << np.uint64(32)
+            )
+        drop_last = False
+        if pads:
+            last_key = np.asarray(keys[n - 1 : n])
+            if (last_key == np.uint32(0xFFFFFFFF)).all():
+                counts = counts.copy() if counts is lo_np else counts
+                counts[-1] -= np.uint64(pads)
+                drop_last = counts[-1] == 0
+        return counts, drop_last
 
     def finalize_np(self):
         """Return (mer limbs [n, W] uint32, counts [n] uint64) in hash
         order (the reference's dump order: ascending (pos, key)). The fast
-        bulk path: no per-mer python objects."""
+        bulk path: mers are recovered ON DEVICE before transfer (one fetch
+        of the live slice; no host->device round trip)."""
         empty = (np.zeros((0, self.W), dtype=np.uint32),
                  np.zeros(0, dtype=np.uint64))
-        keys_np, counts = self._fetch_corrected(self.store)
-        if keys_np is None or len(keys_np) == 0:
+        keys, lo, hi, n, pads = self.store.finalize()
+        if n == 0:
             return empty
-        if self._restrict_store is not None:
-            akeys, _ = self._fetch_corrected(self._restrict_store)
-            allowed = (
-                set() if akeys is None
-                else {row.tobytes() for row in akeys}
-            )
-            sel = np.fromiter(
-                (row.tobytes() in allowed for row in keys_np),
-                dtype=bool, count=len(keys_np),
-            )
-            keys_np, counts = keys_np[sel], counts[sel]
-            if len(keys_np) == 0:
-                return empty
-        mers_dev = _recover_mers(
-            jnp.asarray(keys_np), self._Ainv, k=self.k, lsize=self.lsize
+        counts, drop_last = self._fetch_counts_corrected(
+            self.store, keys, lo, hi, n, pads
         )
-        return np.asarray(mers_dev), counts
+        mers_dev = _recover_mers(keys, self._Ainv, k=self.k, lsize=self.lsize)
+        mers = np.asarray(mers_dev[:n])
+        if drop_last:
+            mers, counts = mers[:-1], counts[:-1]
+        if len(counts) == 0:
+            return empty
+
+        if self._restrict_store is not None:
+            akeys, alo, ahi, an, apads = self._restrict_store.finalize()
+            if an == 0:
+                return empty
+            _, adrop = self._fetch_counts_corrected(
+                self._restrict_store, akeys, alo, ahi, an, apads
+            )
+            amers = np.asarray(
+                _recover_mers(
+                    akeys, self._Ainv, k=self.k, lsize=self.lsize
+                )[:an]
+            )
+            if adrop:
+                amers = amers[:-1]
+            allowed = {row.tobytes() for row in amers}
+            sel = np.fromiter(
+                (row.tobytes() in allowed for row in mers),
+                dtype=bool, count=len(mers),
+            )
+            mers, counts = mers[sel], counts[sel]
+            if len(mers) == 0:
+                return empty
+        return mers, counts
 
     def finalize(self):
         """Return (mers [n] object ints, counts [n] uint64 np) in hash
