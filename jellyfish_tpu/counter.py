@@ -1,20 +1,19 @@
 """The TPU k-mer counting engine (replacement for sub_commands/count_main.cc).
 
-Pipeline per fixed-size chunk of sequence bytes (all on device, one jitted
-program):
+Per fixed-size chunk, ONE jitted device program:
 
-    ASCII bytes -> 2-bit codes -> all k windows (+validity mask)
-    -> canonical mers -> MXU GF(2) hash -> hash-order sortkeys
-    -> lexicographic sort + segment-reduce -> deduplicated sorted run
+    2-bit codes (host-packed via native/chunker.cpp, or ASCII+device
+    encode) -> phase-major window extraction -> canonical fold ->
+    popcount GF(2) hash -> hash-order sortkeys, premasked to PAD
 
-Runs accumulate in a SortedCountStore (LSM). finalize() yields the whole
-table sorted in the reference's dump order.
+No per-chunk sort: raw sortkey runs accumulate in SortedCountStore, which
+lazily consolidates with keys-only sorts (store.py). finalize() yields
+the whole table in the reference's dump order (ascending (pos, key)).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -148,7 +147,6 @@ class MerCounter:
             )
 
         self.store = SortedCountStore(self.W, key_bits=c)
-        self.total_mers = 0  # valid (counted) mers
         # optional per-batch filter on (recovered mers, counts) -> counts,
         # the batch equivalent of the reference's filter chain
         # (count_main.cc:99-131; bloom --bc / --bf-size modes)

@@ -1,20 +1,28 @@
 """Sort + segment-reduce counting kernels (the CAS-hash-table replacement).
 
 The reference counts by per-mer CAS into a shared open-addressing table
-(large_hash_array.hpp:291-295,716-752). TPUs have no line-rate scatter-CAS,
-so counting is re-expressed as dataflow:
+(large_hash_array.hpp:291-295,716-752). TPUs have no line-rate scatter-CAS
+(and gathers/scatters measured ~10x an elementwise pass), so counting is
+re-expressed as sort-centric dataflow tuned to what the hardware does
+well:
 
-  1. per batch: lexicographic multi-limb sort of sortkeys (lax.sort on the
-     whole batch) + run-length segment reduce -> a deduplicated sorted RUN
-     of (sortkey, count) pairs;
-  2. runs are merged pairwise (concat + sort + combine-adjacent + compact)
-     in an LSM discipline (store.py), amortizing O(log) merges per mer.
+  - consolidate_premasked: keys-only lax.sort of a raw backlog + segment
+    LENGTHS as counts (the steady-state hot kernel; no payload, no
+    cumulative sums, no gathers);
+  - merge_many: K-way combine of deduplicated runs; duplicate counts sum
+    via a segmented Hillis-Steele log-scan (<= log2(n_runs) shifted adds),
+    64-bit exact through explicit unsigned carries; compaction by a second
+    keys-only sort with inverted counts as tie-break;
+  - merge_raw / sort_unique / merge_runs: weighted variants used by the
+    sharded multi-chip path and the scripting API.
 
 Invariants:
-  - every run is sorted by sortkey, deduplicated, padded at the tail with
-    PAD entries (count == 0). A real entry always has count >= 1; entry
-    realness is ALWAYS count != 0 (keys may legitimately be all-ones).
-  - counts are 64-bit as (lo, hi) uint32 pairs; batch counts fit in lo.
+  - rows with count 0 contribute nothing (PAD = all-ones keys, count 0);
+  - the all-ones segment of raw consolidations carries the pad rows'
+    implicit weight; the store corrects it host-side (sortkey bijectivity
+    puts at most one real mer there);
+  - counts are 64-bit as (lo, hi) uint32 pairs; hi is omitted while a
+    store can prove counts fit u32;
   - all shapes static; occupancy travels as a device scalar when needed.
 """
 
