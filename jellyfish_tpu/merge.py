@@ -1,9 +1,11 @@
 """K-way merge of sorted databases (jellyfish/merge_files.cc equivalent).
 
-Databases produced with the same matrix/size are all sorted by (pos, key), so
-a streaming heap merge reproduces the reference semantics exactly, including
-SUM/MIN/MAX/JACCARD ops and the "absent => count 0" MIN rule
-(merge_files.cc:45-102).
+Databases produced with the same matrix/size are all sorted by (pos, key):
+binary databases merge through a fully vectorized bulk path (numpy lexsort
+by (pos, key) + segment reduceat — no per-record python); text databases
+fall back to a streaming heap merge. Semantics match the reference
+exactly, including SUM/MIN/MAX/JACCARD ops and the "absent => count 0"
+MIN rule (merge_files.cc:45-102).
 """
 
 from __future__ import annotations
@@ -11,10 +13,50 @@ from __future__ import annotations
 import heapq
 from enum import Enum
 
-from jellyfish_tpu.io.files import DBReader, write_binary_records, write_text_records
+import numpy as np
+
+from jellyfish_tpu.io.files import (
+    DBReader,
+    encode_binary_records_np,
+    write_binary_records,
+    write_text_records,
+)
 from jellyfish_tpu.io.header import FileHeader
 
 __all__ = ["MergeOp", "merge_files", "MergeError"]
+
+
+def _np_positions(key_limbs: np.ndarray, matrix, lsize: int) -> np.ndarray:
+    """Vectorized hash positions: parity(key & column-mask) per output bit
+    (host-side twin of ops/hashing.gf2_apply_masks)."""
+    from jellyfish_tpu.ops.hashing import masks_of_matrix
+
+    n, W = key_limbs.shape
+    if matrix.is_low_identity():
+        pos = key_limbs[:, 0].astype(np.uint64)
+        if W > 1 and lsize > 32:
+            pos |= key_limbs[:, 1].astype(np.uint64) << np.uint64(32)
+        return pos & np.uint64((1 << lsize) - 1)
+    masks = masks_of_matrix(matrix, W)  # [r, W]
+    pos = np.zeros(n, dtype=np.uint64)
+    for j in range(matrix.r):
+        t = key_limbs[:, 0] & masks[j, 0]
+        for w in range(1, W):
+            t = t ^ (key_limbs[:, w] & masks[j, w])
+        bit = (np.bitwise_count(t) & np.uint32(1)).astype(np.uint64)
+        pos |= bit << np.uint64(j)
+    return pos & np.uint64((1 << lsize) - 1)
+
+
+def _load_binary_np(reader: DBReader):
+    """(key limbs [n, W] u32, counts u64) from a binary DB."""
+    key_bytes, counts = reader.records_np()
+    n = len(counts)
+    kb_w = key_bytes.shape[1]
+    W = (kb_w + 3) // 4
+    buf = np.zeros((n, 4 * W), dtype=np.uint8)
+    buf[:, :kb_w] = key_bytes
+    return buf.view("<u4").reshape(n, W), counts
 
 
 class MergeError(RuntimeError):
@@ -32,6 +74,86 @@ def _stream(reader: DBReader, matrix, mask):
     for key, val in reader:
         pos = matrix.times(key) & mask
         yield (pos, key, val)
+
+
+def _merge_binary_bulk(readers, out_file, out_header, min_count, max_count,
+                       op, k, size, out_counter_len):
+    """Vectorized merge of binary DBs: load all records, lexsort by
+    (pos, key), segment-reduce per op, stream records out."""
+    nb_files = len(readers)
+    limbs_l, counts_l = [], []
+    for r in readers:
+        l, c = _load_binary_np(r)
+        limbs_l.append(l)
+        counts_l.append(c)
+    limbs = np.concatenate(limbs_l, axis=0)
+    counts = np.concatenate(counts_l, axis=0)
+    n, W = limbs.shape
+    lsize = max(0, (size - 1).bit_length())
+    pos = _np_positions(limbs, readers[0].matrix, lsize)
+    order = np.lexsort(
+        tuple(limbs[:, w] for w in range(W)) + (pos,)
+    )
+    limbs = limbs[order]
+    counts = counts[order]
+
+    if n == 0:
+        starts = np.zeros(0, dtype=np.int64)
+    else:
+        is_new = np.ones(n, dtype=bool)
+        same = np.ones(n - 1, dtype=bool)
+        for w in range(W):
+            same &= limbs[1:, w] == limbs[:-1, w]
+        is_new[1:] = ~same
+        starts = np.flatnonzero(is_new)
+    seg_len = np.diff(np.concatenate([starts, [n]]))
+
+    if op is MergeOp.JACCARD:
+        if n:
+            mins = np.minimum.reduceat(counts, starts)
+            maxc = np.maximum.reduceat(counts, starts)
+        else:
+            mins = maxc = np.zeros(0, dtype=np.uint64)
+        minc = np.where(seg_len == nb_files, mins, 0)
+        inter = int((minc > 0).sum())
+        winter = int(minc.sum())
+        union = max(int(len(starts)), 1)
+        wunion = max(int(maxc.sum()), 1)
+        with open(out_file, "wb") as out:
+            out.write(
+                f"Jaccard  {inter / union}\nwJaccard {winter / wunion}\n"
+                .encode()
+            )
+        return
+
+    if n:
+        if op is MergeOp.SUM:
+            vals = np.add.reduceat(counts, starts)
+        elif op is MergeOp.MIN:
+            vals = np.where(
+                seg_len == nb_files, np.minimum.reduceat(counts, starts), 0
+            )
+        else:
+            vals = np.maximum.reduceat(counts, starts)
+        keys = limbs[starts]
+        sel = (vals >= np.uint64(min_count)) & (vals <= np.uint64(max_count))
+        keys, vals = keys[sel], vals[sel]
+    else:
+        keys = np.zeros((0, W), dtype=np.uint32)
+        vals = np.zeros(0, dtype=np.uint64)
+
+    out_header.format = FileHeader.FORMAT_BINARY
+    out_header.counter_len = out_counter_len
+    with open(out_file, "wb") as out:
+        out_header.write(out)
+        block = 1 << 20
+        for off in range(0, len(vals), block):
+            out.write(
+                encode_binary_records_np(
+                    keys[off : off + block], vals[off : off + block],
+                    k, out_counter_len,
+                )
+            )
 
 
 def merge_files(
@@ -91,6 +213,12 @@ def merge_files(
         out_header.fill_standard()
         if out_header_extra:
             out_header.root.update(out_header_extra)
+
+        if fmt == FileHeader.FORMAT_BINARY:
+            return _merge_binary_bulk(
+                readers, out_file, out_header, min_count, max_count, op,
+                key_len // 2, size, out_counter_len,
+            )
 
         merged = heapq.merge(*[_stream(r, r.matrix, mask) for r in readers])
 
