@@ -59,6 +59,36 @@ def add_parser(sub):
     return p
 
 
+def _prefetch(iterable, depth: int = 4):
+    """Run `iterable` on a producer thread with a bounded queue."""
+    import queue
+    import threading
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    DONE = object()
+    state = {"error": None}
+
+    def producer():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:
+            state["error"] = e
+        finally:
+            q.put(DONE)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            break
+        yield item
+    t.join()
+    if state["error"] is not None:
+        raise state["error"]
+
+
 def _load_generator_cmds(path: str):
     with open(path) as f:
         return [line.strip() for line in f if line.strip()]
@@ -129,8 +159,10 @@ def run(args, argv):
             intermediates.append(path)
 
     if filt is None and args.chunk_len % 32 == 0:
-        # fast ingest: host-packed 2-bit codes + validity bitstream
-        for pwords, validbits in chunker.chunks_packed():
+        # fast ingest: host-packed 2-bit codes + validity bitstream, with
+        # parse+pack running on a producer thread so host work overlaps
+        # device transfers and compute (cooperative_pool2.hpp role)
+        for pwords, validbits in _prefetch(chunker.chunks_packed()):
             counter.add_chunk_packed(pwords, validbits)
             maybe_spill()
     else:
