@@ -76,7 +76,7 @@ def main():
 
     from jellyfish_tpu.counter import MerCounter
 
-    k = 21
+    k = int(os.environ.get("JF_BENCH_K", 21))
     L = int(os.environ.get("JF_BENCH_CHUNK_LEN", 1 << 20))
     n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 96))
     counter = MerCounter(
