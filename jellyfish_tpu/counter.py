@@ -240,6 +240,12 @@ class MerCounter:
         if pads:
             last_key = np.asarray(keys[n - 1 : n])
             if (last_key == np.uint32(0xFFFFFFFF)).all():
+                if int(counts[-1]) < pads:
+                    raise AssertionError(
+                        "pad accounting mismatch: all-ones entry holds "
+                        f"{int(counts[-1])} < {pads} pads — store invariant "
+                        "violated (would corrupt output)"
+                    )
                 counts = counts.copy() if counts is lo_np else counts
                 counts[-1] -= np.uint64(pads)
                 drop_last = counts[-1] == 0

@@ -194,12 +194,19 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
     zero-count rows interspersed — fine as input to further merges).
     """
     M, W = keys.shape
-    payloads = [lo] if hi is None else [lo, hi]
+    # counts ride as LEAST-SIGNIFICANT SORT KEYS (hi then lo), not mere
+    # payloads: the all-ones PAD key is duplicated by every masked row, so
+    # within that segment the <= max_dups NONZERO entries must sort to the
+    # segment end for the bounded log-scan to reach them (zero rows sort
+    # before them and contribute nothing). Same operand traffic either way.
+    payloads = [lo] if hi is None else [hi, lo]
     limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
-    s = jax.lax.sort(limbs + payloads, num_keys=W, is_stable=False)
+    s = jax.lax.sort(
+        limbs + payloads, num_keys=W + len(payloads), is_stable=False
+    )
     slimbs = _widen_top(list(s[:W]))
-    cur_lo = s[W]
-    cur_hi = s[W + 1] if hi is not None else jnp.zeros_like(cur_lo)
+    cur_lo = s[W + len(payloads) - 1]
+    cur_hi = s[W] if hi is not None else jnp.zeros_like(cur_lo)
     neq = slimbs[0] != jnp.roll(slimbs[0], 1)
     for l in slimbs[1:]:
         neq = neq | (l != jnp.roll(l, 1))
