@@ -38,10 +38,22 @@ from jellyfish_tpu.mer import MerDNA, string_canonicals, string_mers
 
 
 def __getattr__(name):
-    # SWIG-parity scripting classes (swig/*.i), loaded lazily to keep
-    # `import jellyfish_tpu` light for the compute path.
+    # lazily exported surfaces, keeping `import jellyfish_tpu` light:
+    # SWIG-parity scripting classes (swig/*.i) and the batch/TPU API
     if name in ("HashCounter", "HashSet", "QueryMerFile", "ReadMerFile"):
         from jellyfish_tpu import api
 
         return getattr(api, name)
+    if name == "MerCounter":
+        from jellyfish_tpu.counter import MerCounter
+
+        return MerCounter
+    if name == "SequenceChunker":
+        from jellyfish_tpu.io.parse import SequenceChunker
+
+        return SequenceChunker
+    if name == "ShardedMerCounter":
+        from jellyfish_tpu.parallel import ShardedMerCounter
+
+        return ShardedMerCounter
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
