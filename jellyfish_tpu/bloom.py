@@ -125,20 +125,31 @@ class BloomCounter2(_BloomBase):
         return cls(opt_m(fpr, n), opt_k(fpr), k, m1, m2, canonical)
 
     def insert_counts(self, mers_u32: np.ndarray, weights: np.ndarray) -> None:
-        """Insert each mer `weights[i]` times (saturating at 2 per cell)."""
+        """Insert each mer `weights[i]` times (saturating at 2 per cell).
+
+        Accumulation is sort-unique over probe positions instead of
+        np.bincount: bincount with weights allocates an m-sized float64
+        temp (8 bytes/cell — 22 GB for a 200M-mer filter); here the temps
+        scale with the batch, not the filter."""
         sel = weights > 0
         if not sel.any():
             return
         pos = self.probe_positions(mers_u32[sel])
-        w = np.minimum(weights[sel], 2).astype(np.int64)
-        adds = np.bincount(
-            pos.ravel(), weights=np.broadcast_to(w, pos.shape).ravel(),
-            minlength=self.m,
-        )
-        np.minimum(
-            self.cells + np.minimum(adds, 2).astype(np.uint8),
-            2, out=self.cells,
-        )
+        w = np.minimum(weights[sel], 2).astype(np.uint8)
+        wb = np.broadcast_to(w, pos.shape).ravel()
+        order = np.argsort(pos.ravel(), kind="stable")
+        spos = pos.ravel()[order]
+        sw = wb[order]
+        starts = np.ones(len(spos), dtype=bool)
+        starts[1:] = spos[1:] != spos[:-1]
+        idx = np.flatnonzero(starts)
+        upos = spos[idx]
+        # per-position add, clipped at 2 (monotone saturation is exact)
+        adds = np.minimum(
+            np.add.reduceat(sw.astype(np.int64), idx), 2
+        ).astype(np.uint8)
+        np.minimum(self.cells[upos] + adds, 2, out=adds)
+        self.cells[upos] = adds
 
     def check(self, mers_u32: np.ndarray) -> np.ndarray:
         """Min probed cell per mer: 0, 1 or 2 (bloom_counter2.hpp:109-142)."""
