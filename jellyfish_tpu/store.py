@@ -134,6 +134,7 @@ class SortedCountStore:
         # O(log_R) passes per element (no re-sorting of big runs every
         # cycle)
         self.dedup_levels: list[list] = [[] for _ in range(16)]
+        self._pending_shrinks: list = []
         self.total_inserted = 0
         # pads already baked into the stored all-ones entry by a previous
         # finalize (the device entry stays inflated; the correction is
@@ -145,6 +146,7 @@ class SortedCountStore:
     def insert_raw(self, keys, n_valid_scalar) -> None:
         """Append a premasked raw run; n_valid_scalar is the device scalar
         count of non-PAD rows (for the all-ones correction)."""
+        self._resolve_pending_shrinks()
         self.raw.append(keys)
         self.raw_rows += keys.shape[0]
         self.raw_rows_ever += keys.shape[0]
@@ -188,11 +190,26 @@ class SortedCountStore:
             )(*args)
             if h2 is not None and self.total_weight < (1 << 32):
                 h2 = None  # counts provably fit u32: drop the limb
-            k2, l2, h2 = self._shrink(k2, l2, h2, int(n))
             if lvl + 1 >= len(self.dedup_levels):
                 raise RuntimeError("store exceeded maximum level count")
-            self.dedup_levels[lvl + 1].append((k2, l2, h2))
+            run = (k2, l2, h2)
+            self.dedup_levels[lvl + 1].append(run)
+            # defer the truncation: fetching n here would stall the host on
+            # the whole merge; resolve at the next insert/finalize, by when
+            # the merge has overlapped with subsequent pipeline work
+            self._pending_shrinks.append((lvl + 1, run, n))
             lvl += 1
+
+    def _resolve_pending_shrinks(self) -> None:
+        pending, self._pending_shrinks = self._pending_shrinks, []
+        for lvl, run, n_dev in pending:
+            level = self.dedup_levels[lvl]
+            try:
+                i = next(j for j, r in enumerate(level) if r is run)
+            except StopIteration:
+                continue  # already consumed by a further merge
+            k2, l2, h2 = self._shrink(run[0], run[1], run[2], int(n_dev))
+            level[i] = (k2, l2, h2)
 
     @staticmethod
     def _shrink(keys, lo, hi, n: int):
@@ -242,6 +259,9 @@ class SortedCountStore:
         subtracted from the trailing all-ones entry by the caller (and the
         entry dropped if it reaches zero)."""
         pads = self.residual_pads + self.total_pads()
+        # pending shrink targets get re-merged (and donated) below: drop
+        # the stale references instead of touching donated buffers
+        self._pending_shrinks = []
         # raw rows have unbounded duplicates: consolidate them first so the
         # final combine only sees deduplicated runs (bounded duplicates for
         # merge_many's log-scan)
@@ -266,6 +286,7 @@ class SortedCountStore:
         return k2, l2, h2, int(n), pads
 
     def reset(self) -> None:
+        self._pending_shrinks = []
         self.raw, self.raw_rows = [], 0
         self.valid_scalars = []
         self.raw_rows_ever = 0
