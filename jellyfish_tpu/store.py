@@ -159,6 +159,7 @@ class SortedCountStore:
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
         known < 2^32."""
+        self._resolve_pending_shrinks()
         self.dedup_levels[0].append((keys, lo, hi))
         self.total_weight += int(
             total if total is not None else keys.shape[0]
