@@ -22,7 +22,7 @@ def suffix_int(s: str) -> int:
     if s and s[-1] in _SUFFIXES:
         return int(float(s[:-1]) * _SUFFIXES[s[-1]])
     if s and s[-1].lower() in ("m", "g", "t", "p", "e", "k"):
-        key = s[-1] if s[-1] == "k" else s[-1].upper()
+        key = "k" if s[-1].lower() == "k" else s[-1].upper()
         return int(float(s[:-1]) * _SUFFIXES[key])
     return int(s)
 

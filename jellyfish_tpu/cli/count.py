@@ -138,6 +138,15 @@ def run(args, argv):
         nb_files=args.nb_files,
     )
 
+    if args.if_files:
+        # build the restriction BEFORE counting (the reference PRIMEs the
+        # table first, count_main.cc:288-295) so --disk spill dumps are
+        # filtered too: every finalize applies the restrict store
+        allowed = SequenceChunker(
+            list(args.if_files), k, chunk_len=args.chunk_len
+        )
+        counter.restrict_to(allowed.chunks())
+
     t_init = time.perf_counter()
 
     intermediates = []
@@ -169,10 +178,6 @@ def run(args, argv):
         for chunk in chunker.chunks():
             counter.add_chunk(chunk)
             maybe_spill()
-
-    if args.if_files:
-        allowed = SequenceChunker(list(args.if_files), k, chunk_len=args.chunk_len)
-        counter.restrict_to(allowed.chunks())
 
     t_count = time.perf_counter()
 

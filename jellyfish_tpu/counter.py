@@ -92,6 +92,18 @@ def _recover_mers(sortkeys, inv_bit_matrix, k, lsize):
     return mers_of_sortkeys(sortkeys, inv_bit_matrix, k, lsize)
 
 
+def _sortkey_order_view(rows: np.ndarray) -> np.ndarray:
+    """1-D order-preserving comparable view of sortkey rows [n, W]
+    (columns LSW..MSW): u64 for W <= 2, big-endian memcmp bytes beyond."""
+    n, W = rows.shape
+    if W == 1:
+        return rows[:, 0]
+    if W == 2:
+        return np.ascontiguousarray(rows).view(np.uint64).ravel()
+    be = np.ascontiguousarray(rows[:, ::-1]).byteswap()
+    return np.ascontiguousarray(be).view(f"V{4 * W}").ravel()
+
+
 
 
 class MerCounter:
@@ -278,18 +290,22 @@ class MerCounter:
             _, adrop = self._fetch_counts_corrected(
                 self._restrict_store, akeys, alo, ahi, an, apads
             )
-            amers = np.asarray(
-                _recover_mers(
-                    akeys, self._Ainv, k=self.k, lsize=self.lsize
-                )[:an]
-            )
+            # both runs are sorted ascending by sortkey (hash order) under
+            # the SAME matrix: intersect with one vectorized binary search
+            # (count_main.cc:288-295 PRIME/UPDATE semantics, without the
+            # reference's in-table priming)
+            akeys_np = np.asarray(akeys[:an])
             if adrop:
-                amers = amers[:-1]
-            allowed = {row.tobytes() for row in amers}
-            sel = np.fromiter(
-                (row.tobytes() in allowed for row in mers),
-                dtype=bool, count=len(mers),
-            )
+                akeys_np = akeys_np[:-1]
+            keys_np = np.asarray(keys[:n])
+            if drop_last:
+                keys_np = keys_np[:-1]
+            if len(akeys_np) == 0:
+                return empty
+            kv = _sortkey_order_view(keys_np)
+            av = _sortkey_order_view(akeys_np)
+            pos = np.minimum(np.searchsorted(av, kv), len(av) - 1)
+            sel = av[pos] == kv
             mers, counts = mers[sel], counts[sel]
             if len(mers) == 0:
                 return empty

@@ -258,25 +258,31 @@ class SequenceChunker:
         Uses the native C++ scanner (native/chunker.cpp) when available;
         the pure-python path below is the reference implementation and
         fallback (JF_NO_NATIVE=1 forces it)."""
+        # decide the path BEFORE iterating: once a native scanner has
+        # started yielding, exceptions (failing -g generator, stream I/O
+        # error) must propagate — falling back mid-stream would re-parse
+        # already-yielded bases and re-execute generator commands
+        native = False
         try:
-            from jellyfish_tpu.native import NativeChunker, get_lib
+            from jellyfish_tpu.native import get_lib
 
-            if get_lib() is not None:
-                n_streams = (
-                    len(self.paths) + len(self.sam_paths)
-                    + len(self.generator_cmds)
-                )
-                if self.nb_files > 1 and n_streams > 1:
-                    # concurrent parsing of independent streams (-F):
-                    # ctypes releases the GIL, so native scanners genuinely
-                    # run in parallel (stream_manager.hpp:76-145 role)
-                    yield from self._chunks_native_concurrent()
-                else:
-                    yield from self._chunks_native()
-                return
+            native = get_lib() is not None
         except Exception:
-            pass
-        yield from self._chunks_python()
+            native = False
+        if native:
+            n_streams = (
+                len(self.paths) + len(self.sam_paths)
+                + len(self.generator_cmds)
+            )
+            if self.nb_files > 1 and n_streams > 1:
+                # concurrent parsing of independent streams (-F):
+                # ctypes releases the GIL, so native scanners genuinely
+                # run in parallel (stream_manager.hpp:76-145 role)
+                yield from self._chunks_native_concurrent()
+            else:
+                yield from self._chunks_native()
+        else:
+            yield from self._chunks_python()
 
     def _chunks_native_concurrent(self) -> Iterator[np.ndarray]:
         import queue

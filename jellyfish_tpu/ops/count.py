@@ -239,16 +239,18 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
         return (_restack(masked_limbs, M, W), masked_lo, masked_hi, None)
 
     # compaction by a second keys-only sort (scatters measured ~10x the
-    # cost of a sort pass on TPU). Bitwise-inverted counts ride as the
-    # least-significant sort key so a genuine all-ones entry (count > 0)
-    # orders before pure-PAD rows within the all-ones block.
+    # cost of a sort pass on TPU). BOTH bitwise-inverted count limbs ride
+    # as least-significant sort keys (hi before lo) so a genuine all-ones
+    # entry (count > 0 — including lo == 0 with hi > 0, i.e. an exact
+    # multiple of 2^32) orders before pure-PAD rows within the all-ones
+    # block.
     n = jnp.sum(keep.astype(jnp.int32))
     s2 = jax.lax.sort(
-        _narrow_top(masked_limbs, key_bits) + [~masked_lo, masked_hi],
-        num_keys=W + 1, is_stable=False,
+        _narrow_top(masked_limbs, key_bits) + [~masked_hi, ~masked_lo],
+        num_keys=W + 2, is_stable=False,
     )
     out_keys = _restack(_widen_top(list(s2[:W])), M, W)
-    return out_keys, ~s2[W], s2[W + 1], n
+    return out_keys, ~s2[W + 1], ~s2[W], n
 
 
 def _sort_ops(vword, keys, payloads):

@@ -216,7 +216,12 @@ class _ShardedStore:
             lvl += 1
 
     def _merge_group(self, group, raw: bool):
-        if raw and self.total_weight < (1 << 32):
+        # raw groups ALWAYS take the segment-length kernel: merge_raw's
+        # counts are bounded by the group's row count (fits u32 regardless
+        # of total ingested weight), while merge_many's log-scan requires
+        # deduplicated inputs; 64-bit growth is handled by the general
+        # merge at higher levels
+        if raw:
             args = []
             for r in group:
                 args += [r[0], r[1]]

@@ -195,3 +195,41 @@ def test_info_and_mem(data, capsys):
     assert out.split()[0] == "1073741824"  # doc/Readme.md:272-276
     out = run_cli(["cite"], capsys)
     assert "Bioinformatics" in out
+
+
+def test_if_with_disk_spill(data, capsys, tmp_path):
+    """--if must be honored by --disk spill partials too (the reference
+    primes the table before counting, count_main.cc:288-295)."""
+    sub = str(tmp_path / "sub.fa")
+    with open(data["fa"]) as src, open(sub, "w") as dst:
+        dst.write("".join(src.readlines()[:20]))
+    db_mem = str(tmp_path / "ifmem.jf")
+    db_disk = str(tmp_path / "ifdisk.jf")
+    run_cli(["count", "-m", "13", "-s", "30k", "-C", "--if", sub,
+             "-o", db_mem, data["fa"]])
+    run_cli(["count", "-m", "13", "-s", "2k", "-C", "--disk", "--if", sub,
+             "--chunk-len", "8k", "-o", db_disk, data["fa"]])
+    assert _dump_dict(capsys, db_disk) == _dump_dict(capsys, db_mem)
+
+
+def test_suffix_int_uppercase_k():
+    from jellyfish_tpu.cli.common import suffix_int
+
+    assert suffix_int("10K") == 10_000
+    assert suffix_int("10k") == 10_000
+    assert suffix_int("2G") == 2_000_000_000
+    assert suffix_int("3m") == 3_000_000
+
+
+def test_generator_failure_propagates(tmp_path):
+    """A generator command that fails mid-stream must raise, not silently
+    fall back to re-parsing (which double-counts yielded bases)."""
+    from jellyfish_tpu.io.parse import SequenceChunker
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(">r1\n" + "ACGT" * 100 + "\n")
+    ch = SequenceChunker([], 13, chunk_len=1 << 14,
+                         generator_cmds=[f"cat {fa}; exit 3"])
+    with pytest.raises(RuntimeError, match="status 3"):
+        for _ in ch.chunks():
+            pass

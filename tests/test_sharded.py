@@ -75,3 +75,29 @@ def test_sharded_order_is_global_hash_order(rng):
     mask = counter.size - 1
     pairs = [(m.times(int(x)) & mask, int(x)) for x in mers]
     assert pairs == sorted(pairs)
+
+
+def test_sharded_raw_merge_at_large_total_weight(rng):
+    """Regression: raw level-0 groups must go through the segment-length
+    kernel even once total ingested weight exceeds 2^32 — routing them
+    through merge_many (bounded log-scan) silently undercounts any mer
+    occurring more than n_runs times in a group."""
+    import jax
+
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P = len(jax.devices())
+    mesh = make_mesh()
+    k = 21
+    # one homopolymer-ish read repeated in every chunk: a single mer occurs
+    # far more than branch(=8) times per merge group
+    seq = "AC" * 40
+    counter = ShardedMerCounter(k, size=1 << 12, mesh=mesh, canonical=False,
+                                rng=rng)
+    counter.store.total_weight = 1 << 33  # simulate a >4G-base ingest
+    for _ in range(counter.store.branch):
+        counter.add_chunks(_chunks_from_seqs([seq] * P, P, 128))
+    mers, counts = counter.finalize()
+    expected = oracle_counts([seq] * (P * counter.store.branch), k, False)
+    got = {int(m): int(c) for m, c in zip(mers, counts)}
+    assert got == expected
