@@ -90,7 +90,7 @@ def main():
     # the "Counting" phase in the reference's --timing split
     # (count_main.cc:377-382) — ingest + all table combines; the once-per-
     # job output formatting (finalize compaction + file write) is Writing.
-    counter.store.consolidate_rows = int(os.environ.get("JF_BENCH_CADENCE", 8)) * (L - k + 1)
+    counter.store.consolidate_rows = int(os.environ.get("JF_BENCH_CADENCE", 32)) * (L - k + 1)
 
     import functools as _ft
 

@@ -32,7 +32,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["sort_unique", "merge_runs", "merge_many", "merge_raw"]
+__all__ = [
+    "sort_unique", "merge_runs", "merge_many", "merge_raw",
+    "consolidate_premasked", "compact_counted",
+]
 
 
 def _sort_runs(keys, invalid, use_vword: bool, payloads):
@@ -123,7 +126,7 @@ def _widen_top(slimbs):
     return slimbs
 
 
-def consolidate_premasked(keys, key_bits=None):
+def consolidate_premasked(keys, key_bits=None, return_n: bool = False):
     """Sort concatenated PREMASKED raw runs and count by segment length.
 
     keys [M, W]: raw sortkeys with invalid windows already set to the PAD
@@ -135,6 +138,9 @@ def consolidate_premasked(keys, key_bits=None):
 
     Returns (keys [M, W], counts [M]) masked in place: the count sits on
     the last row of each segment, other rows are PAD with count 0.
+    With return_n, appends the segment count (device u32 scalar) — the
+    exact number of nonzero-count rows, used by the store's lazy
+    occupancy-driven compaction policy.
     """
     M, W = keys.shape
     limbs = _narrow_top(
@@ -155,7 +161,36 @@ def consolidate_premasked(keys, key_bits=None):
     # rows that are not segment-ends become PAD with count 0; the genuine
     # all-ones segment end keeps its (pad-inflated) count for later
     # correction
+    if return_n:
+        return out_keys, counts, jnp.sum(is_new, dtype=jnp.uint32)
     return out_keys, counts
+
+
+def compact_counted(keys, lo, hi=None, key_bits=None):
+    """Compact a DEDUPLICATED counted run with ONE sort.
+
+    keys [M, W], lo/hi [M]: each real key occurs on exactly one row (its
+    count on that row); other rows have count 0 (any key). Zero-count rows
+    are forced to the PAD pattern, then a single keys-only sort with BOTH
+    inverted count limbs as tie-breaks moves real entries to the dense
+    ascending prefix — half the cost of a merge_many(compact=True) pass
+    (no payload sort, no log-scan) for runs that are already deduplicated
+    but masked in place (consolidation outputs, filtered runs).
+
+    Returns (keys, lo, hi|None) compacted; the caller typically knows n
+    (e.g. consolidate_premasked's return_n) and truncates.
+    """
+    M, W = keys.shape
+    zero = (lo == 0) if hi is None else ((lo | hi) == 0)
+    keys = jnp.where(zero[:, None], jnp.uint32(0xFFFFFFFF), keys)
+    limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
+    if hi is None:
+        s = jax.lax.sort(limbs + [~lo], num_keys=W + 1, is_stable=False)
+        out_keys = _restack(_widen_top(list(s[:W])), M, W)
+        return out_keys, ~s[W], None
+    s = jax.lax.sort(limbs + [~hi, ~lo], num_keys=W + 2, is_stable=False)
+    out_keys = _restack(_widen_top(list(s[:W])), M, W)
+    return out_keys, ~s[W + 1], ~s[W]
 
 
 def _wrapped_segment_sums(vals, start):

@@ -34,20 +34,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jellyfish_tpu.ops.count import consolidate_premasked, merge_many
+from jellyfish_tpu.ops.count import (
+    compact_counted,
+    consolidate_premasked,
+    merge_many,
+)
 
 __all__ = ["SortedCountStore"]
 
 
 @functools.lru_cache(maxsize=64)
 def _consolidate_fn(n_runs: int, key_bits):
-    """Concat n premasked raw key runs, sort, count segments."""
+    """Concat n premasked raw key runs, sort, count segments, COMPACT.
+
+    The consolidation output is immediately compacted (one extra sort with
+    the count as tie-break) and later truncated to ~distinct size, so the
+    dedup forest only ever merges distinct-sized runs: level-merge volume
+    tracks the distinct count, not the ingested row count — at sequencing
+    coverage this is the difference between re-sorting every ingested row
+    once per level and once per log-fill of the genome."""
 
     @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
     def f(*keys):
-        return consolidate_premasked(
-            jnp.concatenate(keys, axis=0), key_bits
+        k2, c2, n = consolidate_premasked(
+            jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
+        k3, l3, _ = compact_counted(k2, c2, None, key_bits)
+        return k3, l3, n
 
     return f
 
@@ -116,10 +129,12 @@ class SortedCountStore:
     """Lazy-consolidation count store (see module docstring)."""
 
     def __init__(self, W: int, branch: int = 8,
-                 consolidate_rows: int = 1 << 23, key_bits: int | None = None):
-        # consolidate_rows ~8M measured optimal on TPU v5e: small enough
-        # that the keys-only sort stays in its fast regime, large enough to
-        # amortize dispatch latency
+                 consolidate_rows: int = 1 << 25, key_bits: int | None = None):
+        # consolidate_rows ~32M: lax.sort throughput is flat up to 2^26
+        # rows (measured, experiments/sort_scaling.py), and a bigger grain
+        # directly divides the steady-state level-merge volume (runs
+        # saturate at the distinct count G, so merge cost per ingested row
+        # ~ G/grain); the backlog itself costs grain*4W bytes of HBM
         self.W = W
         self.branch = int(branch)
         self.key_bits = key_bits
@@ -171,8 +186,12 @@ class SortedCountStore:
         if not self.raw:
             return
         runs, self.raw, self.raw_rows = self.raw, [], 0
-        k2, c2 = _consolidate_fn(len(runs), self.key_bits)(*runs)
-        self.dedup_levels[0].append((k2, c2, None))
+        k2, c2, n = _consolidate_fn(len(runs), self.key_bits)(*runs)
+        run = (k2, c2, None)
+        self.dedup_levels[0].append(run)
+        # truncate to ~distinct size at the next insert boundary (same
+        # deferred-fetch scheme as merge outputs)
+        self._pending_shrinks.append((0, run, n))
         self._maybe_merge_dedup()
 
     def _maybe_merge_dedup(self) -> None:
@@ -267,6 +286,7 @@ class SortedCountStore:
         # final combine only sees deduplicated runs (bounded duplicates for
         # merge_many's log-scan)
         self._consolidate()
+        self._pending_shrinks = []  # everything merges right now anyway
         runs = [(r[:2] if r[2] is None else r) for r in self._all_dedup()]
         if not runs:
             keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
