@@ -1,0 +1,104 @@
+// Reference-interop oracle harness (NOT part of the framework).
+//
+// Compiled on demand by tests/test_ref_interop.py with g++ against the
+// UPSTREAM headers at /root/reference/include and a handful of its lib/
+// translation units, so that interop tests exercise the reference's OWN
+// hash array, matrix, dumper, header and reader code paths
+// (large_hash_array.hpp, binary_dumper.hpp:36-40,103-108,
+// file_header.hpp:18-109, generic_file_header.hpp:88-143) against files
+// produced by jellyfish_tpu, and vice versa.
+//
+// Modes:
+//   ref_oracle write <out.jf> <k> <size>   reads "MER COUNT" lines on
+//       stdin, inserts into a real large_hash::array (random matrix),
+//       dumps with binary_dumper in hash order.
+//   ref_oracle read <in.jf>                prints "MER COUNT" lines in
+//       file order via file_header + binary_reader.
+//   ref_oracle header <in.jf>              prints key header fields.
+
+#include <cstdlib>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <memory>
+#include <sstream>
+#include <string>
+
+#include <jellyfish/jellyfish.hpp>
+#include <jellyfish/file_header.hpp>
+
+using jellyfish::file_header;
+using jellyfish::mer_dna;
+
+static int do_write(int argc, char** argv) {
+  if(argc < 3) { std::cerr << "write <out.jf> <k> <size>\n"; return 1; }
+  const char* out = argv[0];
+  const int k = atoi(argv[1]);
+  const size_t size = strtoull(argv[2], nullptr, 0);
+  mer_dna::k(k);
+
+  file_header header;
+  header.fill_standard();
+  header.canonical(false);
+
+  mer_hash ary(size, 2 * k, 7 /*counter_len bits*/, 1 /*threads*/,
+               126 /*reprobes*/);
+  std::unique_ptr<jellyfish::dumper_t<mer_array>> dumper(
+      new binary_dumper(4 /*out counter bytes*/, ary.key_len(), 1, out,
+                        &header));
+  ary.dumper(dumper.get());
+
+  std::string mer_s;
+  unsigned long long count;
+  mer_dna m;
+  while(std::cin >> mer_s >> count) {
+    m = mer_s.c_str();
+    ary.add(m, count);
+  }
+  dumper->one_file(true);
+  dumper->dump(ary.ary());
+  return 0;
+}
+
+static int do_read(int argc, char** argv) {
+  if(argc < 1) { std::cerr << "read <in.jf>\n"; return 1; }
+  std::ifstream is(argv[0]);
+  if(!is.good()) { std::cerr << "cannot open " << argv[0] << '\n'; return 1; }
+  file_header header(is);
+  if(header.format() != binary_dumper::format) {
+    std::cerr << "unexpected format " << header.format() << '\n';
+    return 1;
+  }
+  mer_dna::k(header.key_len() / 2);
+  binary_reader reader(is, &header);
+  while(reader.next())
+    std::cout << reader.key() << ' ' << reader.val() << '\n';
+  return 0;
+}
+
+static int do_header(int argc, char** argv) {
+  if(argc < 1) { std::cerr << "header <in.jf>\n"; return 1; }
+  std::ifstream is(argv[0]);
+  file_header header(is);
+  std::cout << "format " << header.format() << '\n'
+            << "key_len " << header.key_len() << '\n'
+            << "val_len " << header.val_len() << '\n'
+            << "counter_len " << header.counter_len() << '\n'
+            << "size " << header.size() << '\n'
+            << "canonical " << (header.canonical() ? 1 : 0) << '\n'
+            << "max_reprobe " << header.max_reprobe() << '\n';
+  return 0;
+}
+
+int main(int argc, char** argv) {
+  if(argc < 2) {
+    std::cerr << "usage: ref_oracle write|read|header ...\n";
+    return 1;
+  }
+  std::string mode(argv[1]);
+  if(mode == "write")  return do_write(argc - 2, argv + 2);
+  if(mode == "read")   return do_read(argc - 2, argv + 2);
+  if(mode == "header") return do_header(argc - 2, argv + 2);
+  std::cerr << "unknown mode " << mode << '\n';
+  return 1;
+}

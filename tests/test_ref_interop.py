@@ -1,0 +1,165 @@
+"""Byte-level interop with the ACTUAL reference implementation.
+
+Compiles tests/ref_oracle.cc on demand with g++ against the upstream
+headers (/root/reference/include) + its lib/ translation units, so these
+tests exercise the reference's own large_hash::array, matrix, dumper and
+reader (large_hash_array.hpp, binary_dumper.hpp, file_header.hpp) —
+closing the loop that unit oracles cannot: files we write are readable by
+the reference, files the reference writes are readable by us, and for the
+same matrix both sides produce the SAME dump order.
+"""
+
+import os
+import random
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+LIBS = [
+    "rectangular_binary_matrix.cc",
+    "allocators_mmap.cc",
+    "misc.cc",
+    "storage.cc",
+    "thread_exec.cc",
+    "jsoncpp.cpp",
+    "mer_dna.cc",
+    "time.cc",
+]
+
+
+@pytest.fixture(scope="session")
+def ref_oracle(tmp_path_factory):
+    """Path to the compiled reference harness (skips if not buildable)."""
+    if not os.path.isdir(os.path.join(REF, "include")):
+        pytest.skip("reference tree not available")
+    d = tmp_path_factory.mktemp("refbuild")
+    cfg = d / "config.h"
+    cfg.write_text(
+        '#define HAVE_POSIX_MEMALIGN 1\n'
+        '#define PACKAGE_VERSION "2.3.1-interop"\n'
+    )
+    exe = d / "ref_oracle"
+    src = os.path.join(os.path.dirname(__file__), "ref_oracle.cc")
+    cmd = (
+        ["g++", "-std=c++11", "-O1", "-DHAVE_CONFIG_H", f"-I{d}",
+         f"-I{REF}/include", "-o", str(exe), src]
+        + [os.path.join(REF, "lib", f) for f in LIBS]
+        + ["-lpthread"]
+    )
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (OSError, subprocess.SubprocessError) as e:
+        pytest.skip(f"cannot build reference harness: {e}")
+    return str(exe)
+
+
+def _random_mer_counts(k, n, seed):
+    rng = random.Random(seed)
+    pairs = {}
+    while len(pairs) < n:
+        mer = "".join(rng.choice("ACGT") for _ in range(k))
+        pairs[mer] = rng.randrange(1, 2000)
+    return pairs
+
+
+def test_reference_db_read_by_us(ref_oracle, tmp_path):
+    """Direction 1: the reference writes a genuine DB; our reader, query
+    backend and header parser consume it exactly."""
+    from jellyfish_tpu.io.files import BinaryQuery, DBReader
+    from jellyfish_tpu.mer import MerDNA
+
+    k, size = 17, 4096
+    pairs = _random_mer_counts(k, 500, seed=11)
+    db = tmp_path / "ref.jf"
+    inp = "".join(f"{m} {v}\n" for m, v in pairs.items())
+    subprocess.run(
+        [ref_oracle, "write", str(db), str(k), str(size)],
+        input=inp.encode(), check=True, capture_output=True,
+    )
+
+    with DBReader(str(db)) as r:
+        assert r.header.key_len == 2 * k
+        assert r.header.format == "binary/sorted"
+        got = {str(MerDNA(k, m)): v for m, v in r}
+    assert got == pairs
+
+    q = BinaryQuery(str(db))
+    try:
+        sample = list(pairs.items())[:50]
+        for mer, v in sample:
+            assert q[MerDNA(mer).bits] == v
+        absent = "A" * k
+        if absent not in pairs:
+            assert q[MerDNA(absent).bits] == 0
+    finally:
+        q.close()
+
+
+def test_reference_reads_our_db(ref_oracle, tmp_path):
+    """Direction 2: we count + write a binary DB; the reference's own
+    file_header + binary_reader parse it exactly."""
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.io.dumpers import dump_counter
+    from jellyfish_tpu.mer import string_mers
+
+    k = 13
+    rng = random.Random(5)
+    seq = "".join(rng.choice("ACGT") for _ in range(4000))
+    oracle = {}
+    for m in string_mers(seq, k):
+        oracle[str(m)] = oracle.get(str(m), 0) + 1
+
+    c = MerCounter(k, size=1 << 12, canonical=False,
+                   rng=np.random.default_rng(9))
+    c.add_chunk(np.frombuffer(seq.encode(), dtype=np.uint8))
+    db = tmp_path / "ours.jf"
+    dump_counter(c, str(db))
+
+    out = subprocess.run(
+        [ref_oracle, "read", str(db)], check=True, capture_output=True
+    ).stdout.decode()
+    got = {}
+    for line in out.splitlines():
+        mer, v = line.split()
+        got[mer] = int(v)
+    assert got == oracle
+
+    hdr = subprocess.run(
+        [ref_oracle, "header", str(db)], check=True, capture_output=True
+    ).stdout.decode()
+    fields = dict(l.split() for l in hdr.splitlines())
+    assert fields["format"] == "binary/sorted"
+    assert int(fields["key_len"]) == 2 * k
+    assert int(fields["canonical"]) == 0
+
+
+def test_dump_order_parity(ref_oracle, tmp_path):
+    """For the SAME hash matrix, our finalize order equals the reference's
+    file order (its sorted_dumper (pos, key) order, mer_heap.hpp:26-30):
+    we read back the matrix the reference generated from its header, pin
+    our counter to it, count the same multiset, and compare sequences."""
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.io.files import DBReader
+    from jellyfish_tpu.mer import MerDNA
+
+    k, size = 15, 2048  # lsize 11 < 2k: real (non-identity) matrix
+    pairs = _random_mer_counts(k, 800, seed=23)
+    db = tmp_path / "ref.jf"
+    inp = "".join(f"{m} {v}\n" for m, v in pairs.items())
+    subprocess.run(
+        [ref_oracle, "write", str(db), str(k), str(size)],
+        input=inp.encode(), check=True, capture_output=True,
+    )
+
+    with DBReader(str(db)) as r:
+        matrix = r.header.matrix()
+        ref_order = [(m, v) for m, v in r]
+
+    c = MerCounter(k, size=size, canonical=False, matrix=matrix)
+    for mer, v in pairs.items():
+        c.add_mers_np([MerDNA(mer).bits], value=v)
+    mers, counts = c.finalize()
+    ours = [(int(m), int(v)) for m, v in zip(mers, counts)]
+    assert ours == ref_order
