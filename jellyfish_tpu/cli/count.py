@@ -53,6 +53,9 @@ def add_parser(sub):
     p.add_argument("-U", "--upper-count", type=int, default=None)
     p.add_argument("--sam", action="append", default=[], metavar="PATH",
                    help="SAM/BAM/CRAM formatted input file")
+    p.add_argument("-d", "--devices", default="1", metavar="N|auto",
+                   help="Shard the hash across N chips of the mesh "
+                        "('auto' = all visible devices; TPU extension)")
     add_common_input_flags(p)
     p.add_argument("file", nargs="*", help="Sequence file(s) (fasta/fastq)")
     p.set_defaults(func=run)
@@ -87,6 +90,26 @@ def _prefetch(iterable, depth: int = 4):
     t.join()
     if state["error"] is not None:
         raise state["error"]
+
+
+def _batched(iterable, n: int):
+    """Group items into lists of n, padding the tail by repeating items
+    zeroed out (works for uint8 chunks and (pwords, validbits) tuples:
+    zeroed validity/separator-only bytes produce no windows)."""
+    batch = []
+    for item in iterable:
+        batch.append(item)
+        if len(batch) == n:
+            yield batch
+            batch = []
+    if batch:
+        pad = batch[-1]
+        if isinstance(pad, tuple):
+            zero = tuple(np.zeros_like(x) for x in pad)
+        else:
+            zero = np.full_like(pad, ord("N"))
+        batch.extend([zero] * (n - len(batch)))
+        yield batch
 
 
 def _load_generator_cmds(path: str):
@@ -127,10 +150,31 @@ def run(args, argv):
             canonical=args.canonical,
         )
 
-    counter = MerCounter(
-        k, size=args.size, canonical=args.canonical,
-        rng=np.random.default_rng(), mer_filter=filt,
-    )
+    if args.devices == "auto":
+        import jax
+
+        n_devices = len(jax.devices())
+    else:
+        n_devices = int(args.devices)
+
+    if n_devices > 1:
+        from jellyfish_tpu.parallel.sharded import (
+            ShardedMerCounter,
+            make_mesh,
+        )
+
+        if filt is not None or args.if_files:
+            die("count: --bc/--bf-size/--if are not yet supported with "
+                "--devices > 1")
+        counter = ShardedMerCounter(
+            k, size=args.size, mesh=make_mesh(n_devices),
+            canonical=args.canonical, rng=np.random.default_rng(),
+        )
+    else:
+        counter = MerCounter(
+            k, size=args.size, canonical=args.canonical,
+            rng=np.random.default_rng(), mer_filter=filt,
+        )
 
     chunker = SequenceChunker(
         list(args.file), k, chunk_len=args.chunk_len, min_qual=_min_qual(args),
@@ -171,13 +215,30 @@ def run(args, argv):
         # fast ingest: host-packed 2-bit codes + validity bitstream, with
         # parse+pack running on a producer thread so host work overlaps
         # device transfers and compute (cooperative_pool2.hpp role)
-        for pwords, validbits in _prefetch(chunker.chunks_packed()):
-            counter.add_chunk_packed(pwords, validbits)
-            maybe_spill()
+        if n_devices > 1:
+            # [P, ...] batches, one chunk per shard; short tails pad with
+            # all-invalid chunks (zero validity bits -> zero windows)
+            for batch in _prefetch(
+                _batched(chunker.chunks_packed(), n_devices)
+            ):
+                counter.add_chunks_packed(
+                    np.stack([b[0] for b in batch]),
+                    np.stack([b[1] for b in batch]),
+                )
+                maybe_spill()
+        else:
+            for pwords, validbits in _prefetch(chunker.chunks_packed()):
+                counter.add_chunk_packed(pwords, validbits)
+                maybe_spill()
     else:
-        for chunk in chunker.chunks():
-            counter.add_chunk(chunk)
-            maybe_spill()
+        if n_devices > 1:
+            for batch in _prefetch(_batched(chunker.chunks(), n_devices)):
+                counter.add_chunks(np.stack(batch))
+                maybe_spill()
+        else:
+            for chunk in chunker.chunks():
+                counter.add_chunk(chunk)
+                maybe_spill()
 
     t_count = time.perf_counter()
 

@@ -140,6 +140,13 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
     return jax.jit(shard_fn)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "lsize"))
+def _recover_mers_batched(keys, inv_masks, k, lsize):
+    P, M, W = keys.shape
+    flat = mers_of_sortkeys(keys.reshape(P * M, W), inv_masks, k, lsize)
+    return flat.reshape(P, M, W)
+
+
 @functools.lru_cache(maxsize=64)
 def _merge_raw_batched_fn(n_runs: int, use_vword: bool):
     @functools.partial(jax.jit, donate_argnums=tuple(range(2 * n_runs)))
@@ -238,6 +245,14 @@ class _ShardedStore:
 
     def occupied_runs(self):
         return [r for level in self.levels for r in level]
+
+    def device_bytes(self) -> int:
+        total = 0
+        for r in self.occupied_runs():
+            for x in r:
+                if x is not None:
+                    total += int(np.prod(x.shape)) * 4
+        return total
 
     def finalize(self):
         """Returns (keys [P, M, W], lo, hi, ns [P]) compacted per shard."""
@@ -359,35 +374,49 @@ class ShardedMerCounter:
 
     # -- extraction -----------------------------------------------------------
 
-    def finalize(self):
-        """(mers object ints, counts uint64) in global hash order: shard 0's
-        run, then shard 1's, ... (owners are contiguous sortkey ranges)."""
+    def finalize_np(self):
+        """Return (mer limbs [n, W] uint32, counts [n] uint64) in GLOBAL
+        hash order: shard 0's compacted run, then shard 1's, ... (owners
+        are contiguous sortkey ranges, so shard-major concatenation IS the
+        reference's dump order). Production path: mers are recovered ON
+        DEVICE across all shards in one program and only the live slice of
+        each shard is fetched — no object ints, no full-table transfers
+        (replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
+        empty = (np.zeros((0, self.W), dtype=np.uint32),
+                 np.zeros(0, dtype=np.uint64))
         res = self.store.finalize()
         if res is None:
-            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
+            return empty
         keys, lo, hi, ns = res
-        keys_np = np.asarray(jax.device_get(keys))
-        lo_np = np.asarray(jax.device_get(lo))
-        hi_np = np.asarray(jax.device_get(hi))
+        P, M, W = keys.shape
+        mers_dev = self._recover_batched(keys)
         ns_np = np.asarray(jax.device_get(ns))
-        parts_k, parts_c = [], []
+        parts_m, parts_c = [], []
         for p in range(self.n_shards):
             n = int(ns_np[p])
             if n == 0:
                 continue
-            parts_k.append(keys_np[p, :n])
-            cnt = lo_np[p, :n].astype(np.uint64) | (
-                hi_np[p, :n].astype(np.uint64) << np.uint64(32)
+            parts_m.append(np.asarray(mers_dev[p, :n]))
+            cnt = np.asarray(lo[p, :n]).astype(np.uint64) | (
+                np.asarray(hi[p, :n]).astype(np.uint64) << np.uint64(32)
             )
             parts_c.append(cnt)
-        if not parts_k:
-            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.uint64)
-        sortkeys = np.concatenate(parts_k, axis=0)
-        counts = np.concatenate(parts_c, axis=0)
-        mers_dev = mers_of_sortkeys(
-            jnp.asarray(sortkeys), self._Ainv, self.k, self.lsize
+        if not parts_m:
+            return empty
+        return np.concatenate(parts_m, axis=0), np.concatenate(parts_c, axis=0)
+
+    def _recover_batched(self, keys):
+        return _recover_mers_batched(
+            keys, self._Ainv, k=self.k, lsize=self.lsize
         )
-        return mw.to_ints(np.asarray(mers_dev)), counts
+
+    def finalize(self):
+        """(mers object ints, counts uint64) — scripting convenience over
+        finalize_np."""
+        mers, counts = self.finalize_np()
+        if len(counts) == 0:
+            return np.zeros(0, dtype=object), counts
+        return mw.to_ints(mers), counts
 
     def reset(self) -> None:
         self.store.reset()
