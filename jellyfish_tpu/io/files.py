@@ -172,12 +172,7 @@ class DBReader:
                 mer_s, val_s = line.split()
                 yield MerDNA(mer_s).bits, int(val_s)
 
-    def records_np(self):
-        """Bulk-load a binary DB: (keys [n, key_bytes] uint8 view as needed,
-        counts uint64). Fast path for histo/stats/dump."""
-        if self.fmt != FileHeader.FORMAT_BINARY:
-            raise ValueError("records_np requires binary format")
-        data = self.f.read()
+    def _decode_records(self, data: bytes):
         rec = self._rec_len
         n = len(data) // rec
         arr = np.frombuffer(data, dtype=np.uint8, count=n * rec).reshape(n, rec)
@@ -187,6 +182,21 @@ class DBReader:
         for b in range(self._counter_len):
             counts |= arr[:, kb + b].astype(np.uint64) << np.uint64(8 * b)
         return keys, counts
+
+    def records_np(self):
+        """Bulk-load a binary DB: (keys [n, key_bytes] uint8 view as needed,
+        counts uint64). Fast path for histo/stats/dump."""
+        if self.fmt != FileHeader.FORMAT_BINARY:
+            raise ValueError("records_np requires binary format")
+        return self._decode_records(self.f.read())
+
+    def read_records_np(self, n: int):
+        """Read up to n records: same layout as records_np; empty arrays at
+        EOF. Streaming-merge block read (merge_files.cc:45-102 heap reads
+        one record at a time; we read vectorized blocks)."""
+        if self.fmt != FileHeader.FORMAT_BINARY:
+            raise ValueError("read_records_np requires binary format")
+        return self._decode_records(self.f.read(n * self._rec_len))
 
     def counts_np(self) -> np.ndarray:
         if self.fmt == FileHeader.FORMAT_BINARY:

@@ -1,11 +1,13 @@
 """K-way merge of sorted databases (jellyfish/merge_files.cc equivalent).
 
 Databases produced with the same matrix/size are all sorted by (pos, key):
-binary databases merge through a fully vectorized bulk path (numpy lexsort
-by (pos, key) + segment reduceat — no per-record python); text databases
-fall back to a streaming heap merge. Semantics match the reference
+binary databases merge through a STREAMING vectorized path — block rounds
+of numpy lexsort + segment reduceat bounded at O(k * block) host memory,
+so partials larger than RAM merge fine (the reference streams one record
+at a time through a mer_heap, merge_files.cc:45-102); text databases fall
+back to a record-streaming heap merge. Semantics match the reference
 exactly, including SUM/MIN/MAX/JACCARD ops and the "absent => count 0"
-MIN rule (merge_files.cc:45-102).
+MIN rule.
 """
 
 from __future__ import annotations
@@ -48,17 +50,6 @@ def _np_positions(key_limbs: np.ndarray, matrix, lsize: int) -> np.ndarray:
     return pos & np.uint64((1 << lsize) - 1)
 
 
-def _load_binary_np(reader: DBReader):
-    """(key limbs [n, W] u32, counts u64) from a binary DB."""
-    key_bytes, counts = reader.records_np()
-    n = len(counts)
-    kb_w = key_bytes.shape[1]
-    W = (kb_w + 3) // 4
-    buf = np.zeros((n, 4 * W), dtype=np.uint8)
-    buf[:, :kb_w] = key_bytes
-    return buf.view("<u4").reshape(n, W), counts
-
-
 class MergeError(RuntimeError):
     pass
 
@@ -76,84 +67,162 @@ def _stream(reader: DBReader, matrix, mask):
         yield (pos, key, val)
 
 
-def _merge_binary_bulk(readers, out_file, out_header, min_count, max_count,
-                       op, k, size, out_counter_len):
-    """Vectorized merge of binary DBs: load all records, lexsort by
-    (pos, key), segment-reduce per op, stream records out."""
+class _BlockStream:
+    """Block reader over one sorted binary DB: keeps a bounded buffer of
+    decoded (pos, key limbs, count) records."""
+
+    def __init__(self, reader: DBReader, matrix, lsize: int, W: int,
+                 block: int):
+        self.reader = reader
+        self.matrix = matrix
+        self.lsize = lsize
+        self.W = W
+        self.block = block
+        self.exhausted = False
+        self.pos = np.zeros(0, dtype=np.uint64)
+        self.limbs = np.zeros((0, W), dtype=np.uint32)
+        self.counts = np.zeros(0, dtype=np.uint64)
+
+    def refill(self) -> None:
+        while not self.exhausted and len(self.counts) < self.block:
+            key_bytes, counts = self.reader.read_records_np(self.block)
+            if len(counts) == 0:
+                self.exhausted = True
+                return
+            kb_w = key_bytes.shape[1]
+            buf = np.zeros((len(counts), 4 * self.W), dtype=np.uint8)
+            buf[:, :kb_w] = key_bytes
+            limbs = buf.view("<u4").reshape(len(counts), self.W)
+            pos = _np_positions(limbs, self.matrix, self.lsize)
+            self.pos = np.concatenate([self.pos, pos])
+            self.limbs = np.concatenate([self.limbs, limbs], axis=0)
+            self.counts = np.concatenate([self.counts, counts])
+
+    def last_tuple(self):
+        """(pos, limbs) of the final buffered record, or None if empty."""
+        if len(self.counts) == 0:
+            return None
+        return self.pos[-1], self.limbs[-1]
+
+    def split_le(self, frontier):
+        """Pop and return records with (pos, key) <= frontier (all records
+        when frontier is None); buffered order is already sorted."""
+        if frontier is None:
+            m = len(self.counts)
+        else:
+            fpos, flimbs = frontier
+            le = self.pos < fpos
+            eq = self.pos == fpos
+            for w in range(self.W - 1, -1, -1):
+                le |= eq & (self.limbs[:, w] < flimbs[w])
+                eq &= self.limbs[:, w] == flimbs[w]
+            le |= eq
+            m = int(np.count_nonzero(le))  # sorted: a prefix
+        out = (self.pos[:m], self.limbs[:m], self.counts[:m])
+        self.pos = self.pos[m:]
+        self.limbs = self.limbs[m:]
+        self.counts = self.counts[m:]
+        return out
+
+
+def _merge_binary_stream(readers, out_file, out_header, min_count, max_count,
+                         op, k, size, out_counter_len, block: int = 1 << 20):
+    """Streaming k-way merge of sorted binary DBs in O(k * block) host
+    memory (replaces the reference's one-record-at-a-time mer_heap,
+    merge_files.cc:45-102, with vectorized block rounds).
+
+    Per round: every record whose (pos, key) is <= the MINIMUM of the
+    streams' last buffered tuples can be emitted — no later record from
+    any sorted stream can precede it, and since a key occurs at most once
+    per input, every emitted segment is complete (MIN/JACCARD's
+    seg_len == nb_files test stays exact)."""
     nb_files = len(readers)
-    limbs_l, counts_l = [], []
-    for r in readers:
-        l, c = _load_binary_np(r)
-        limbs_l.append(l)
-        counts_l.append(c)
-    limbs = np.concatenate(limbs_l, axis=0)
-    counts = np.concatenate(counts_l, axis=0)
-    n, W = limbs.shape
     lsize = max(0, (size - 1).bit_length())
-    pos = _np_positions(limbs, readers[0].matrix, lsize)
-    order = np.lexsort(
-        tuple(limbs[:, w] for w in range(W)) + (pos,)
-    )
-    limbs = limbs[order]
-    counts = counts[order]
+    W = (readers[0].header.key_len + 31) // 32
+    streams = [
+        _BlockStream(r, readers[0].matrix, lsize, W, block) for r in readers
+    ]
 
-    if n == 0:
-        starts = np.zeros(0, dtype=np.int64)
-    else:
-        is_new = np.ones(n, dtype=bool)
-        same = np.ones(n - 1, dtype=bool)
-        for w in range(W):
-            same &= limbs[1:, w] == limbs[:-1, w]
-        is_new[1:] = ~same
-        starts = np.flatnonzero(is_new)
-    seg_len = np.diff(np.concatenate([starts, [n]]))
+    jaccard = {"inter": 0, "winter": 0, "union": 0, "wunion": 0}
+    out = open(out_file, "wb")
+    try:
+        if op is not MergeOp.JACCARD:
+            out_header.format = FileHeader.FORMAT_BINARY
+            out_header.counter_len = out_counter_len
+            out_header.write(out)
 
-    if op is MergeOp.JACCARD:
-        if n:
-            mins = np.minimum.reduceat(counts, starts)
-            maxc = np.maximum.reduceat(counts, starts)
-        else:
-            mins = maxc = np.zeros(0, dtype=np.uint64)
-        minc = np.where(seg_len == nb_files, mins, 0)
-        inter = int((minc > 0).sum())
-        winter = int(minc.sum())
-        union = max(int(len(starts)), 1)
-        wunion = max(int(maxc.sum()), 1)
-        with open(out_file, "wb") as out:
-            out.write(
-                f"Jaccard  {inter / union}\nwJaccard {winter / wunion}\n"
-                .encode()
-            )
-        return
-
-    if n:
-        if op is MergeOp.SUM:
-            vals = np.add.reduceat(counts, starts)
-        elif op is MergeOp.MIN:
-            vals = np.where(
-                seg_len == nb_files, np.minimum.reduceat(counts, starts), 0
-            )
-        else:
-            vals = np.maximum.reduceat(counts, starts)
-        keys = limbs[starts]
-        sel = (vals >= np.uint64(min_count)) & (vals <= np.uint64(max_count))
-        keys, vals = keys[sel], vals[sel]
-    else:
-        keys = np.zeros((0, W), dtype=np.uint32)
-        vals = np.zeros(0, dtype=np.uint64)
-
-    out_header.format = FileHeader.FORMAT_BINARY
-    out_header.counter_len = out_counter_len
-    with open(out_file, "wb") as out:
-        out_header.write(out)
-        block = 1 << 20
-        for off in range(0, len(vals), block):
-            out.write(
-                encode_binary_records_np(
-                    keys[off : off + block], vals[off : off + block],
-                    k, out_counter_len,
+        while True:
+            for s in streams:
+                s.refill()
+            live = [s.last_tuple() for s in streams if not s.exhausted]
+            live = [t for t in live if t is not None]
+            if live:
+                frontier = min(
+                    live, key=lambda t: (int(t[0]), tuple(int(x) for x in t[1][::-1]))
                 )
+            else:
+                frontier = None
+            parts = [s.split_le(frontier) for s in streams]
+            pos = np.concatenate([p[0] for p in parts])
+            limbs = np.concatenate([p[1] for p in parts], axis=0)
+            counts = np.concatenate([p[2] for p in parts])
+            n = len(counts)
+            if n:
+                order = np.lexsort(
+                    tuple(limbs[:, w] for w in range(W)) + (pos,)
+                )
+                limbs = limbs[order]
+                counts = counts[order]
+                is_new = np.ones(n, dtype=bool)
+                same = np.ones(n - 1, dtype=bool)
+                for w in range(W):
+                    same &= limbs[1:, w] == limbs[:-1, w]
+                is_new[1:] = ~same
+                starts = np.flatnonzero(is_new)
+                seg_len = np.diff(np.concatenate([starts, [n]]))
+
+                if op is MergeOp.JACCARD:
+                    mins = np.minimum.reduceat(counts, starts)
+                    maxc = np.maximum.reduceat(counts, starts)
+                    minc = np.where(seg_len == nb_files, mins, 0)
+                    jaccard["inter"] += int((minc > 0).sum())
+                    jaccard["winter"] += int(minc.sum())
+                    jaccard["union"] += int(len(starts))
+                    jaccard["wunion"] += int(maxc.sum())
+                else:
+                    if op is MergeOp.SUM:
+                        vals = np.add.reduceat(counts, starts)
+                    elif op is MergeOp.MIN:
+                        vals = np.where(
+                            seg_len == nb_files,
+                            np.minimum.reduceat(counts, starts), 0,
+                        )
+                    else:
+                        vals = np.maximum.reduceat(counts, starts)
+                    keys = limbs[starts]
+                    sel = (vals >= np.uint64(min_count)) & (
+                        vals <= np.uint64(max_count)
+                    )
+                    keys, vals = keys[sel], vals[sel]
+                    for off in range(0, len(vals), block):
+                        out.write(
+                            encode_binary_records_np(
+                                keys[off : off + block],
+                                vals[off : off + block], k, out_counter_len,
+                            )
+                        )
+            if frontier is None:
+                break
+
+        if op is MergeOp.JACCARD:
+            union = max(jaccard["union"], 1)
+            wunion = max(jaccard["wunion"], 1)
+            out.write(
+                f"Jaccard  {jaccard['inter'] / union}\n"
+                f"wJaccard {jaccard['winter'] / wunion}\n".encode()
             )
+    finally:
+        out.close()
 
 
 def merge_files(
@@ -215,7 +284,7 @@ def merge_files(
             out_header.root.update(out_header_extra)
 
         if fmt == FileHeader.FORMAT_BINARY:
-            return _merge_binary_bulk(
+            return _merge_binary_stream(
                 readers, out_file, out_header, min_count, max_count, op,
                 key_len // 2, size, out_counter_len,
             )
