@@ -130,9 +130,7 @@ def _min_qual(args):
 def run(args, argv):
     from jellyfish_tpu.cli.common import die
     from jellyfish_tpu.counter import MerCounter
-    from jellyfish_tpu.io.dumpers import dump_counter
     from jellyfish_tpu.io.parse import SequenceChunker
-    from jellyfish_tpu.merge import merge_files
 
     t_start = time.perf_counter()
     k = args.mer_len
@@ -182,14 +180,44 @@ def run(args, argv):
         nb_files=args.nb_files,
     )
 
+    # terminate generator children on SIGTERM/SIGINT instead of leaking
+    # them (count_main.cc:209-216 kills the generator manager): convert
+    # the signal to SystemExit so the finally below reaps everything
+    import signal
+
+    def _on_term(signum, frame):
+        raise SystemExit(143)
+
+    old_term = None
+    try:
+        old_term = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not the main thread (library use)
+
+    try:
+        return _run_counting(args, argv, k, counter, chunker, t_start)
+    finally:
+        chunker.close()
+        if old_term is not None:
+            signal.signal(signal.SIGTERM, old_term)
+
+
+def _run_counting(args, argv, k, counter, chunker, t_start):
+    from jellyfish_tpu.io.dumpers import dump_counter
+    from jellyfish_tpu.io.parse import SequenceChunker
+    from jellyfish_tpu.merge import merge_files
+
+    n_devices = counter.n_shards if hasattr(counter, "n_shards") else 1
+    filt = getattr(counter, "mer_filter", None)
+
     if args.if_files:
         # build the restriction BEFORE counting (the reference PRIMEs the
         # table first, count_main.cc:288-295) so --disk spill dumps are
         # filtered too: every finalize applies the restrict store
-        allowed = SequenceChunker(
+        with SequenceChunker(
             list(args.if_files), k, chunk_len=args.chunk_len
-        )
-        counter.restrict_to(allowed.chunks())
+        ) as allowed:
+            counter.restrict_to(allowed.chunks())
 
     t_init = time.perf_counter()
 

@@ -213,6 +213,7 @@ class SequenceChunker:
         self.sam_paths = list(sam_paths or [])
         self.nb_files = max(1, int(nb_files))
         self.reads = 0
+        self._procs: set = set()
 
     def _streams(self):
         for path in self.paths:
@@ -221,14 +222,55 @@ class SequenceChunker:
             yield _IterStream(sam_records_to_fastx(open_stream(path))), None
         for cmd in self.generator_cmds:
             proc = subprocess.Popen(
-                [self.shell, "-c", cmd], stdout=subprocess.PIPE
+                [self.shell, "-c", cmd], stdout=subprocess.PIPE,
+                start_new_session=False,
             )
+            self._procs.add(proc)
             yield proc.stdout, proc
+
+    def _finish_proc(self, proc, completed: bool) -> None:
+        """Reap a generator subprocess. After normal stream exhaustion,
+        wait and propagate a nonzero exit status; on abandonment
+        (interrupt, downstream error, close()) terminate-then-kill so no
+        children leak — the reference's SIGTERM handling kills the
+        generator manager and its children (count_main.cc:209-216,
+        lib/generator_manager.cc:186-215)."""
+        self._procs.discard(proc)
+        try:
+            if completed:
+                ret = proc.wait()
+                if ret != 0:
+                    raise RuntimeError(
+                        f"generator subprocess exited with status {ret}"
+                    )
+                return
+            if proc.poll() is None:
+                proc.terminate()
+                try:
+                    proc.wait(timeout=5)
+                except subprocess.TimeoutExpired:
+                    proc.kill()
+                    proc.wait()
+        finally:
+            if proc.stdout is not None:
+                proc.stdout.close()
+
+    def close(self) -> None:
+        """Terminate any live generator subprocesses (idempotent)."""
+        for proc in list(self._procs):
+            self._finish_proc(proc, completed=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def _read_bytes(self):
         """Yield filtered sequence bytes per read across all streams."""
         want_quals = self.min_qual is not None
         for stream, proc in self._streams():
+            completed = False
             try:
                 for item in iter_reads(stream, with_quals=want_quals):
                     if want_quals:
@@ -242,13 +284,10 @@ class SequenceChunker:
                         seq = item
                     self.reads += 1
                     yield seq
+                completed = True
             finally:
                 if proc is not None:
-                    ret = proc.wait()
-                    if ret != 0:
-                        raise RuntimeError(
-                            f"generator subprocess exited with status {ret}"
-                        )
+                    self._finish_proc(proc, completed)
                 elif stream is not sys.stdin.buffer:
                     stream.close()
 
@@ -305,6 +344,7 @@ class SequenceChunker:
                             break
                         state["next"] = i + 1
                     stream, proc = streams[i]
+                    completed = False
                     try:
                         while True:
                             data = stream.read(1 << 20)
@@ -314,13 +354,10 @@ class SequenceChunker:
                                 q.put(c)
                         for c in nc.end_stream():
                             q.put(c)
+                        completed = True
                     finally:
                         if proc is not None:
-                            ret = proc.wait()
-                            if ret != 0:
-                                raise RuntimeError(
-                                    f"generator exited with status {ret}"
-                                )
+                            self._finish_proc(proc, completed)
                         elif stream is not sys.stdin.buffer:
                             stream.close()
                 for c in nc.finish():
@@ -362,6 +399,7 @@ class SequenceChunker:
         nc = NativeChunker(self.k, self.chunk_len, self.min_qual)
         emitted = False
         for stream, proc in self._streams():
+            completed = False
             try:
                 while True:
                     data = stream.read(1 << 20)
@@ -373,13 +411,10 @@ class SequenceChunker:
                 for c in nc.end_stream():
                     emitted = True
                     yield c
+                completed = True
             finally:
                 if proc is not None:
-                    ret = proc.wait()
-                    if ret != 0:
-                        raise RuntimeError(
-                            f"generator subprocess exited with status {ret}"
-                        )
+                    self._finish_proc(proc, completed)
                 elif stream is not sys.stdin.buffer:
                     stream.close()
         for c in nc.finish():

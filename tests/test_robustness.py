@@ -103,3 +103,48 @@ def test_gzip_input(tmp_path, rng):
     with DBReader(db) as r:
         got = dict(iter(r))
     assert got == oracle_counts([seq], 15, False)
+
+
+def test_generator_children_reaped_on_abandon(tmp_path):
+    """Abandoning chunk iteration mid-stream (downstream error/interrupt)
+    terminates generator children instead of leaking them or hanging in
+    wait() (lib/generator_manager.cc:186-215 role)."""
+    import subprocess
+    import time as _time
+
+    from jellyfish_tpu.io.parse import SequenceChunker
+
+    fa = tmp_path / "big.fa"
+    with open(fa, "w") as f:
+        f.write(">r\n")
+        for _ in range(2000):
+            f.write("ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT\n")
+
+    ch = SequenceChunker(
+        [], 21, chunk_len=4096,
+        generator_cmds=[f"while true; do cat {fa}; done"],
+    )
+    it = ch.chunks()
+    next(it)  # generator child is live and producing
+    assert len(ch._procs) == 1
+    proc = next(iter(ch._procs))
+    it.close()  # abandon mid-stream (GeneratorExit into the finally)
+    ch.close()
+    deadline = _time.time() + 10
+    while proc.poll() is None and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert proc.poll() is not None, "generator child leaked after abandon"
+
+
+def test_generator_exit_status_still_raises(tmp_path):
+    """Normal exhaustion still surfaces a failing generator's status."""
+    import pytest as _pytest
+
+    from jellyfish_tpu.io.parse import SequenceChunker
+
+    ch = SequenceChunker(
+        [], 5, chunk_len=256,
+        generator_cmds=["printf '>r\\nACGTACGTAC\\n'; exit 3"],
+    )
+    with _pytest.raises(RuntimeError, match="status 3"):
+        list(ch.chunks())
