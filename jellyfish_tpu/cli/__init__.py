@@ -34,6 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     tools.add_mem_parser(sub)
     tools.add_cite_parser(sub)
     tools.add_generate_parser(sub)
+    tools.add_fastq2sam_parser(sub)
     return parser
 
 

@@ -205,6 +205,8 @@ def run_query(args, argv):
         check = db.check_int
     elif header.format == FileHeader.FORMAT_BINARY:
         db = BinaryQuery(args.file)
+        if args.load and not args.no_load:
+            db.preload()
         check = db.check
     else:
         die(f"Unsupported format '{header.format}'. "
@@ -217,13 +219,44 @@ def run_query(args, argv):
             m = m.get_canonical()
         return check(m.bits)
 
+    batch_ok = (
+        2 * k <= 64
+        and header.format == FileHeader.FORMAT_BINARY
+        and hasattr(db, "check_batch")
+    )
     for path in args.sequence:
         from jellyfish_tpu.io.parse import iter_reads, open_stream
 
         with open_stream(path) as stream:
-            for seq in iter_reads(stream):
-                for m in string_mers(seq.decode(), k):
-                    out.write(f"{m} {val(m)}\n")
+            if batch_ok:
+                # vectorized path: batch extraction + one shared binary
+                # search (orders of magnitude over per-mer python)
+                import numpy as np
+
+                from jellyfish_tpu.io.files import mer_strings_np
+                from jellyfish_tpu.mer import revcomp_np, seq_mers_np
+
+                for seq in iter_reads(stream):
+                    mers = seq_mers_np(seq, k)
+                    if not len(mers):
+                        continue
+                    lookup = (
+                        np.minimum(mers, revcomp_np(mers, k))
+                        if canonical else mers
+                    )
+                    vals = db.check_batch(lookup)
+                    W = (2 * k + 31) // 32
+                    limbs = np.stack(
+                        [(mers >> np.uint64(32 * w)).astype(np.uint32)
+                         for w in range(W)], axis=1,
+                    )
+                    chars = mer_strings_np(limbs, k)
+                    for row, v in zip(chars, vals):
+                        out.write(f"{row.tobytes().decode()} {v}\n")
+            else:
+                for seq in iter_reads(stream):
+                    for m in string_mers(seq.decode(), k):
+                        out.write(f"{m} {val(m)}\n")
     for s in args.mers:
         try:
             m = MerDNA(s)

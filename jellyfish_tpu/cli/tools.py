@@ -224,3 +224,52 @@ def run_generate(args, argv):
                         f.write(b">read%d\n" % rid)
                         read = 0
     return 0
+
+
+def add_fastq2sam_parser(sub):
+    p = sub.add_parser(
+        "fastq2sam",
+        help="Convert .fastq files to unaligned .sam "
+             "(jellyfish/fastq2sam.cc equivalent)",
+    )
+    p.add_argument("fastq", nargs="+", help="Input .fastq file(s)")
+    p.set_defaults(func=run_fastq2sam)
+    return p
+
+
+def run_fastq2sam(args, argv):
+    """Each INPUT.fastq becomes INPUT.sam of unmapped records
+    (flag 4, no reference), matching fastq2sam.cc:17-54 exactly:
+    'name\\t4\\t*\\t0\\t0\\t*\\t*\\t0\\t0\\tSEQ\\tQUALS'."""
+    from jellyfish_tpu.cli.common import die
+
+    for path in args.fastq:
+        if not path.endswith(".fastq"):
+            die("fastq2sam: Input must have '.fastq' extension")
+        out_path = path[: -len(".fastq")] + ".sam"
+        try:
+            inf = open(path, "rb")
+        except OSError:
+            die(f"fastq2sam: Failed to open '{path}'")
+        with inf, open(out_path, "wb") as out:
+            while True:
+                at = inf.read(1)
+                if not at:
+                    break
+                if at != b"@":
+                    die("fastq2sam: Input fastq file badly formatted. "
+                        f"Unexpected characters '{at.decode(errors='replace')}'"
+                        f" at position {inf.tell()}")
+                name = inf.readline().rstrip(b"\r\n")
+                seq = inf.readline().rstrip(b"\r\n")
+                plus = inf.read(1)
+                if plus != b"+":
+                    die("fastq2sam: Input fastq file badly formatted. "
+                        f"Unexpected characters at position {inf.tell()}")
+                inf.readline()
+                quals = inf.readline().rstrip(b"\r\n")
+                out.write(
+                    name + b"\t4\t*\t0\t0\t*\t*\t0\t0\t" + seq + b"\t"
+                    + quals + b"\n"
+                )
+    return 0

@@ -242,6 +242,86 @@ class BinaryQuery:
             self._first_pos = self._pos(self._first_key)
             self._last_pos = self._pos(self._last_key)
 
+    def preload(self) -> None:
+        """Pre-fault the whole mapping (query -l/--load; the reference's
+        mapped_file::load + sequential madvise, mapped_file.hpp:24-150,
+        query_main.cc:109-114)."""
+        try:
+            self.mm.madvise(mmap.MADV_WILLNEED)
+        except (AttributeError, ValueError, OSError):
+            pass
+        step = mmap.PAGESIZE * 1024
+        for off in range(0, len(self.mm), step):
+            self.mm[off]
+
+    def _records_view(self) -> np.ndarray:
+        """[n, rec] uint8 zero-copy view over the mmap (pages fault in
+        lazily, so batch searches touch only what they visit)."""
+        return np.frombuffer(
+            self.mm, dtype=np.uint8, count=self.n * self._rec,
+            offset=self.offset,
+        ).reshape(self.n, self._rec)
+
+    def check_batch(self, mer_bits: np.ndarray) -> np.ndarray:
+        """Vectorized counts for a uint64 array of (already canonicalized)
+        mers — requires 2k <= 64. One shared vectorized binary search over
+        (pos, key) order instead of per-mer python (the batch counterpart
+        of binary_query_base::val_id)."""
+        q = np.ascontiguousarray(mer_bits, dtype=np.uint64)
+        out = np.zeros(len(q), dtype=np.uint64)
+        if self.n == 0 or len(q) == 0:
+            return out
+        if self._key_bytes > 8:
+            raise ValueError("check_batch requires 2k <= 64")
+        recs = self._records_view()
+        kb = self._key_bytes
+
+        def key_of(idx: np.ndarray) -> np.ndarray:
+            b = recs[idx, :kb].astype(np.uint64)
+            k = np.zeros(len(idx), dtype=np.uint64)
+            for j in range(kb):
+                k |= b[:, j] << np.uint64(8 * j)
+            return k
+
+        limbs = np.empty((len(q), (kb + 3) // 4), dtype=np.uint32)
+        for w in range(limbs.shape[1]):
+            limbs[:, w] = (q >> np.uint64(32 * w)).astype(np.uint32)
+        from jellyfish_tpu.merge import _np_positions
+
+        lsize = max(0, (self.header.size - 1).bit_length())
+        qpos = _np_positions(limbs, self.matrix, lsize)
+
+        lo = np.zeros(len(q), dtype=np.int64)
+        hi = np.full(len(q), self.n, dtype=np.int64)
+        # records are sorted by (pos, key): plain vectorized binary search
+        for _ in range(int(self.n).bit_length() + 1):
+            mid = (lo + hi) >> 1
+            live = lo < hi
+            m = np.where(live, mid, 0)
+            mk = key_of(m)
+            mp = _np_positions(
+                np.ascontiguousarray(
+                    np.stack(
+                        [(mk >> np.uint64(32 * w)).astype(np.uint32)
+                         for w in range(limbs.shape[1])], axis=1
+                    )
+                ),
+                self.matrix, lsize,
+            )
+            less = (mp < qpos) | ((mp == qpos) & (mk < q))
+            lo = np.where(live & less, mid + 1, lo)
+            hi = np.where(live & ~less, mid, hi)
+        found = lo < self.n
+        fk = key_of(np.where(found, lo, 0))
+        found &= fk == q
+        idx = np.where(found, lo, 0)
+        cb = recs[idx, kb : kb + self._counter_len].astype(np.uint64)
+        vals = np.zeros(len(q), dtype=np.uint64)
+        for j in range(self._counter_len):
+            vals |= cb[:, j] << np.uint64(8 * j)
+        out[found] = vals[found]
+        return out
+
     def _key_at(self, i: int) -> int:
         off = self.offset + i * self._rec
         return int.from_bytes(self.mm[off : off + self._key_bytes], "little")

@@ -260,3 +260,52 @@ def string_mers(s: str, k: int):
 def string_canonicals(s: str, k: int):
     for m in string_mers(s, k):
         yield m.get_canonical()
+
+
+import numpy as np  # noqa: E402  (host batch helpers below)
+
+_CODE_LUT = np.full(256, -1, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _CODE_LUT[_b] = _i
+    _CODE_LUT[_b + 32] = _i  # lowercase
+
+
+def revcomp_np(mers: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized reverse complement of uint64 mers (2k <= 64): complement
+    is code^3, reversal swaps 2-bit groups then bytes
+    (mer_dna.hpp:83-113's checkered-mask trick on a numpy vector)."""
+    if 2 * k > 64:
+        raise ValueError("revcomp_np requires 2k <= 64")
+    mask = np.uint64((1 << (2 * k)) - 1)
+    x = (np.asarray(mers, dtype=np.uint64) ^ mask) & mask
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    x = x.byteswap()
+    return x >> np.uint64(64 - 2 * k)
+
+
+def seq_mers_np(seq, k: int, canonical: bool = False) -> np.ndarray:
+    """All valid k-mer windows of a byte sequence as uint64 (2k <= 64),
+    fully vectorized (the batch twin of string_mers/string_canonicals).
+    Windows containing invalid bases are skipped."""
+    if 2 * k > 64:
+        raise ValueError("seq_mers_np requires 2k <= 64")
+    b = np.frombuffer(seq, dtype=np.uint8) if isinstance(
+        seq, (bytes, bytearray)
+    ) else np.asarray(seq, dtype=np.uint8)
+    if len(b) < k:
+        return np.zeros(0, dtype=np.uint64)
+    codes = _CODE_LUT[b]
+    ok = codes >= 0
+    cs = np.concatenate([[0], np.cumsum(ok, dtype=np.int64)])
+    valid = (cs[k:] - cs[:-k]) == k  # all k bases of the window valid
+    u = np.where(ok, codes, 0).astype(np.uint64)
+    m = np.zeros(len(b) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        m = (m << np.uint64(2)) | u[j : len(b) - k + 1 + j]
+    m = m[valid]
+    if canonical:
+        m = np.minimum(m, revcomp_np(m, k))
+    return m

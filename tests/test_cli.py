@@ -233,3 +233,40 @@ def test_generator_failure_propagates(tmp_path):
     with pytest.raises(RuntimeError, match="status 3"):
         for _ in ch.chunks():
             pass
+
+
+def test_fastq2sam_roundtrip(tmp_path):
+    fq = tmp_path / "reads.fastq"
+    fq.write_bytes(b"@r1 extra\nACGTACGT\n+\nIIIIIIII\n@r2\nTTTT\n+\n!!!!\n")
+    run_cli(["fastq2sam", str(fq)])
+    sam = (tmp_path / "reads.sam").read_bytes()
+    assert sam == (
+        b"r1 extra\t4\t*\t0\t0\t*\t*\t0\t0\tACGTACGT\tIIIIIIII\n"
+        b"r2\t4\t*\t0\t0\t*\t*\t0\t0\tTTTT\t!!!!\n"
+    )
+
+
+def test_query_sequence_file_batch(tmp_path, capsys):
+    """query -s uses the vectorized batch path; counts match per-mer
+    lookups, and -l preload works."""
+    import numpy as np
+
+    fa = tmp_path / "in.fa"
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), size=800))
+    fa.write_text(f">r\n{seq}\n")
+    db = tmp_path / "db.jf"
+    run_cli(["count", "-m", "15", "-s", "4k", "-C", "-o", str(db), str(fa)])
+    qf = tmp_path / "q.fa"
+    qseq = seq[100:200] + "N" + seq[300:350]
+    qf.write_text(f">q\n{qseq}\n")
+    out_ = run_cli(["query", "-s", str(qf), str(db)], capsys)
+    lines = out_.strip().splitlines()
+    from jellyfish_tpu.mer import string_canonicals, string_mers
+
+    exp_mers = [str(m) for m in string_mers(qseq, 15)]
+    assert [l.split()[0] for l in lines] == exp_mers
+    # every queried window came from the counted sequence: count >= 1
+    assert all(int(l.split()[1]) >= 1 for l in lines)
+    out2 = run_cli(["query", "-l", "-s", str(qf), str(db)], capsys)
+    assert out2 == out_
