@@ -108,29 +108,136 @@ class _BloomBase:
         return ((base[None, :] + i * inc[None, :]) % m).astype(np.int64)
 
 
-class BloomCounter2(_BloomBase):
-    """Saturating {0,1,>=2} counter (bloom_counter2.hpp)."""
+def _bc_insert_dev_fn():
+    """Jitted device bloom-counter insert (atomic_bits_array.hpp:83-97 /
+    bloom_counter2.hpp:56-107 role, re-expressed as sort + segment-sum +
+    sorted scatter-add): requires m = 2^logm <= 2^32 so the probe
+    arithmetic (h0 + i*h1) mod m is a pure u32 mask — no 64-bit mod on
+    TPU. Exact vs the host path: low bits of the 64-bit hashes are
+    identical, and saturating-at-2 accumulation commutes with batching."""
+    import functools
 
-    def __init__(self, m, nb_hashes, k, m1, m2, canonical=False, cells=None):
+    import jax
+    import jax.numpy as jnp
+
+    from jellyfish_tpu.ops.hashing import gf2_times
+
+    @functools.partial(
+        jax.jit, donate_argnums=(0,), static_argnames=("nb", "logm")
+    )
+    def f(cells, mers, weights, A1, A2, nb, logm):
+        N = mers.shape[0]
+        h0 = gf2_times(mers, A1, 2)[:, 0]
+        h1 = gf2_times(mers, A2, 2)[:, 0]
+        mask = jnp.uint32((1 << logm) - 1) if logm < 32 else ~jnp.uint32(0)
+        i = jnp.arange(nb, dtype=jnp.uint32)[:, None]
+        pos = ((h0[None, :] + i * h1[None, :]) & mask).reshape(-1)
+        w = jnp.minimum(weights, 2).astype(jnp.uint32)
+        wb = jnp.broadcast_to(w[None, :], (nb, N)).reshape(-1)
+        spos, sw = jax.lax.sort([pos, wb], num_keys=1, is_stable=False)
+        M = spos.shape[0]
+        idx = jnp.arange(M, dtype=jnp.int32)
+        is_new = (spos != jnp.roll(spos, 1)).at[0].set(True)
+        # gather-free wrapped segment sums: csum is monotone (< 2^32)
+        csum = jnp.cumsum(sw, dtype=jnp.uint32)
+        prev = jax.lax.cummax(
+            jnp.where(is_new, jnp.roll(csum, 1).at[0].set(0), 0)
+        )
+        seg = csum - prev
+        is_last = jnp.roll(is_new, -1).at[M - 1].set(True)
+        add = jnp.where(is_last, jnp.minimum(seg, 2), 0).astype(cells.dtype)
+        # each position receives its add on exactly one row (zeros on the
+        # rest), so cells + add <= 4: no u8 wrap before the clip
+        cells = cells.at[spos].add(add, indices_are_sorted=True)
+        return jnp.minimum(cells, jnp.asarray(2, dtype=cells.dtype))
+
+    return f
+
+
+class BloomCounter2(_BloomBase):
+    """Saturating {0,1,>=2} counter (bloom_counter2.hpp). With
+    device=True (and m a power of two <= 2^32) cells live in HBM and
+    inserts run as one jitted program per batch."""
+
+    def __init__(self, m, nb_hashes, k, m1, m2, canonical=False, cells=None,
+                 device: bool = False):
         super().__init__(m, nb_hashes, k, m1, m2, canonical)
-        self.cells = (
+        self._cells_np = (
             cells if cells is not None else np.zeros(self.m, dtype=np.uint8)
         )
+        self._cells_dev = None
+        self._device = bool(
+            device and self.m <= (1 << 32) and (self.m & (self.m - 1)) == 0
+        )
+        self._insert_fn = None
+
+    @property
+    def cells(self) -> np.ndarray:
+        if self._cells_dev is not None:
+            self._cells_np = np.asarray(self._cells_dev)
+            self._cells_dev = None
+        return self._cells_np
+
+    @cells.setter
+    def cells(self, v) -> None:
+        self._cells_np = v
+        self._cells_dev = None
 
     @classmethod
     def from_fpr(cls, fpr: float, n: int, k: int,
-                 rng: np.random.Generator | None = None, canonical=False):
+                 rng: np.random.Generator | None = None, canonical=False,
+                 device: bool | None = None):
         rng = rng or np.random.default_rng()
         m1, m2 = _random_hash_pair(k, rng)
-        return cls(opt_m(fpr, n), opt_k(fpr), k, m1, m2, canonical)
+        m = opt_m(fpr, n)
+        if device is None:
+            try:
+                import jax  # noqa: F401
 
-    def insert_counts(self, mers_u32: np.ndarray, weights: np.ndarray) -> None:
+                device = True
+            except Exception:
+                device = False
+        if device:
+            # round up to a power of two (fpr only improves; the header
+            # records m, so files stay interoperable with any reader)
+            p2 = 1 << max(1, (m - 1).bit_length())
+            if p2 <= (1 << 32):
+                m = p2
+            else:
+                device = False
+        return cls(m, opt_k(fpr), k, m1, m2, canonical, device=device)
+
+    def insert_counts(self, mers_u32, weights) -> None:
         """Insert each mer `weights[i]` times (saturating at 2 per cell).
 
-        Accumulation is sort-unique over probe positions instead of
-        np.bincount: bincount with weights allocates an m-sized float64
-        temp (8 bytes/cell — 22 GB for a 200M-mer filter); here the temps
-        scale with the batch, not the filter."""
+        Device mode: ONE jitted program (MXU hashes -> masked probes ->
+        sort -> segment-sum -> sorted scatter-add into HBM-resident
+        cells); accepts device arrays directly (PAD rows with weight 0
+        are harmless: they add 0). Host fallback: sort-unique over probe
+        positions instead of np.bincount (bincount with weights allocates
+        an m-sized float64 temp — 22 GB for a 200M-mer filter)."""
+        if self._device:
+            import jax.numpy as jnp
+
+            if self._insert_fn is None:
+                self._insert_fn = _bc_insert_dev_fn()
+            if self._cells_dev is None:
+                import jax
+
+                self._cells_dev = jax.device_put(self._cells_np)
+            A1, A2 = self._device_matrices()
+            self._cells_dev = self._insert_fn(
+                self._cells_dev,
+                jnp.asarray(np.ascontiguousarray(mers_u32))
+                if isinstance(mers_u32, np.ndarray) else mers_u32,
+                jnp.asarray(weights, dtype=jnp.uint32)
+                if isinstance(weights, np.ndarray) else weights,
+                A1, A2,
+                nb=self.nb_hashes, logm=(self.m - 1).bit_length(),
+            )
+            return
+        mers_u32 = np.asarray(mers_u32)
+        weights = np.asarray(weights)
         sel = weights > 0
         if not sel.any():
             return

@@ -152,7 +152,8 @@ def run_bc(args, argv):
             k=k, lsize=counter.lsize, canonical=args.canonical,
         )
         mers = _recover_mers(keys, counter._Ainv, k=k, lsize=counter.lsize)
-        bc.insert_counts(np.asarray(mers), np.asarray(counts))
+        # device mode consumes the device arrays directly (no host trip)
+        bc.insert_counts(mers, counts)
     t_count = time.perf_counter()
 
     write_bloom_counter(bc, args.output, cmdline=argv)

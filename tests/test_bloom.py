@@ -87,3 +87,34 @@ def test_bloom_filter_presence(rng):
     assert not first.any() or first.mean() < 0.02  # FPs only
     second = bf.insert_batch(a)
     assert second.all()
+
+
+def test_device_insert_matches_host_path():
+    """Device bloom-counter insert (sort + segment-sum + sorted scatter)
+    produces cell-for-cell the same filter as the host sort-unique path
+    for the same power-of-two m and matrices."""
+    import numpy as np
+
+    from jellyfish_tpu.bloom import BloomCounter2, _random_hash_pair
+    from jellyfish_tpu.ops import multiword as mw
+
+    rng = np.random.default_rng(17)
+    k = 21
+    m1, m2 = _random_hash_pair(k, rng)
+    m = 1 << 14
+    host = BloomCounter2(m, 4, k, m1, m2, device=False)
+    dev = BloomCounter2(m, 4, k, m1, m2, device=True)
+    assert dev._device
+
+    W = mw.nwords(2 * k)
+    for batch in range(3):
+        n = 500 + batch * 100
+        mers = rng.integers(0, 1 << 32, size=(n, W), dtype=np.uint32)
+        mers[:, -1] &= (1 << 10) - 1  # keep within 2k bits
+        weights = rng.integers(0, 4, size=n).astype(np.uint32)
+        host.insert_counts(mers, weights)
+        dev.insert_counts(mers, weights)
+    assert (host.cells == dev.cells).all()
+    probe = rng.integers(0, 1 << 32, size=(64, W), dtype=np.uint32)
+    probe[:, -1] &= (1 << 10) - 1
+    assert (host.check(probe) == dev.check(probe)).all()
