@@ -20,11 +20,14 @@ Per-shard accumulation reuses the forest-store kernels (ops/count.merge_raw
 / merge_many) vmapped over a leading [P] shard axis that stays sharded on
 the mesh, so every merge is chip-local (no collectives).
 
-Exactness: the exchange is capacity-free — device s sends to owner d a
-full-length masked copy of its raw run (non-owned slots are PAD with weight
-0), so no entry can ever be dropped regardless of hash skew. This trades
-bandwidth (P x the compacted volume) for static shapes; a
-ragged-all-to-all compaction is a planned optimization.
+Exchange: each device sorts its sortkeys locally (key order = owner
+order), then ships one contiguous ~(N/P + 25%) segment per destination
+through a regular tiled all-to-all — exchange volume ~= 1.3x the
+compacted volume and per-step ingest is [P, ~1.3N] rather than the masked
+fallback's [P, P*N]. Segment capacity overflow (a >25% binomial deviation
+under the random invertible matrix) is detected on device and raised at
+finalize, never silently truncated. The capacity-free masked exchange
+remains as compact_exchange=False.
 """
 
 from __future__ import annotations
@@ -76,20 +79,38 @@ def _owner_of_sortkeys(sortkeys, weights, c: int, log_p: int):
     return jnp.where(weights == 0, -1, owner)
 
 
+def _exchange_cap(N: int, n_shards: int) -> int:
+    """Static per-destination segment capacity for the compact exchange.
+    The hash matrix is random and invertible, so per-(sender, dest) loads
+    are binomial around N/P with sd ~ sqrt(N/P): a 25% + 2048 margin is
+    dozens of sigmas; overflow is still DETECTED (device flag checked at
+    finalize) rather than silently truncated."""
+    if n_shards <= 1:
+        return N
+    return N // n_shards + N // (4 * n_shards) + 2048
+
+
 def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
-                packed_L: int | None = None):
-    """Jitted per-step program: [P, L] chunks -> per-shard raw owned runs
-    [P, P*N, W] / [P, P*N] (weights in {0,1}). With packed_L set, inputs
-    are (pwords [P, L/16], validbits [P, L/32]) host-packed chunks."""
+                packed_L: int | None = None, compact: bool = True):
+    """Jitted per-step program: [P, L] chunks -> per-shard raw owned runs.
+
+    compact=True (default): each device sorts its keys locally (owner =
+    top log2(P) sortkey bits, so key order IS owner order), slices one
+    contiguous ~(N/P + 25%) segment per destination and a regular tiled
+    all-to-all ships them — exchange volume ~= 1.3x the compacted volume,
+    and the per-step store ingest is [P, ~1.3N] instead of [P, P*N] (the
+    masked scheme's P x blowup in both bandwidth and downstream sort
+    volume). Static shapes on every backend (jax.lax.ragged_all_to_all
+    exists but is unimplemented on XLA:CPU, so it would be untestable
+    here). Returns (keys [P, P*capp, W], weights, overflow [P] i32).
+
+    compact=False: the capacity-free masked all-to-all (full-length
+    masked copy per destination) kept as a fallback."""
     n_shards = mesh.devices.size
     c = 2 * k
     log_p = ceil_log2(n_shards)
 
-    def _local_core(mers, valid, masks):
-        sk = sortkey_of_mers(mers, masks, k, lsize)
-        w = valid.astype(jnp.uint32)
-        N, W = sk.shape
-
+    def _local_masked(sk, w, N, W):
         owner = _owner_of_sortkeys(sk, w, c, log_p)
         dst = jnp.arange(n_shards, dtype=jnp.int32)
         send_mask = owner[None, :] == dst[:, None]  # [P, N]
@@ -106,10 +127,74 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
             )
         else:
             recv_keys, recv_w = sent_keys, sent_w
+        zero = jnp.zeros((1,), dtype=jnp.int32)
         return (
             recv_keys.reshape(1, n_shards * N, W),
             recv_w.reshape(1, n_shards * N),
+            zero,
         )
+
+    def _local_compact(sk, w, N, W):
+        # local keys-only sort: ascending sortkey = ascending owner, PADs
+        # (invalid windows, already masked) last
+        limbs = [sk[:, W - 1 - i] for i in range(W)]
+        s = jax.lax.sort(limbs, num_keys=W, is_stable=False)
+        sorted_sk = jnp.stack([s[W - 1 - i] for i in range(W)], axis=-1)
+        n_valid = jnp.sum(w, dtype=jnp.uint32).astype(jnp.int32)
+        # NOTE rows >= n_valid are all-ones; any genuine all-ones mers are
+        # bit-identical to PADs, and exactly (#all-ones-rows - #pads) of
+        # them sit below n_valid, so truncating the send at n_valid ships
+        # the exact valid multiset (pad accounting comes free)
+        own = _owner_of_sortkeys(
+            sorted_sk, jnp.ones(N, dtype=jnp.uint32), c, log_p
+        )
+        idx = jnp.arange(N, dtype=jnp.int32)
+        valid_row = idx < n_valid
+        dst = jnp.arange(n_shards, dtype=jnp.int32)
+        send_sizes = jnp.sum(
+            (own[None, :] == dst[:, None]) & valid_row[None, :],
+            axis=1, dtype=jnp.int32,
+        )
+        input_offsets = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1]]
+        )
+        capp = _exchange_cap(N, n_shards)
+        # one contiguous segment per destination, cut with dynamic slices
+        # from the sorted run (PAD-padded so slices never clamp)
+        padded = jnp.concatenate(
+            [sorted_sk, jnp.full((capp, W), 0xFFFFFFFF, dtype=jnp.uint32)],
+            axis=0,
+        )
+        segs = [
+            jax.lax.dynamic_slice(padded, (input_offsets[d], 0), (capp, W))
+            for d in range(n_shards)
+        ]
+        send = jnp.stack(segs)  # [P, capp, W]
+        iot = jnp.arange(capp, dtype=jnp.int32)
+        seg_mask = iot[None, :] < send_sizes[:, None]
+        send = jnp.where(seg_mask[..., None], send, jnp.uint32(0xFFFFFFFF))
+        recv = jax.lax.all_to_all(
+            send, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )  # [P, capp, W]: segment from each sender
+        all_sizes = jax.lax.all_gather(send_sizes, AXIS)  # [P, P]
+        me = jax.lax.axis_index(AXIS)
+        recv_sizes = all_sizes[:, me].astype(jnp.int32)
+        wout = (iot[None, :] < recv_sizes[:, None]).astype(jnp.uint32)
+        overflow = jnp.any(send_sizes > capp).astype(jnp.int32).reshape(1)
+        return (
+            recv.reshape(1, n_shards * capp, W),
+            wout.reshape(1, n_shards * capp),
+            overflow,
+        )
+
+    def _local_core(mers, valid, masks):
+        sk = sortkey_of_mers(mers, masks, k, lsize)
+        w = valid.astype(jnp.uint32)
+        N, W = sk.shape
+        sk = jnp.where(valid[:, None], sk, jnp.uint32(0xFFFFFFFF))
+        if compact and n_shards > 1:
+            return _local_compact(sk, w, N, W)
+        return _local_masked(sk, w, N, W)
 
     a_spec = PartitionSpec() if has_matrix else None
     if packed_L is None:
@@ -135,7 +220,11 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         local,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(PartitionSpec(AXIS, None, None), PartitionSpec(AXIS, None)),
+        out_specs=(
+            PartitionSpec(AXIS, None, None),
+            PartitionSpec(AXIS, None),
+            PartitionSpec(AXIS),
+        ),
     )
     return jax.jit(shard_fn)
 
@@ -299,6 +388,7 @@ class ShardedMerCounter:
         canonical: bool = False,
         matrix: GF2Matrix | None = None,
         rng: np.random.Generator | None = None,
+        compact_exchange: bool = True,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = int(self.mesh.devices.size)
@@ -330,10 +420,13 @@ class ShardedMerCounter:
                 inverse_masks_of_matrix(self.matrix, self.W)
             )
 
+        self.compact_exchange = bool(compact_exchange)
         self._step = _build_step(
-            self.mesh, self.k, self.lsize, self.canonical, self._A is not None
+            self.mesh, self.k, self.lsize, self.canonical,
+            self._A is not None, compact=self.compact_exchange,
         )
         self._packed_steps: dict = {}
+        self._overflow_flags: list = []
         self.store = _ShardedStore(self.W, key_bits=c)
         self._run_sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
 
@@ -347,7 +440,8 @@ class ShardedMerCounter:
             raise ValueError(f"expected [{self.n_shards}, L] chunks")
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         dev = jax.device_put(jnp.asarray(chunks, dtype=jnp.uint8), sharding)
-        keys, weights = self._step(dev, self._A)
+        keys, weights, overflow = self._step(dev, self._A)
+        self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
 
     def add_chunks_packed(self, pwords: np.ndarray,
@@ -360,12 +454,14 @@ class ShardedMerCounter:
             step = _build_step(
                 self.mesh, self.k, self.lsize, self.canonical,
                 self._A is not None, packed_L=L,
+                compact=self.compact_exchange,
             )
             self._packed_steps[L] = step
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         pw = jax.device_put(jnp.asarray(pwords, dtype=jnp.uint32), sharding)
         vb = jax.device_put(jnp.asarray(validbits, dtype=jnp.uint32), sharding)
-        keys, weights = step(pw, vb, self._A)
+        keys, weights, overflow = step(pw, vb, self._A)
+        self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=L)
 
     def step(self, chunks_dev):
@@ -384,6 +480,7 @@ class ShardedMerCounter:
         (replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
         empty = (np.zeros((0, self.W), dtype=np.uint32),
                  np.zeros(0, dtype=np.uint64))
+        self._check_overflow()
         res = self.store.finalize()
         if res is None:
             return empty
@@ -410,6 +507,21 @@ class ShardedMerCounter:
             keys, self._Ainv, k=self.k, lsize=self.lsize
         )
 
+    def _check_overflow(self) -> None:
+        """Raise if any exchange segment ever exceeded its capacity
+        (would mean silently dropped rows; with a random matrix this
+        needs a >25% binomial deviation — see _exchange_cap)."""
+        if not self._overflow_flags:
+            return
+        flags = np.asarray(jax.device_get(self._overflow_flags))
+        self._overflow_flags = []
+        if flags.any():
+            raise RuntimeError(
+                "sharded exchange receive-capacity overflow: results "
+                "would be incomplete (pathological hash skew); rerun "
+                "with a different matrix/seed"
+            )
+
     def finalize(self):
         """(mers object ints, counts uint64) — scripting convenience over
         finalize_np."""
@@ -419,4 +531,5 @@ class ShardedMerCounter:
         return mw.to_ints(mers), counts
 
     def reset(self) -> None:
+        self._overflow_flags = []
         self.store.reset()

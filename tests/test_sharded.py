@@ -181,3 +181,56 @@ def test_cli_count_devices(tmp_path, monkeypatch):
     assert run_count(tmp_path / "o8.jf", "8") == run_count(
         tmp_path / "o1.jf", "1"
     )
+
+
+def test_compact_exchange_matches_masked(rng):
+    """The compact (sorted segments + tiled all-to-all) exchange and the
+    capacity-free masked exchange produce identical tables, and the
+    compact path's per-step ingest volume is ~N(1+1/4), not P*N."""
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+    from jellyfish_tpu.parallel.sharded import _exchange_cap
+
+    k = 21
+    L = 1 << 16  # large enough that the constant capacity margin is small
+    seqs = [random_dna(rng, L - 20, with_n=True) for _ in range(8)]
+    counters = {}
+    for compact in (True, False):
+        c = ShardedMerCounter(
+            k, size=1 << 13, mesh=make_mesh(), canonical=True,
+            rng=np.random.default_rng(5), compact_exchange=compact,
+        )
+        c.add_chunks(_chunks_from_seqs(seqs, 8, L))
+        counters[compact] = c
+    # shape accounting: level-0 run rows per step
+    run_c = counters[True].store.occupied_runs()[0][0]
+    run_m = counters[False].store.occupied_runs()[0][0]
+    assert run_c.shape[1] == 8 * _exchange_cap(run_m.shape[1] // 8, 8)
+    assert run_c.shape[1] < run_m.shape[1] // 3  # ~4x smaller at P=8
+    a = dict(zip(*counters[True].finalize()))
+    b = dict(zip(*counters[False].finalize()))
+    assert {int(m): int(v) for m, v in a.items()} == {
+        int(m): int(v) for m, v in b.items()
+    }
+
+
+def test_exchange_overflow_detected(rng):
+    """A segment-capacity overflow raises instead of silently dropping
+    rows (forced here by shrinking the capacity margin to zero)."""
+    import pytest as _pytest
+
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+    from jellyfish_tpu.parallel import sharded as sh
+
+    orig = sh._exchange_cap
+    sh._exchange_cap = lambda N, P: max(N // P // 8, 1)  # force overflow
+    try:
+        c = ShardedMerCounter(
+            21, size=1 << 13, mesh=make_mesh(), canonical=True,
+            rng=np.random.default_rng(5),
+        )
+        seqs = [random_dna(rng, 400) for _ in range(8)]
+        c.add_chunks(_chunks_from_seqs(seqs, 8, 512))
+        with _pytest.raises(RuntimeError, match="overflow"):
+            c.finalize()
+    finally:
+        sh._exchange_cap = orig
