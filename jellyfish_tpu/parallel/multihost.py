@@ -1,0 +1,97 @@
+"""Multi-host (DCN) orchestration for the sharded counter (SURVEY §7
+step 7; the reference has no multi-node story at all — its parallelism
+stops at pthreads, count_main.cc:152-184).
+
+Topology: one process per host, each driving its local chips; the global
+1-D `shards` mesh spans all processes, so the per-step all-to-all routes
+mers to owner shards over ICI within a host and DCN across hosts, and
+chip-local consolidation/merging never crosses hosts. Each host feeds its
+own input slice (data-parallel ingestion) via
+jax.make_array_from_process_local_data.
+
+Dump: shard p owns one contiguous range of the global hash order, and
+shards are laid out process-major, so every host writes ONE contiguous
+segment file of the final database; assembling is header + byte
+concatenation in rank order — no cross-host table motion at all.
+
+Verified end-to-end on a 2-process x 4-virtual-CPU-device topology in
+tests/test_multihost.py (spawns real coordinated processes with gloo
+collectives).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "init_multihost",
+    "write_local_segments",
+    "assemble_db",
+]
+
+
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int, platform: str | None = None) -> None:
+    """Initialize the distributed runtime for a multi-host run. On CPU
+    (testing) selects gloo collectives; on TPU pods the default transport
+    is ICI/DCN."""
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if platform == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def write_local_segments(counter, prefix: str,
+                         counter_len_bytes: int = 4,
+                         val_len_bits: int = 7,
+                         cmdline=None) -> int:
+    """Write THIS process's contiguous dump segment to
+    `{prefix}.part{rank}`; rank 0 also writes `{prefix}.header`. Returns
+    the number of records written locally."""
+    import jax
+
+    from jellyfish_tpu.io.files import (
+        encode_binary_records_np,
+        make_count_header,
+    )
+
+    rank = jax.process_index()
+    parts = counter.finalize_local_np()
+    n = 0
+    with open(f"{prefix}.part{rank}", "wb") as f:
+        for _, mers, counts in parts:
+            f.write(
+                encode_binary_records_np(
+                    mers, counts, counter.k, counter_len_bytes
+                )
+            )
+            n += len(counts)
+    if rank == 0:
+        header = make_count_header(
+            k=counter.k, size=counter.size, matrix=counter.matrix,
+            canonical=counter.canonical, val_len_bits=val_len_bits,
+            counter_len_bytes=counter_len_bytes, cmdline=cmdline,
+        )
+        with open(f"{prefix}.header", "wb") as f:
+            header.write(f)
+    return n
+
+
+def assemble_db(prefix: str, num_processes: int, out_path: str) -> None:
+    """Concatenate the header + per-rank segments (in rank order = global
+    hash order) into one standard database file."""
+    import shutil
+
+    with open(out_path, "wb") as out:
+        with open(f"{prefix}.header", "rb") as f:
+            shutil.copyfileobj(f, out)
+        for r in range(num_processes):
+            with open(f"{prefix}.part{r}", "rb") as f:
+                shutil.copyfileobj(f, out)

@@ -229,6 +229,19 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
     return jax.jit(shard_fn)
 
 
+def _addressable_rows(arr) -> dict:
+    """{global row index: numpy row} over the addressable shards of a
+    [P, ...] array sharded along axis 0 (works in single- and
+    multi-process meshes)."""
+    out = {}
+    for sh in arr.addressable_shards:
+        start = sh.index[0].start or 0
+        data = np.asarray(sh.data)
+        for i in range(data.shape[0]):
+            out[start + i] = data[i]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k", "lsize"))
 def _recover_mers_batched(keys, inv_masks, k, lsize):
     P, M, W = keys.shape
@@ -421,6 +434,13 @@ class ShardedMerCounter:
             )
 
         self.compact_exchange = bool(compact_exchange)
+        self.multiprocess = len(
+            {d.process_index for d in self.mesh.devices.flat}
+        ) > 1
+        self._local_rows = sum(
+            1 for d in self.mesh.devices.flat
+            if d.process_index == jax.process_index()
+        )
         self._step = _build_step(
             self.mesh, self.k, self.lsize, self.canonical,
             self._A is not None, compact=self.compact_exchange,
@@ -436,10 +456,11 @@ class ShardedMerCounter:
         """Count the k-mers of [P, L] uint8 chunks, one per shard. Chunk
         semantics match MerCounter.add_chunk (separator bytes between reads,
         k-1 overlap between consecutive chunks of one stream)."""
-        if chunks.ndim != 2 or chunks.shape[0] != self.n_shards:
-            raise ValueError(f"expected [{self.n_shards}, L] chunks")
+        rows = self._local_rows if self.multiprocess else self.n_shards
+        if chunks.ndim != 2 or chunks.shape[0] != rows:
+            raise ValueError(f"expected [{rows}, L] chunks")
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
-        dev = jax.device_put(jnp.asarray(chunks, dtype=jnp.uint8), sharding)
+        dev = self._put(chunks, np.uint8, sharding)
         keys, weights, overflow = self._step(dev, self._A)
         self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
@@ -458,11 +479,23 @@ class ShardedMerCounter:
             )
             self._packed_steps[L] = step
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
-        pw = jax.device_put(jnp.asarray(pwords, dtype=jnp.uint32), sharding)
-        vb = jax.device_put(jnp.asarray(validbits, dtype=jnp.uint32), sharding)
+        pw = self._put(pwords, np.uint32, sharding)
+        vb = self._put(validbits, np.uint32, sharding)
         keys, weights, overflow = step(pw, vb, self._A)
         self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=L)
+
+    def _put(self, arr, dtype, sharding):
+        """Stage host chunks onto the mesh. Multi-process: each host
+        supplies only its local rows (data-parallel host ingestion over
+        DCN, SURVEY §7 step 7); single-process: plain device_put."""
+        if self.multiprocess:
+            local = np.ascontiguousarray(np.asarray(arr, dtype=dtype))
+            global_shape = (self.n_shards,) + local.shape[1:]
+            return jax.make_array_from_process_local_data(
+                sharding, local, global_shape
+            )
+        return jax.device_put(jnp.asarray(arr, dtype=dtype), sharding)
 
     def step(self, chunks_dev):
         """One jitted counting step on device-resident chunks (bench path)."""
@@ -470,37 +503,53 @@ class ShardedMerCounter:
 
     # -- extraction -----------------------------------------------------------
 
-    def finalize_np(self):
-        """Return (mer limbs [n, W] uint32, counts [n] uint64) in GLOBAL
-        hash order: shard 0's compacted run, then shard 1's, ... (owners
-        are contiguous sortkey ranges, so shard-major concatenation IS the
-        reference's dump order). Production path: mers are recovered ON
-        DEVICE across all shards in one program and only the live slice of
-        each shard is fetched — no object ints, no full-table transfers
-        (replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
-        empty = (np.zeros((0, self.W), dtype=np.uint32),
-                 np.zeros(0, dtype=np.uint64))
+    def finalize_local_np(self):
+        """Per-process dump segments: [(shard_id, mer limbs [n, W] u32,
+        counts [n] u64), ...] for THIS process's shards, ascending
+        shard_id. Concatenating all processes' segments in shard order is
+        the global hash order — the multi-host dump is "each host writes
+        its segment file, cat in rank order" (no cross-DCN table motion;
+        replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
         self._check_overflow()
         res = self.store.finalize()
         if res is None:
-            return empty
+            return []
         keys, lo, hi, ns = res
-        P, M, W = keys.shape
         mers_dev = self._recover_batched(keys)
-        ns_np = np.asarray(jax.device_get(ns))
-        parts_m, parts_c = [], []
-        for p in range(self.n_shards):
-            n = int(ns_np[p])
+        ns_rows = _addressable_rows(ns)
+        m_rows = _addressable_rows(mers_dev)
+        lo_rows = _addressable_rows(lo)
+        hi_rows = _addressable_rows(hi)
+        out = []
+        for p in sorted(ns_rows):
+            n = int(ns_rows[p])
             if n == 0:
                 continue
-            parts_m.append(np.asarray(mers_dev[p, :n]))
-            cnt = np.asarray(lo[p, :n]).astype(np.uint64) | (
-                np.asarray(hi[p, :n]).astype(np.uint64) << np.uint64(32)
+            cnt = lo_rows[p][:n].astype(np.uint64) | (
+                hi_rows[p][:n].astype(np.uint64) << np.uint64(32)
             )
-            parts_c.append(cnt)
-        if not parts_m:
+            out.append((p, m_rows[p][:n], cnt))
+        return out
+
+    def finalize_np(self):
+        """Single-process view of finalize_local_np: (mer limbs [n, W]
+        uint32, counts [n] uint64) in GLOBAL hash order. Multi-process
+        callers must use finalize_local_np (other processes' shards are
+        not addressable here)."""
+        if self.multiprocess:
+            raise RuntimeError(
+                "finalize_np needs every shard addressable; use "
+                "finalize_local_np per process in multi-host runs"
+            )
+        empty = (np.zeros((0, self.W), dtype=np.uint32),
+                 np.zeros(0, dtype=np.uint64))
+        parts = self.finalize_local_np()
+        if not parts:
             return empty
-        return np.concatenate(parts_m, axis=0), np.concatenate(parts_c, axis=0)
+        return (
+            np.concatenate([m for _, m, _ in parts], axis=0),
+            np.concatenate([c for _, _, c in parts], axis=0),
+        )
 
     def _recover_batched(self, keys):
         return _recover_mers_batched(
@@ -513,9 +562,13 @@ class ShardedMerCounter:
         needs a >25% binomial deviation — see _exchange_cap)."""
         if not self._overflow_flags:
             return
-        flags = np.asarray(jax.device_get(self._overflow_flags))
-        self._overflow_flags = []
-        if flags.any():
+        flags, self._overflow_flags = self._overflow_flags, []
+        bad = False
+        for f in flags:
+            for sh in f.addressable_shards:
+                if np.asarray(sh.data).any():
+                    bad = True
+        if bad:
             raise RuntimeError(
                 "sharded exchange receive-capacity overflow: results "
                 "would be incomplete (pathological hash skew); rerun "
