@@ -166,7 +166,8 @@ def consolidate_premasked(keys, key_bits=None, return_n: bool = False):
     return out_keys, counts
 
 
-def compact_counted(keys, lo, hi=None, key_bits=None):
+def compact_counted(keys, lo, hi=None, key_bits=None, *,
+                    assume_masked: bool = False):
     """Compact a DEDUPLICATED counted run with ONE sort.
 
     keys [M, W], lo/hi [M]: each real key occurs on exactly one row (its
@@ -181,8 +182,12 @@ def compact_counted(keys, lo, hi=None, key_bits=None):
     (e.g. consolidate_premasked's return_n) and truncates.
     """
     M, W = keys.shape
-    zero = (lo == 0) if hi is None else ((lo | hi) == 0)
-    keys = jnp.where(zero[:, None], jnp.uint32(0xFFFFFFFF), keys)
+    if not assume_masked:
+        zero = (lo == 0) if hi is None else ((lo | hi) == 0)
+        keys = jnp.where(zero[:, None], jnp.uint32(0xFFFFFFFF), keys)
+    # assume_masked: caller guarantees zero-count rows already carry the
+    # PAD pattern (true for consolidate_premasked outputs) — saves a full
+    # elementwise pass over the run
     limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
     if hi is None:
         s = jax.lax.sort(limbs + [~lo], num_keys=W + 1, is_stable=False)

@@ -59,7 +59,9 @@ def _consolidate_fn(n_runs: int, key_bits):
         k2, c2, n = consolidate_premasked(
             jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
-        k3, l3, _ = compact_counted(k2, c2, None, key_bits)
+        k3, l3, _ = compact_counted(
+            k2, c2, None, key_bits, assume_masked=True
+        )
         return k3, l3, n
 
     return f
@@ -161,7 +163,6 @@ class SortedCountStore:
     def insert_raw(self, keys, n_valid_scalar) -> None:
         """Append a premasked raw run; n_valid_scalar is the device scalar
         count of non-PAD rows (for the all-ones correction)."""
-        self._resolve_pending_shrinks()
         self.raw.append(keys)
         self.raw_rows += keys.shape[0]
         self.raw_rows_ever += keys.shape[0]
@@ -174,6 +175,8 @@ class SortedCountStore:
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
         known < 2^32."""
+        # this path (filter modes) never consolidates, so resolve here to
+        # keep merge outputs truncated (memory bound, commit c09a28c)
         self._resolve_pending_shrinks()
         self.dedup_levels[0].append((keys, lo, hi))
         self.total_weight += int(
@@ -183,6 +186,11 @@ class SortedCountStore:
         self._maybe_merge_dedup()
 
     def _consolidate(self) -> None:
+        # resolve at consolidation boundaries only: the int(n) fetch syncs
+        # the host on the previous consolidate/merge chain, so doing it at
+        # every insert would stall pipeline dispatch (memory stays bounded
+        # by at most one unshrunk run per level)
+        self._resolve_pending_shrinks()
         if not self.raw:
             return
         runs, self.raw, self.raw_rows = self.raw, [], 0

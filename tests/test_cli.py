@@ -270,3 +270,28 @@ def test_query_sequence_file_batch(tmp_path, capsys):
     assert all(int(l.split()[1]) >= 1 for l in lines)
     out2 = run_cli(["query", "-l", "-s", str(qf), str(db)], capsys)
     assert out2 == out_
+
+
+@pytest.mark.slow
+def test_disk_equals_memory_at_scale(tmp_path, capsys):
+    """>=10 Mbase end-to-end: --disk spill+streaming-merge produces the
+    same histo/stats as the in-memory run (the at-scale validation that
+    was previously only a PERF.md prose claim)."""
+    fa = tmp_path / "big"
+    run_cli(["generate", "-s", "1618033988", "-m", "10M", "-r", "1k",
+             "-o", str(fa)])
+    mem_db = tmp_path / "mem.jf"
+    disk_db = tmp_path / "disk.jf"
+    run_cli(["count", "-m", "21", "-s", "20M", "-C", "-o", str(mem_db),
+             f"{fa}.fa"])
+    # small -s forces multiple spill+merge rounds through the streaming
+    # k-way merge
+    run_cli(["count", "-m", "21", "-s", "1M", "-C", "--disk",
+             "-o", str(disk_db), f"{fa}.fa"])
+    h1 = run_cli(["histo", str(mem_db)], capsys)
+    h2 = run_cli(["histo", str(disk_db)], capsys)
+    assert h1 == h2
+    s1 = run_cli(["stats", str(mem_db)], capsys)
+    s2 = run_cli(["stats", str(disk_db)], capsys)
+    assert s1 == s2
+    assert "Total:" in s1
