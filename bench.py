@@ -113,7 +113,7 @@ def main():
 
     def run_pass():
         for pw, vb in dev_chunks:
-            counter.add_chunk_packed(pw, vb)
+            counter.add_chunks_packed_batch(pw, vb)
         counter.store._consolidate()  # drain the tail backlog
         sync(counter)
 
@@ -121,9 +121,14 @@ def main():
     n_mers = count_valid_mers(chunks_np, k)
     from jellyfish_tpu.native import pack_chunk
 
+    # stage stacked batches of B chunks: one ingest dispatch per batch
+    B = int(os.environ.get("JF_BENCH_BATCH", 8))
+    packed = [pack_chunk(c) for c in chunks_np]
     dev_chunks = []
-    for c in chunks_np:
-        pw, vb = pack_chunk(c)
+    for i in range(0, len(packed), B):
+        group = packed[i : i + B]
+        pw = np.stack([p for p, _ in group])
+        vb = np.stack([v for _, v in group])
         dev_chunks.append(
             (jax.device_put(jnp.asarray(pw)), jax.device_put(jnp.asarray(vb)))
         )

@@ -73,6 +73,26 @@ def _chunk_pipeline_packed(pwords, validbits, masks, k, lsize, canonical, L):
     return sk, jnp.sum(valid, dtype=jnp.uint32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "lsize", "canonical", "L")
+)
+def _chunk_pipeline_packed_batch(pwords, validbits, masks, k, lsize,
+                                 canonical, L):
+    """Batch-of-chunks variant of _chunk_pipeline_packed: pwords [B, L/16],
+    validbits [B, ceil(L/32)]. One dispatch processes B chunks (amortizes
+    the fixed per-dispatch latency ~3ms over B times the work); chunks are
+    extracted independently (no cross-chunk windows) and the sortkeys
+    flattened into one raw run."""
+    def one(pw, vb):
+        mers, valid = extract_mers_packed(pw, vb, k, L, canonical)
+        sk = sortkey_of_mers(mers, masks, k, lsize)
+        sk = jnp.where(valid[:, None], sk, jnp.uint32(0xFFFFFFFF))
+        return sk, jnp.sum(valid, dtype=jnp.uint32)
+
+    sk, nv = jax.vmap(one, in_axes=(0, 0))(pwords, validbits)
+    return sk.reshape(-1, sk.shape[-1]), jnp.sum(nv, dtype=jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "lsize", "canonical"))
 def _chunk_pipeline_dedup(chunk_u8, masks, k, lsize, canonical):
     """Deduplicated per-chunk variant (bloom-filter modes and --if need
@@ -199,6 +219,21 @@ class MerCounter:
         if L < self.k:
             return
         keys, n_valid = _chunk_pipeline_packed(
+            jnp.asarray(pwords, dtype=jnp.uint32),
+            jnp.asarray(validbits, dtype=jnp.uint32),
+            self._A, k=self.k, lsize=self.lsize,
+            canonical=self.canonical, L=L,
+        )
+        self.store.insert_raw(keys, n_valid)
+
+    def add_chunks_packed_batch(self, pwords: np.ndarray,
+                                validbits: np.ndarray) -> None:
+        """Batched fast-ingest: pwords [B, L/16], validbits [B, ceil(L/32)]
+        — B equal-length packed chunks in ONE device dispatch."""
+        L = int(pwords.shape[1]) * 16
+        if L < self.k:
+            return
+        keys, n_valid = _chunk_pipeline_packed_batch(
             jnp.asarray(pwords, dtype=jnp.uint32),
             jnp.asarray(validbits, dtype=jnp.uint32),
             self._A, k=self.k, lsize=self.lsize,

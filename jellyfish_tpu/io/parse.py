@@ -113,18 +113,87 @@ def iter_reads(stream, with_quals: bool = False) -> Iterator:
         raise ValueError("unrecognized sequence format (expected '>' or '@')")
 
 
-def sam_records_to_fastx(stream) -> Iterator[bytes]:
-    """Adapt text SAM to FASTA/FASTQ record bytes (sam_format.hpp role).
+# BAM 4-bit nibble codes "=ACMGRSVTWYHKDBN": only A/C/G/T decode to
+# bases, everything else is 'N' (sam_format.hpp:76-83 decode()).
+_BAM_NIB_LUT = np.full(16, ord("N"), dtype=np.uint8)
+for _i, _b in ((1, "A"), (2, "C"), (4, "G"), (8, "T")):
+    _BAM_NIB_LUT[_i] = ord(_b)
 
-    SEQ (col 10) / QUAL (col 11) of each alignment line become one record;
-    records with SEQ '*' are skipped; QUAL '*' yields a FASTA record.
-    BAM/CRAM need htslib, which this build does not link — convert with
-    `samtools view` (usable directly as a -g generator command).
+
+def _bam_records_to_fastx(stream) -> Iterator[bytes]:
+    """Parse a decompressed BAM stream (positioned after the BAM\\x01
+    magic) into FASTA/FASTQ record bytes.
+
+    BGZF is a multi-member gzip stream, so `open_stream`'s gzip layer
+    already yields the uncompressed BAM byte stream — no htslib needed.
+    Matches the reference's htslib consumption (sam_format.hpp:59-86 +
+    mer_overlap_sequence_parser.hpp:220-253): every record's SEQ is used
+    as stored, non-ACGT nibbles become N, no flag filtering. Absent
+    quality (0xFF fill) yields a FASTA record; otherwise raw phred is
+    re-encoded as phred+33 like `samtools view` text output.
+    """
+    import struct
+
+    def take(n):
+        data = stream.read(n)
+        if len(data) != n:
+            raise ValueError("truncated BAM file")
+        return data
+
+    (l_text,) = struct.unpack("<i", take(4))
+    take(l_text)
+    (n_ref,) = struct.unpack("<i", take(4))
+    for _ in range(n_ref):
+        (l_name,) = struct.unpack("<i", take(4))
+        take(l_name + 4)  # name + l_ref
+    while True:
+        head = stream.read(4)
+        if len(head) == 0:
+            return
+        if len(head) != 4:
+            raise ValueError("truncated BAM record")
+        (block_size,) = struct.unpack("<i", head)
+        rec = take(block_size)
+        l_read_name = rec[8]
+        n_cigar_op, _flag = struct.unpack_from("<HH", rec, 12)
+        (l_seq,) = struct.unpack_from("<i", rec, 16)
+        off = 32
+        name = rec[off : off + l_read_name - 1]  # drop trailing NUL
+        off += l_read_name + 4 * n_cigar_op
+        if l_seq == 0:
+            continue
+        nbytes = (l_seq + 1) // 2
+        packed = np.frombuffer(rec, dtype=np.uint8, count=nbytes, offset=off)
+        off += nbytes
+        nib = np.empty(2 * nbytes, dtype=np.uint8)
+        nib[0::2] = packed >> 4
+        nib[1::2] = packed & 0x0F
+        seq = _BAM_NIB_LUT[nib[:l_seq]].tobytes()
+        qual = np.frombuffer(rec, dtype=np.uint8, count=l_seq, offset=off)
+        if qual[0] == 0xFF:
+            yield b">" + name + b"\n" + seq + b"\n"
+        else:
+            q33 = (np.minimum(qual, 93) + 33).astype(np.uint8).tobytes()
+            yield b"@" + name + b"\n" + seq + b"\n+\n" + q33 + b"\n"
+
+
+def sam_records_to_fastx(stream) -> Iterator[bytes]:
+    """Adapt SAM/BAM to FASTA/FASTQ record bytes (sam_format.hpp role).
+
+    Text SAM: SEQ (col 10) / QUAL (col 11) of each alignment line become
+    one record; records with SEQ '*' are skipped; QUAL '*' yields a FASTA
+    record. BAM (behind open_stream's gzip layer) is parsed natively —
+    see _bam_records_to_fastx. CRAM needs reference-based codecs (htslib,
+    not in this build) — convert with `samtools view` (usable directly as
+    a -g generator command).
     """
     first = stream.read(4)
-    if first.startswith(b"BAM\x01") or first.startswith(b"CRAM"):
+    if first.startswith(b"BAM\x01"):
+        yield from _bam_records_to_fastx(stream)
+        return
+    if first.startswith(b"CRAM"):
         raise ValueError(
-            "BAM/CRAM input requires htslib; pipe through `samtools view`"
+            "CRAM input requires htslib; pipe through `samtools view`"
         )
     buf = first + stream.readline()
     while True:

@@ -81,3 +81,31 @@ def test_chunks_packed_end_to_end(tmp_path, rng):
     mers, counts = c.finalize()
     got = {int(a): int(b) for a, b in zip(mers, counts)}
     assert got == oracle_counts(seqs, k, True)
+
+
+@pytest.mark.parametrize("k,canonical", [(21, True), (33, True)])
+def test_batched_ingest_matches_per_chunk(rng, k, canonical):
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.native import pack_chunk
+
+    L = 1024
+    seqs = [random_dna(rng, 990, with_n=True) for _ in range(8)]
+    c1 = MerCounter(k, size=1 << 12, canonical=canonical,
+                    rng=np.random.default_rng(7))
+    c2 = MerCounter(k, size=1 << 12, canonical=canonical,
+                    matrix=c1.matrix)
+    packed = [pack_chunk(_chunk_of(s, L)) for s in seqs]
+    for pw, vb in packed:
+        c1.add_chunk_packed(pw, vb)
+    # batch of 3, 3, 2 — exercises two batch shapes
+    for i in (0, 3, 6):
+        group = packed[i:i + 3]
+        c2.add_chunks_packed_batch(
+            np.stack([p for p, _ in group]),
+            np.stack([v for _, v in group]),
+        )
+    m1, v1 = c1.finalize()
+    m2, v2 = c2.finalize()
+    d1 = {int(a): int(b) for a, b in zip(m1, v1)}
+    d2 = {int(a): int(b) for a, b in zip(m2, v2)}
+    assert d1 == d2 == oracle_counts(seqs, k, canonical)

@@ -49,10 +49,79 @@ def test_sam_quality_masking(tmp_path, rng):
     assert _count_sam(sam, 11, min_qual=thresh) == oracle_counts(masked, 11, False)
 
 
-def test_bam_rejected_with_hint(tmp_path):
+def _bgzf_block(data: bytes) -> bytes:
+    """One conformant BGZF block (gzip member with the BC extra field)."""
+    import struct
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    payload = co.compress(data) + co.flush()
+    total = 18 + len(payload) + 8  # header + deflate payload + crc/isize
+    head = (b"\x1f\x8b\x08\x04" + b"\x00" * 4 + b"\x00\xff"
+            + struct.pack("<H", 6) + b"BC"
+            + struct.pack("<HH", 2, total - 1))  # BSIZE = total - 1
+    return (head + payload
+            + struct.pack("<II", zlib.crc32(data), len(data) & 0xFFFFFFFF))
+
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _write_bam(path, seqs, quals=None):
+    """Minimal spec-conformant BAM: header + one record per sequence.
+    quals[i] is a list of raw phred ints or None (0xFF fill -> no qual)."""
+    import struct
+
+    nib = {b: i for i, b in enumerate("=ACMGRSVTWYHKDBN")}
+    body = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 1)
+    body += struct.pack("<i", 4) + b"ref\x00" + struct.pack("<i", 10000)
+    for i, s in enumerate(seqs):
+        name = f"r{i}".encode() + b"\x00"
+        packed = bytearray((len(s) + 1) // 2)
+        for j, base in enumerate(s):
+            v = nib.get(base, 15)
+            packed[j // 2] |= v << 4 if j % 2 == 0 else v
+        q = bytes(quals[i]) if quals and quals[i] is not None \
+            else b"\xff" * len(s)
+        rec = struct.pack(
+            "<iiBBHHHiiii", -1, -1, len(name), 0, 0, 0, 4, len(s), -1, -1, 0
+        ) + name + bytes(packed) + q
+        body += struct.pack("<i", len(rec)) + rec
+    with open(path, "wb") as f:
+        # two blocks to exercise multi-member gzip + EOF marker
+        half = len(body) // 2
+        f.write(_bgzf_block(body[:half]))
+        f.write(_bgzf_block(body[half:]))
+        f.write(_BGZF_EOF)
+
+
+def test_bam_counts_match_fasta_oracle(tmp_path, rng):
+    seqs = [random_dna(rng, n, with_n=True) for n in (150, 80, 321, 33)]
+    bam = str(tmp_path / "a.bam")
+    _write_bam(bam, seqs)
+    assert _count_sam(bam, 15) == oracle_counts(seqs, 15, False)
+
+
+def test_bam_quality_masking(tmp_path, rng):
+    seqs = [random_dna(rng, 120) for _ in range(3)]
+    quals = [[int(x) for x in rng.integers(2, 60, len(s))] for s in seqs]
+    bam = str(tmp_path / "q.bam")
+    _write_bam(bam, seqs, quals)
+    thresh = 30 + 33  # min_qual compares phred+33 text encoding
+    masked = ["".join(b if q + 33 >= thresh else "N"
+                      for b, q in zip(s, qs))
+              for s, qs in zip(seqs, quals)]
+    assert _count_sam(bam, 11, min_qual=thresh) == oracle_counts(
+        masked, 11, False
+    )
+
+
+def test_cram_rejected_with_hint(tmp_path):
     from jellyfish_tpu.io.parse import sam_records_to_fastx
 
-    p = tmp_path / "x.bam"
-    p.write_bytes(b"BAM\x01" + b"\x00" * 32)
+    p = tmp_path / "x.cram"
+    p.write_bytes(b"CRAM" + b"\x00" * 32)
     with pytest.raises(ValueError, match="samtools view"):
         list(sam_records_to_fastx(open(p, "rb")))
