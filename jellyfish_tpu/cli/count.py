@@ -255,8 +255,16 @@ def _run_counting(args, argv, k, counter, chunker, t_start):
                 )
                 maybe_spill()
         else:
-            for pwords, validbits in _prefetch(chunker.chunks_packed()):
-                counter.add_chunk_packed(pwords, validbits)
+            # batch B chunks per device dispatch (amortizes the fixed
+            # dispatch latency; tail pads with all-invalid chunks)
+            B = int(os.environ.get("JF_INGEST_BATCH", 8))
+            for batch in _prefetch(
+                _batched(chunker.chunks_packed(), B)
+            ):
+                counter.add_chunks_packed_batch(
+                    np.stack([b[0] for b in batch]),
+                    np.stack([b[1] for b in batch]),
+                )
                 maybe_spill()
     else:
         if n_devices > 1:
