@@ -177,7 +177,7 @@ def run(args, argv):
     chunker = SequenceChunker(
         list(args.file), k, chunk_len=args.chunk_len, min_qual=_min_qual(args),
         generator_cmds=gen_cmds, shell=args.shell, sam_paths=list(args.sam),
-        nb_files=args.nb_files,
+        nb_files=args.nb_files, nb_generators=args.nb_generators,
     )
 
     # terminate generator children on SIGTERM/SIGINT instead of leaking

@@ -135,6 +135,7 @@ def run_bc(args, argv):
     chunker = SequenceChunker(
         list(args.file), k, chunk_len=args.chunk_len,
         generator_cmds=gen_cmds, shell=args.shell,
+        nb_files=args.nb_files, nb_generators=args.nb_generators,
     )
     t_init = time.perf_counter()
 

@@ -272,6 +272,7 @@ class SequenceChunker:
         shell: str | None = None,
         sam_paths: Iterable[str] | None = None,
         nb_files: int = 1,
+        nb_generators: int = 1,
     ):
         self.paths = list(paths)
         self.k = int(k)
@@ -281,21 +282,45 @@ class SequenceChunker:
         self.shell = shell or os.environ.get("SHELL", "/bin/sh")
         self.sam_paths = list(sam_paths or [])
         self.nb_files = max(1, int(nb_files))
+        self.nb_generators = max(1, int(nb_generators))
         self.reads = 0
         self._procs: set = set()
+
+    def _spawn_generator(self, cmd: str):
+        proc = subprocess.Popen(
+            [self.shell, "-c", cmd], stdout=subprocess.PIPE,
+            start_new_session=False,
+        )
+        self._procs.add(proc)
+        return proc
 
     def _streams(self):
         for path in self.paths:
             yield open_stream(path), None
         for path in self.sam_paths:
             yield _IterStream(sam_records_to_fastx(open_stream(path))), None
-        for cmd in self.generator_cmds:
-            proc = subprocess.Popen(
-                [self.shell, "-c", cmd], stdout=subprocess.PIPE,
-                start_new_session=False,
-            )
-            self._procs.add(proc)
+        # -G: keep nb_generators subprocesses alive at once (the reference's
+        # generator_manager runs G children concurrently into fifos,
+        # generator_manager.hpp:62-162); later commands pre-start while an
+        # earlier stream is being consumed, overlapping generator compute
+        # (pipe back-pressure bounds their memory like the fifos did)
+        from collections import deque
+
+        pending: deque = deque()
+        cmds = iter(self.generator_cmds)
+
+        def top_up():
+            while len(pending) < self.nb_generators:
+                cmd = next(cmds, None)
+                if cmd is None:
+                    return
+                pending.append(self._spawn_generator(cmd))
+
+        top_up()
+        while pending:
+            proc = pending.popleft()
             yield proc.stdout, proc
+            top_up()
 
     def _finish_proc(self, proc, completed: bool) -> None:
         """Reap a generator subprocess. After normal stream exhaustion,

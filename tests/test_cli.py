@@ -295,3 +295,53 @@ def test_disk_equals_memory_at_scale(tmp_path, capsys):
     s2 = run_cli(["stats", str(disk_db)], capsys)
     assert s1 == s2
     assert "Total:" in s1
+
+
+def test_generators_concurrent_G(tmp_path):
+    """-G pre-starts G generator subprocesses concurrently
+    (generator_manager.hpp:62-162 runs G children at once); with G=2 and 3
+    commands, the 2nd command must already be running while the 1st stream
+    is consumed, and the 3rd must not start until the 1st finishes."""
+    import time as _t
+
+    from jellyfish_tpu.io.parse import SequenceChunker
+    from tests.conftest import oracle_counts
+
+    seqs = ["ACGTACGTACGTACGTACGT", "TTTTGGGGCCCCAAAATTTT", "GATTACAGATTACA"]
+    fas, marks = [], []
+    for i, s in enumerate(seqs):
+        fa = tmp_path / f"g{i}.fa"
+        fa.write_text(f">r{i}\n{s}\n")
+        fas.append(fa)
+        marks.append(tmp_path / f"started{i}")
+    cmds = [f"touch {m}; cat {f}" for m, f in zip(marks, fas)]
+
+    ch = SequenceChunker([], 5, chunk_len=256, generator_cmds=cmds,
+                         nb_generators=2)
+    it = ch._read_bytes()
+    first = next(it)  # consuming stream 0 now
+    deadline = _t.time() + 5
+    while not (marks[0].exists() and marks[1].exists()):
+        assert _t.time() < deadline, "generators 0/1 not both started"
+        _t.sleep(0.01)
+    assert not marks[2].exists(), "-G window exceeded: 3rd generator started"
+    reads = [first] + list(it)
+    assert marks[2].exists()
+    got = [r.decode() for r in reads]
+    assert got == seqs
+    ch.close()
+
+
+def test_generators_G_counts_unchanged(data, capsys, tmp_path):
+    gens = str(tmp_path / "gens2.txt")
+    with open(gens, "w") as f:
+        f.write(f"cat {data['fa']}\n")
+        f.write(f"cat {data['fa']}\n")
+        f.write(f"cat {data['fa']}\n")
+    db = str(tmp_path / "gen3.jf")
+    run_cli(["count", "-m", "13", "-s", "30k", "-C", "-g", gens, "-G", "3",
+             "-o", db])
+    direct = _dump_dict(capsys, str(data["dir"] / "o.jf"))
+    got = _dump_dict(capsys, db)
+    assert set(got) == set(direct)
+    assert all(got[m] == 3 * direct[m] for m in direct)
