@@ -85,12 +85,18 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
-    # steady-state cadence: consolidate (sort+segment-count the raw
-    # backlog) every 16 chunks, like a long run would; the timed region is
-    # the "Counting" phase in the reference's --timing split
-    # (count_main.cc:377-382) — ingest + all table combines; the once-per-
-    # job output formatting (finalize compaction + file write) is Writing.
-    counter.store.consolidate_rows = int(os.environ.get("JF_BENCH_CADENCE", 32)) * (L - k + 1)
+    # the timed region is the "Counting" phase in the reference's --timing
+    # split (count_main.cc:377-382) — ingest + every combine the store's
+    # policy triggers at this volume; the once-per-job output formatting
+    # (finalize compaction + file write) is Writing. The store's default
+    # grain (2^27 rows) is used unless JF_BENCH_CADENCE (in chunks)
+    # overrides it; at the default 96-chunk volume the backlog drains with
+    # one keys-only consolidation, while >=128-chunk runs also pay the
+    # fused compacting sort in the window (steady state; see PERF.md).
+    if "JF_BENCH_CADENCE" in os.environ:
+        counter.store.consolidate_rows = int(
+            os.environ["JF_BENCH_CADENCE"]
+        ) * (L - k + 1)
 
     import functools as _ft
 

@@ -9,12 +9,19 @@ sorting: ~1 sort pass per ingested mer in steady state.
   - the pipeline appends RAW runs of PREMASKED sortkeys (invalid windows
     already set to the all-ones PAD pattern) — keys only, no payload, no
     per-chunk device work at all;
-  - raw rows accumulate until `consolidate_rows`; ONE jitted program then
-    sorts the whole backlog and counts segments by LENGTH
-    (ops/count.consolidate_premasked) — a keys-only sort, the cheapest
-    possible combine;
-  - consolidated (deduplicated) runs collect in a branch-8 forest merged
-    with ops/count.merge_many (64-bit exact counts);
+  - raw rows accumulate to the LARGEST affordable grain
+    (`consolidate_rows`, default 2^27); ONE jitted program then sorts the
+    whole backlog keys-only, counts segments by LENGTH
+    (ops/count.consolidate_premasked — the cheapest possible combine) and
+    compacts with a single fused count-tiebreak sort (compact_counted).
+    Big grain is the cost lever: raw rows carry implicit weight 1 (no
+    count operand through the sort), and level-merge volume divides by it;
+  - sub-grain DRAINS (stream tails) stay masked in place (compaction
+    deferred to finalize/a budget trigger) — a masked run is already a
+    valid deduplicated merge_many input;
+  - compacted runs collect in a branch-8 forest merged with
+    ops/count.merge_many (64-bit exact counts), truncated to ~distinct
+    size;
   - finalize() K-way combines everything, compacts, and is the reference's
     dump order (compare sorted_dumper.hpp:57-101's mer_heap + token-ring
     recovery — here hash order is the resting state).
@@ -45,14 +52,36 @@ __all__ = ["SortedCountStore"]
 
 @functools.lru_cache(maxsize=64)
 def _consolidate_fn(n_runs: int, key_bits):
-    """Concat n premasked raw key runs, sort, count segments, COMPACT.
+    """Concat n premasked raw key runs, sort, count segments — MASKED.
 
-    The consolidation output is immediately compacted (one extra sort with
-    the count as tie-break) and later truncated to ~distinct size, so the
-    dedup forest only ever merges distinct-sized runs: level-merge volume
-    tracks the distinct count, not the ingested row count — at sequencing
-    coverage this is the difference between re-sorting every ingested row
-    once per level and once per log-fill of the genome."""
+    Keys-only sort + segment lengths (~3.2 ms/M measured): the cheapest
+    possible combine. The output stays masked in place (sorted keys, each
+    real key once with its count, duplicate rows turned into PAD with
+    count 0) — used for sub-grain drains (bench/finalize tails), where it
+    is a valid deduplicated merge_many input and the compaction pass is
+    deferred."""
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
+    def f(*keys):
+        return consolidate_premasked(
+            jnp.concatenate(keys, axis=0), key_bits
+        )
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _consolidate_compact_fn(n_runs: int, key_bits):
+    """Fused full-grain combine: consolidate + compact in one program.
+
+    Measured device costs (experiments/merge_probe.py, 32M-268M rows):
+    keys-only consolidate 3.2 ms/M, compact_counted 4.3 ms/M, but
+    merge_many 8.5-10.3 ms/M — so the steady-state path consolidates the
+    raw backlog at the LARGEST affordable grain and pays the single cheap
+    compacting sort immediately, instead of deferring to a merge_many over
+    grain-sized masked runs (the round-2a scheme that collapsed to
+    57M mers/s at 256M mers). Higher levels then only ever merge
+    distinct-sized truncated runs."""
 
     @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
     def f(*keys):
@@ -63,6 +92,21 @@ def _consolidate_fn(n_runs: int, key_bits):
             k2, c2, None, key_bits, assume_masked=True
         )
         return k3, l3, n
+
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _compact_masked_fn(key_bits):
+    """Compact one masked counted run (drain leftovers) + its entry count."""
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def f(keys, counts):
+        n = jnp.sum((counts != 0).astype(jnp.uint32))
+        k2, l2, _ = compact_counted(
+            keys, counts, None, key_bits, assume_masked=True
+        )
+        return k2, l2, n
 
     return f
 
@@ -131,18 +175,27 @@ class SortedCountStore:
     """Lazy-consolidation count store (see module docstring)."""
 
     def __init__(self, W: int, branch: int = 8,
-                 consolidate_rows: int = 1 << 25, key_bits: int | None = None):
-        # consolidate_rows ~32M: lax.sort throughput is flat up to 2^26
-        # rows (measured, experiments/sort_scaling.py), and a bigger grain
-        # directly divides the steady-state level-merge volume (runs
-        # saturate at the distinct count G, so merge cost per ingested row
-        # ~ G/grain); the backlog itself costs grain*4W bytes of HBM
+                 consolidate_rows: int | None = None,
+                 key_bits: int | None = None):
+        # grain: the largest affordable raw backlog (grain*4W bytes HBM;
+        # sort throughput is flat through 2^27 rows, merge_probe.py). A
+        # bigger grain directly divides the steady-state level-merge
+        # volume: runs saturate at the distinct count G, so merge cost per
+        # ingested row ~ G/grain
         self.W = W
         self.branch = int(branch)
         self.key_bits = key_bits
+        if consolidate_rows is None:
+            consolidate_rows = (1 << 27) if W <= 2 else (1 << 26)
         self.consolidate_rows = int(consolidate_rows)
+        # cap on accumulated sub-grain masked drain leftovers before they
+        # are compacted into the dedup forest
+        self.masked_rows_budget = 192 << 20
         self.raw: list = []          # [(keys [M, W],)] premasked
         self.raw_rows = 0
+        # masked sub-grain drain outputs: [(keys, counts)] — sorted,
+        # deduplicated-with-counts, PAD rows interspersed (not truncatable)
+        self.masked0: list = []
         self.valid_scalars: list = []  # device scalars: valid rows per raw run
         self.raw_rows_ever = 0         # host int: all raw rows ever inserted
         self.total_weight = 0          # host upper bound on any single count
@@ -185,7 +238,14 @@ class SortedCountStore:
         self.total_inserted += 1
         self._maybe_merge_dedup()
 
-    def _consolidate(self) -> None:
+    def _consolidate(self, compact: bool | None = None) -> None:
+        """Combine the raw backlog.
+
+        compact=None (default): pay the fused compacting sort when the
+        backlog reached the full grain (the steady-state insert path), and
+        leave sub-grain drains MASKED (deferred compaction — drains happen
+        at stream tails where the combine cost lands in the Writing phase).
+        """
         # resolve at consolidation boundaries only: the int(n) fetch syncs
         # the host on the previous consolidate/merge chain, so doing it at
         # every insert would stall pipeline dispatch (memory stays bounded
@@ -193,14 +253,37 @@ class SortedCountStore:
         self._resolve_pending_shrinks()
         if not self.raw:
             return
+        if compact is None:
+            compact = self.raw_rows >= self.consolidate_rows
         runs, self.raw, self.raw_rows = self.raw, [], 0
-        k2, c2, n = _consolidate_fn(len(runs), self.key_bits)(*runs)
-        run = (k2, c2, None)
-        self.dedup_levels[0].append(run)
-        # truncate to ~distinct size at the next insert boundary (same
-        # deferred-fetch scheme as merge outputs)
-        self._pending_shrinks.append((0, run, n))
+        if compact:
+            k2, l2, n = _consolidate_compact_fn(
+                len(runs), self.key_bits
+            )(*runs)
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append((0, run, n))
+        else:
+            k2, c2 = _consolidate_fn(len(runs), self.key_bits)(*runs)
+            self.masked0.append((k2, c2))
+            self._maybe_compact_masked()
         self._maybe_merge_dedup()
+
+    def _maybe_compact_masked(self) -> None:
+        """Fold accumulated masked drain leftovers into the dedup forest
+        once they exceed the branch count or the rows budget (bounds their
+        HBM at masked_rows_budget × (W+1) × 4 bytes)."""
+        if not self.masked0:
+            return
+        rows = sum(r[0].shape[0] for r in self.masked0)
+        if len(self.masked0) < self.branch and rows < self.masked_rows_budget:
+            return
+        pend, self.masked0 = self.masked0, []
+        for keys, counts in pend:
+            k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append((0, run, n))
 
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
@@ -261,6 +344,7 @@ class SortedCountStore:
     def occupied_levels(self):
         """All live device arrays (sync/debug helper)."""
         out = [(k,) for k in self.raw]
+        out.extend(self.masked0)
         for r in self._all_dedup():
             out.append(tuple(x for x in r if x is not None))
         return out
@@ -295,7 +379,11 @@ class SortedCountStore:
         # merge_many's log-scan)
         self._consolidate()
         self._pending_shrinks = []  # everything merges right now anyway
-        runs = [(r[:2] if r[2] is None else r) for r in self._all_dedup()]
+        # masked drain leftovers are valid deduplicated merge inputs
+        runs = list(self.masked0) + [
+            (r[:2] if r[2] is None else r) for r in self._all_dedup()
+        ]
+        self.masked0 = []
         if not runs:
             keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
             z = jnp.zeros(1, dtype=jnp.uint32)
@@ -317,6 +405,7 @@ class SortedCountStore:
     def reset(self) -> None:
         self._pending_shrinks = []
         self.raw, self.raw_rows = [], 0
+        self.masked0 = []
         self.valid_scalars = []
         self.raw_rows_ever = 0
         self.total_weight = 0
