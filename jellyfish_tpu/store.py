@@ -171,6 +171,26 @@ def _sum_scalars_fn(n: int):
     return f
 
 
+def _pow2_groups(runs):
+    """Greedily pack runs (in order) into groups whose row totals stay at
+    or under a power of two: the sort's internal pow2 padding then costs
+    ~nothing. Groups never split a run; a run bigger than the remaining
+    target forms its own group."""
+    groups = []
+    remaining = list(runs)
+    while remaining:
+        total = sum(r.shape[0] for r in remaining)
+        p = 1 << max(0, total.bit_length() - 1)  # pow2 floor of remainder
+        cur, cur_rows = [], 0
+        while remaining and (
+            not cur or cur_rows + remaining[0].shape[0] <= p
+        ):
+            cur_rows += remaining[0].shape[0]
+            cur.append(remaining.pop(0))
+        groups.append(cur)
+    return groups
+
+
 class SortedCountStore:
     """Lazy-consolidation count store (see module docstring)."""
 
@@ -222,8 +242,13 @@ class SortedCountStore:
         self.total_weight += keys.shape[0]
         self.valid_scalars.append(n_valid_scalar)
         self.total_inserted += 1
-        if self.raw_rows >= self.consolidate_rows:
-            self._consolidate()
+        # greedy pow2-aligned trigger: XLA's sort pads to the next power of
+        # two internally (measured ~35% per-row penalty just above one), so
+        # consolidate BEFORE another same-sized run would cross the grain —
+        # the backlog lands just under the pow2 instead of just over
+        if (self.raw_rows >= self.consolidate_rows
+                or self.raw_rows + keys.shape[0] > self.consolidate_rows):
+            self._consolidate(compact=True)
 
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
@@ -264,8 +289,12 @@ class SortedCountStore:
             self.dedup_levels[0].append(run)
             self._pending_shrinks.append((0, run, n))
         else:
-            k2, c2 = _consolidate_fn(len(runs), self.key_bits)(*runs)
-            self.masked0.append((k2, c2))
+            # pow2-aligned grouping: XLA's sort pads to the next power of
+            # two, so one 100M-row drain sort costs like 134M; splitting
+            # into [<=2^26][<=2^25] groups sorts only what's there
+            for g in _pow2_groups(runs):
+                k2, c2 = _consolidate_fn(len(g), self.key_bits)(*g)
+                self.masked0.append((k2, c2))
             self._maybe_compact_masked()
         self._maybe_merge_dedup()
 
