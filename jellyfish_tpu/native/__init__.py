@@ -71,6 +71,34 @@ def get_lib():
         return _lib
 
 
+_JFQUERY_SRC = os.path.join(_DIR, "jfquery.cpp")
+_JFQUERY_SO = os.path.join(_DIR, "libjfquery.so")
+_jfquery_lock = threading.Lock()
+
+
+def build_jfquery() -> str | None:
+    """Build the linkable query library (native/jfquery.cpp) if needed and
+    return the .so path, or None when the toolchain is unavailable. The
+    library is a standalone C-ABI artifact for external C/C++/FFI clients
+    (the reference's headers-as-library query role, binary_dumper.hpp:
+    112-213); jellyfish_tpu's own query path stays in io/files.py."""
+    with _jfquery_lock:
+        if (os.path.exists(_JFQUERY_SO)
+                and os.path.getmtime(_JFQUERY_SO)
+                >= os.path.getmtime(_JFQUERY_SRC)):
+            return _JFQUERY_SO
+        cmd = [
+            "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+            _JFQUERY_SRC, "-o", _JFQUERY_SO + ".tmp",
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(_JFQUERY_SO + ".tmp", _JFQUERY_SO)
+            return _JFQUERY_SO
+        except (subprocess.CalledProcessError, OSError):
+            return None
+
+
 def pack_chunk(chunk: np.ndarray):
     """ASCII chunk [L] uint8 (L % 32 == 0) -> (pwords [L/16] u32,
     validbits [L/32] u32). Native when available, numpy fallback."""
