@@ -5,10 +5,15 @@ Prints ONE JSON line:
 
 vs_baseline compares against BASELINE_MERS_PER_SEC, the driver north star's
 "32-thread CPU jellyfish" figure (BASELINE.json). The reference repo
-publishes no absolute numbers (BASELINE.md) and is not buildable in this
-image (no autotools/yaggo), so the baseline constant is an estimate of
-jellyfish2 `count -m 21 -C -t 32` steady-state throughput on a 32-core
-server-class host; override with env JF_BASELINE_MERS_PER_SEC.
+publishes no absolute numbers (BASELINE.md) and its CLI is not buildable in
+this image (no autotools/yaggo), but its headers-as-library hot path IS:
+experiments/ref_cpu_bench.{cc,sh} compiles the reference's own parser ->
+mer_iterator -> cooperative hash_counter loop with g++ -O3 and measures it
+on this host (k=21 -C FASTQ): 2.4M mers/s/thread, 7.7M at 4 threads (0.79
+scaling efficiency; experiments/ref_cpu_bench_results.json). Extrapolated
+to 32 server threads that is ~64-80M mers/s, so the 1e8 constant kept here
+is GENEROUS to the reference — vs_baseline is a conservative claim.
+Override with env JF_BASELINE_MERS_PER_SEC.
 
 The timed section covers the full device pipeline on pre-staged chunks:
 encode -> extract -> canonicalize -> GF(2) hash -> sort/segment-reduce ->
