@@ -465,11 +465,11 @@ class ShardedMerCounter:
         self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
 
-    def add_chunks_packed(self, pwords: np.ndarray,
-                          validbits: np.ndarray) -> None:
-        """Packed ingest ([P, L/16] u32 codes + [P, L/32] u32 validity per
-        shard): 4.25x less host->device traffic (see native pack_chunk)."""
-        L = int(pwords.shape[1]) * 16
+    def packed_step(self, L: int):
+        """Jitted packed-ingest counting step for chunk length L (device
+        -resident [P, L/16]+[P, L/32] inputs -> routed per-shard (keys,
+        weights, overflow)). Cached per L; used by add_chunks_packed and
+        by pre-staged bench loops (bench_scaling.py)."""
         step = self._packed_steps.get(L)
         if step is None:
             step = _build_step(
@@ -478,6 +478,14 @@ class ShardedMerCounter:
                 compact=self.compact_exchange,
             )
             self._packed_steps[L] = step
+        return step
+
+    def add_chunks_packed(self, pwords: np.ndarray,
+                          validbits: np.ndarray) -> None:
+        """Packed ingest ([P, L/16] u32 codes + [P, L/32] u32 validity per
+        shard): 4.25x less host->device traffic (see native pack_chunk)."""
+        L = int(pwords.shape[1]) * 16
+        step = self.packed_step(L)
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         pw = self._put(pwords, np.uint32, sharding)
         vb = self._put(validbits, np.uint32, sharding)
