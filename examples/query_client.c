@@ -1,10 +1,12 @@
 /* Pure-C consumer of libjfquery (the linkable query library).
  *
- * Build:
- *   g++ -O2 -std=c++17 -shared -fPIC jellyfish_tpu/native/jfquery.cpp \
- *       -o libjfquery.so
- *   cc examples/query_client.c -o query_client -L. -ljfquery \
- *      -Wl,-rpath,'$ORIGIN'
+ * Build (after `make -C jellyfish_tpu/native install PREFIX=...`):
+ *   cc examples/query_client.c -o query_client \
+ *      $(pkg-config --cflags --libs jfquery)
+ * or against an in-tree build:
+ *   make -C jellyfish_tpu/native
+ *   cc -I jellyfish_tpu/native examples/query_client.c -o query_client \
+ *      -L jellyfish_tpu/native -ljfquery -Wl,-rpath,'$ORIGIN'
  *
  * Usage: query_client counts.jf MER [MER...]
  *        query_client counts.jf --dump     (print every record)
@@ -14,17 +16,7 @@
 #include <stdio.h>
 #include <string.h>
 
-/* C ABI of jellyfish_tpu/native/jfquery.cpp */
-typedef struct jf_query_t jf_query_t;
-jf_query_t* jf_query_open(const char* path);
-void jf_query_close(jf_query_t* q);
-const char* jf_query_error(void);
-unsigned jf_query_k(const jf_query_t* q);
-int jf_query_canonical(const jf_query_t* q);
-uint64_t jf_query_nb_records(const jf_query_t* q);
-int64_t jf_query_mer(jf_query_t* q, const char* mer);
-int jf_query_record(jf_query_t* q, uint64_t idx, char* mer_out,
-                    uint64_t* count);
+#include "jfquery.h"
 
 int main(int argc, char** argv) {
   if (argc < 3) {
