@@ -128,7 +128,7 @@ def test_c_client_end_to_end(db, tmp_path):
         "examples", "query_client.c",
     )
     subprocess.run(
-        ["cc", src, "-o", str(exe), so],
+        ["cc", f"-I{os.path.dirname(so)}", src, "-o", str(exe), so],
         check=True, capture_output=True,
     )
     from jellyfish_tpu.io.files import DBReader
