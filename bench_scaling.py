@@ -69,8 +69,7 @@ def measure(mesh_devices, chunks_np, k):
 
     def run_pass():
         for pw, vb in dev_batches:
-            keys, weights, overflow = step(pw, vb, counter._A)
-            counter._overflow_flags.append(overflow)
+            keys, weights, _overflow = step(pw, vb)
             counter.store.insert_raw(keys, weights, max_weight=L)
         # fetch-forced sync (block_until_ready unreliable via tunnel)
         for run in counter.store.occupied_runs():
@@ -79,8 +78,7 @@ def measure(mesh_devices, chunks_np, k):
                     np.asarray(jax.device_get(x.addressable_shards[0].data[:1]))
 
     run_pass()  # compile warmup
-    counter.store.reset()
-    counter._overflow_flags.clear()
+    counter.reset()
 
     t0 = time.perf_counter()
     run_pass()
@@ -96,6 +94,12 @@ def measure(mesh_devices, chunks_np, k):
 def main():
     import jax
 
+    # the axon TPU plugin overrides JAX_PLATFORMS at import; honor an
+    # explicit env request (e.g. cpu + 8 virtual devices) via the config
+    # API like tests/conftest.py does
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     k = int(os.environ.get("JF_BENCH_K", 21))
     L = int(os.environ.get("JF_BENCH_CHUNK_LEN", 1 << 20))
     per_dev = int(os.environ.get("JF_SCALING_CHUNKS", 24))
@@ -103,8 +107,15 @@ def main():
     sizes_env = os.environ.get("JF_SCALING_DEVICES")
     if sizes_env:
         sizes = [int(x) for x in sizes_env.split(",")]
+        over = [P for P in sizes if P > len(all_devs)]
+        if over:
+            raise SystemExit(
+                f"JF_SCALING_DEVICES requests {max(over)} devices but only "
+                f"{len(all_devs)} are available"
+            )
     else:
-        sizes = sorted({1, len(all_devs)})
+        sizes = [1, len(all_devs)]
+    sizes = sorted({*sizes, 1})  # the 1-device rate anchors efficiency
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 

@@ -133,6 +133,10 @@ bool get_bool(const char* obj, size_t n, const char* key, bool* out) {
 
 }  // namespace
 
+// public ABI declarations — including the shipped header here makes the
+// compiler reject any header/implementation signature drift
+#include "jfquery.h"
+
 extern "C" {
 
 struct jf_query_t {

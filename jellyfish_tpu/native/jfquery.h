@@ -49,10 +49,14 @@ int64_t jf_query_mer(jf_query_t* q, const char* mer);
 uint64_t jf_query_key(jf_query_t* q, const uint8_t* key);
 
 /* Sequential record access: writes the idx-th mer (NUL-terminated, caller
- * buffer must hold k+1 bytes) and its count. Returns 0 on success, -1 on
- * out-of-range idx. Records are in hash (dump) order. */
+ * buffer must hold k+1 bytes) and its count. Returns 1 on success, 0 when
+ * idx is past the end. Records are in hash (dump) order. */
 int jf_query_record(jf_query_t* q, uint64_t idx, char* mer_out,
                     uint64_t* count);
+
+/* Pre-fault the mmap'd database into memory (the `query -l` preload,
+ * mapped_file.hpp load() analogue). */
+void jf_query_preload(jf_query_t* q);
 
 #ifdef __cplusplus
 } /* extern "C" */

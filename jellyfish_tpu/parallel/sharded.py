@@ -466,17 +466,19 @@ class ShardedMerCounter:
         self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
 
     def packed_step(self, L: int):
-        """Jitted packed-ingest counting step for chunk length L (device
+        """Jitted packed-ingest counting step for chunk length L: device
         -resident [P, L/16]+[P, L/32] inputs -> routed per-shard (keys,
-        weights, overflow)). Cached per L; used by add_chunks_packed and
-        by pre-staged bench loops (bench_scaling.py)."""
+        weights, overflow). The hash matrix is bound in. Cached per L;
+        used by add_chunks_packed and pre-staged bench loops
+        (bench_scaling.py)."""
         step = self._packed_steps.get(L)
         if step is None:
-            step = _build_step(
+            raw = _build_step(
                 self.mesh, self.k, self.lsize, self.canonical,
                 self._A is not None, packed_L=L,
                 compact=self.compact_exchange,
             )
+            step = lambda pw, vb: raw(pw, vb, self._A)  # noqa: E731
             self._packed_steps[L] = step
         return step
 
@@ -489,7 +491,7 @@ class ShardedMerCounter:
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         pw = self._put(pwords, np.uint32, sharding)
         vb = self._put(validbits, np.uint32, sharding)
-        keys, weights, overflow = step(pw, vb, self._A)
+        keys, weights, overflow = step(pw, vb)
         self._overflow_flags.append(overflow)
         self.store.insert_raw(keys, weights, max_weight=L)
 

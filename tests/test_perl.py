@@ -4,6 +4,7 @@ reference-compatible binary DB format. Cross-checked against the Python
 readers on the same DB, mirroring swig/perl5/test_mer_file.t's strategy of
 comparing binding output to `jellyfish dump`."""
 
+import os
 import shutil
 import subprocess
 
@@ -34,9 +35,14 @@ def db(tmp_path_factory):
     return str(path), k, seqs
 
 
+PERL_LIB = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "perl"
+)
+
+
 def run_perl(script: str, *argv) -> str:
     r = subprocess.run(
-        [perl, "-I", "/root/repo/perl", "-e", script, *argv],
+        [perl, "-I", PERL_LIB, "-e", script, *argv],
         capture_output=True, text=True,
     )
     assert r.returncode == 0, r.stderr

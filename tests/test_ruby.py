@@ -7,6 +7,7 @@ strategy of comparing binding output to `jellyfish dump`.
 Skips when no ruby interpreter is present (this image ships none; the
 binding itself is pure stdlib Ruby and needs no toolchain)."""
 
+import os
 import shutil
 import subprocess
 
@@ -18,7 +19,10 @@ from tests.conftest import oracle_counts, random_dna
 ruby = shutil.which("ruby")
 pytestmark = pytest.mark.skipif(ruby is None, reason="no ruby in PATH")
 
-RB = "/root/repo/ruby/jellyfish_tpu.rb"
+RB = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "ruby", "jellyfish_tpu.rb",
+)
 
 
 @pytest.fixture(scope="module")
