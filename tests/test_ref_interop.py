@@ -135,6 +135,48 @@ def test_reference_reads_our_db(ref_oracle, tmp_path):
     assert int(fields["canonical"]) == 0
 
 
+def test_reference_interop_multiword(ref_oracle, tmp_path):
+    """k=51 (2k=102 bits, 13 key bytes, 4 u32 limbs here / 2 u64 words in
+    the reference): both directions byte-exact — pins the little-endian
+    multi-word key layout (binary_dumper.hpp:36-40 raw LSB-first words)
+    for k > 32."""
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.io.dumpers import dump_counter
+    from jellyfish_tpu.io.files import DBReader
+    from jellyfish_tpu.mer import MerDNA
+
+    k, size = 51, 2048
+    pairs = _random_mer_counts(k, 300, seed=77)
+
+    # direction 1: reference writes, we read
+    db1 = tmp_path / "ref51.jf"
+    inp = "".join(f"{m} {v}\n" for m, v in pairs.items())
+    subprocess.run(
+        [ref_oracle, "write", str(db1), str(k), str(size)],
+        input=inp.encode(), check=True, capture_output=True,
+    )
+    with DBReader(str(db1)) as r:
+        assert r.header.key_len == 2 * k
+        got = {str(MerDNA(k, m)): v for m, v in r}
+    assert got == pairs
+
+    # direction 2: we write, reference reads
+    c = MerCounter(k, size=1 << 11, canonical=False,
+                   rng=np.random.default_rng(13))
+    for mer, v in pairs.items():
+        c.add_mers_np([MerDNA(mer).bits], value=v)
+    db2 = tmp_path / "ours51.jf"
+    dump_counter(c, str(db2))
+    out = subprocess.run(
+        [ref_oracle, "read", str(db2)], check=True, capture_output=True
+    ).stdout.decode()
+    got2 = {}
+    for line in out.splitlines():
+        mer, v = line.split()
+        got2[mer] = int(v)
+    assert got2 == pairs
+
+
 def test_dump_order_parity(ref_oracle, tmp_path):
     """For the SAME hash matrix, our finalize order equals the reference's
     file order (its sorted_dumper (pos, key) order, mer_heap.hpp:26-30):
