@@ -21,7 +21,9 @@ def main():
     from jellyfish_tpu.ops.count import compact_counted, consolidate_premasked
     import jellyfish_tpu.store as store_mod
 
-    k, L, n_chunks = 21, 1 << 20, 96
+    import os
+    k = int(os.environ.get("JF_BENCH_K", 21))
+    L, n_chunks = 1 << 20, int(os.environ.get("JF_BENCH_CHUNKS", 96))
     chunks_np = B.synth_chunks(n_chunks, L)
     n_mers = B.count_valid_mers(chunks_np, k)
     dev_chunks = []
@@ -70,7 +72,7 @@ def main():
 
     # (a) pipeline only: consolidation is a no-op (keeps raw runs)
     def no_consol(store):
-        def f():
+        def f(compact=None):
             store.raw, store.raw_rows = [], 0  # drop (measure pipeline only)
         return f
 
@@ -88,7 +90,7 @@ def main():
                 return k2, c2
             return f
 
-        def f():
+        def f(compact=None):
             if not store.raw:
                 return
             runs, store.raw, store.raw_rows = store.raw, [], 0
