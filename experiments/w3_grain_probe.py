@@ -10,8 +10,11 @@ import numpy as np
 
 from jellyfish_tpu.ops.count import compact_counted, consolidate_premasked
 
-KEY_BITS = 66  # k=33
-W = 3
+import os
+
+KEY_BITS = int(os.environ.get("JF_PROBE_KEY_BITS", 66))  # 66 = k=33
+W = (KEY_BITS + 31) // 32
+LOGMS = [int(x) for x in os.environ.get("JF_PROBE_LOGMS", "25,26,27").split(",")]
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 
@@ -55,8 +58,9 @@ def make_raw(M, seed):
     def gen(key):
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         k = jax.random.bits(k1, (M, W), dtype=jnp.uint32)
+        top_bits = KEY_BITS - 32 * (W - 1)
         k = k.at[:, W - 1].set(
-            k[:, W - 1] & jnp.uint32((1 << (KEY_BITS - 64)) - 1)
+            k[:, W - 1] & jnp.uint32((1 << top_bits) - 1)
         )
         # ~12% PAD rows like separator windows
         pad = jax.random.uniform(k2, (M,)) < 0.12
@@ -69,7 +73,7 @@ def make_raw(M, seed):
 
 def main():
     print("rows        op          ms      ms/M")
-    for logM in (25, 26, 27):
+    for logM in LOGMS:
         M = 1 << logM
         keys = make_raw(M, logM)
         try:
