@@ -18,15 +18,18 @@ def add_parser(sub):
     from jellyfish_tpu.cli.common import add_common_input_flags, suffix_int
 
     p = sub.add_parser("count", help="Count k-mers in fasta or fastq files")
-    p.add_argument("-m", "--mer-len", type=int, required=True, dest="mer_len")
+    p.add_argument("-m", "--mer-len", type=int, required=True,
+                   dest="mer_len", help="Length of mer")
     p.add_argument("-s", "--size", type=suffix_int, required=True,
                    help="Initial hash size (suffixes k/M/G/T ok)")
-    p.add_argument("-o", "--output", default="mer_counts.jf")
+    p.add_argument("-o", "--output", default="mer_counts.jf",
+                   help="Output file (default mer_counts.jf)")
     p.add_argument("-c", "--counter-len", type=int, default=7, dest="counter_len",
                    help="Length in bits of counting field (header val_len)")
     p.add_argument("--out-counter-len", type=int, default=4,
                    help="Length in bytes of counter field in output")
-    p.add_argument("-C", "--canonical", action="store_true")
+    p.add_argument("-C", "--canonical", action="store_true",
+                   help="Count both strands, canonical representation")
     p.add_argument("--bc", metavar="path",
                    help="Bloom counter to filter out singleton mers")
     p.add_argument("--bf-size", type=suffix_int, default=None,
@@ -46,11 +49,16 @@ def add_parser(sub):
     p.add_argument("--text", action="store_true", help="Dump in text format")
     p.add_argument("--disk", action="store_true",
                    help="Spill sorted partials to disk instead of growing")
-    p.add_argument("--no-merge", action="store_true")
-    p.add_argument("--no-unlink", action="store_true")
-    p.add_argument("--no-write", action="store_true")
-    p.add_argument("-L", "--lower-count", type=int, default=None)
-    p.add_argument("-U", "--upper-count", type=int, default=None)
+    p.add_argument("--no-merge", action="store_true",
+                   help="Do not merge --disk intermediate files")
+    p.add_argument("--no-unlink", action="store_true",
+                   help="Do not delete intermediate files after merging")
+    p.add_argument("--no-write", action="store_true",
+                   help="Do not write the database")
+    p.add_argument("-L", "--lower-count", type=int, default=None,
+                   help="Do not output mers with count < lower-count")
+    p.add_argument("-U", "--upper-count", type=int, default=None,
+                   help="Do not output mers with count > upper-count")
     p.add_argument("--sam", action="append", default=[], metavar="PATH",
                    help="SAM/BAM/CRAM formatted input file")
     p.add_argument("-d", "--devices", default="1", metavar="N|auto",

@@ -21,14 +21,19 @@ def add_histo_parser(sub):
         "histo", help="Create an histogram of k-mer occurrences", add_help=False
     )
     p.add_argument("--help", action="help")
-    p.add_argument("-l", "--low", type=int, default=1)
-    p.add_argument("-h", "--high", type=int, default=10000)
-    p.add_argument("-i", "--increment", type=int, default=1)
-    p.add_argument("-t", "--threads", type=int, default=1)
+    p.add_argument("-l", "--low", type=int, default=1,
+                   help="Low count value of histogram (default 1)")
+    p.add_argument("-h", "--high", type=int, default=10000,
+                   help="High count value of histogram (default 10000)")
+    p.add_argument("-i", "--increment", type=int, default=1,
+                   help="Increment value for buckets (default 1)")
+    p.add_argument("-t", "--threads", type=int, default=1,
+                   help="Number of threads (accepted for compatibility)")
     p.add_argument("-f", "--full", action="store_true",
                    help="Full histo. Don't skip count 0.")
-    p.add_argument("-o", "--output")
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-o", "--output", help="Output file")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Output information")
     p.add_argument("db", help="Jellyfish database")
     p.set_defaults(func=run_histo)
     return p
@@ -70,10 +75,12 @@ def add_dump_parser(sub):
     p.add_argument("-c", "--column", action="store_true",
                    help="Column format (mer count) instead of fasta")
     p.add_argument("-t", "--tab", action="store_true", help="Tab separator")
-    p.add_argument("-L", "--lower-count", type=int, default=0)
-    p.add_argument("-U", "--upper-count", type=int, default=U64MAX)
-    p.add_argument("-o", "--output")
-    p.add_argument("db")
+    p.add_argument("-L", "--lower-count", type=int, default=0,
+                   help="Don't output mers with count < lower-count")
+    p.add_argument("-U", "--upper-count", type=int, default=U64MAX,
+                   help="Don't output mers with count > upper-count")
+    p.add_argument("-o", "--output", help="Output file")
+    p.add_argument("db", help="Jellyfish database")
     p.set_defaults(func=run_dump)
     return p
 
@@ -137,11 +144,14 @@ def run_dump(args, argv):
 
 def add_stats_parser(sub):
     p = sub.add_parser("stats", help="Statistics of a database")
-    p.add_argument("-L", "--lower-count", type=int, default=0)
-    p.add_argument("-U", "--upper-count", type=int, default=U64MAX)
-    p.add_argument("-v", "--verbose", action="store_true")
-    p.add_argument("-o", "--output")
-    p.add_argument("db")
+    p.add_argument("-L", "--lower-count", type=int, default=0,
+                   help="Don't consider mers with count < lower-count")
+    p.add_argument("-U", "--upper-count", type=int, default=U64MAX,
+                   help="Don't consider mers with count > upper-count")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Output information")
+    p.add_argument("-o", "--output", help="Output file")
+    p.add_argument("db", help="Jellyfish database")
     p.set_defaults(func=run_stats)
     return p
 
@@ -180,7 +190,7 @@ def add_query_parser(sub):
                    help="Force pre-loading the database in memory")
     p.add_argument("-L", "--no-load", action="store_true",
                    help="Disable pre-loading")
-    p.add_argument("-o", "--output")
+    p.add_argument("-o", "--output", help="Output file")
     p.add_argument("file", help="Jellyfish database")
     p.add_argument("mers", nargs="*", help="Mers to query")
     p.set_defaults(func=run_query)
@@ -288,15 +298,18 @@ def run_query(args, argv):
 
 def add_merge_parser(sub):
     p = sub.add_parser("merge", help="Merge jellyfish databases")
-    p.add_argument("-o", "--output", default="mer_counts_merged.jf")
+    p.add_argument("-o", "--output", default="mer_counts_merged.jf",
+                   help="Output file (default mer_counts_merged.jf)")
     p.add_argument("-m", "--min", action="store_true",
                    help="Compute min count instead of sum")
     p.add_argument("-M", "--max", action="store_true",
                    help="Compute max count instead of sum")
     p.add_argument("-j", "--jaccard", action="store_true",
                    help="Compute jaccard and weighted jaccard similarities")
-    p.add_argument("-L", "--lower-count", type=int, default=None)
-    p.add_argument("-U", "--upper-count", type=int, default=None)
+    p.add_argument("-L", "--lower-count", type=int, default=None,
+                   help="Don't output mers with count < lower-count")
+    p.add_argument("-U", "--upper-count", type=int, default=None,
+                   help="Don't output mers with count > upper-count")
     p.add_argument("input", nargs="+", help="Jellyfish databases (>= 2)")
     p.set_defaults(func=run_merge)
     return p
@@ -342,7 +355,7 @@ def add_info_parser(sub):
     p.add_argument("-j", "--json", action="store_true", help="Print header as JSON")
     p.add_argument("-s", "--skip", action="store_true",
                    help="Skip the header and print the raw data")
-    p.add_argument("file")
+    p.add_argument("file", help="Jellyfish database")
     p.set_defaults(func=run_info)
     return p
 

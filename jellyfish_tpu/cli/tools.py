@@ -15,11 +15,16 @@ def add_mem_parser(sub):
     from jellyfish_tpu.cli.common import suffix_int
 
     p = sub.add_parser("mem", help="Estimate memory usage of a hash")
-    p.add_argument("-m", "--mer-len", type=int, required=True, dest="mer_len")
-    p.add_argument("-s", "--size", type=suffix_int, default=None)
-    p.add_argument("--mem", type=suffix_int, default=None)
-    p.add_argument("-c", "--counter-len", type=int, default=7, dest="counter_len")
-    p.add_argument("-p", "--reprobes", type=int, default=126)
+    p.add_argument("-m", "--mer-len", type=int, required=True,
+                   dest="mer_len", help="Length of mer")
+    p.add_argument("-s", "--size", type=suffix_int, default=None,
+                   help="Initial hash size -> memory usage")
+    p.add_argument("--mem", type=suffix_int, default=None,
+                   help="Memory available -> max hash size")
+    p.add_argument("-c", "--counter-len", type=int, default=7,
+                   dest="counter_len", help="Length bits of counting field")
+    p.add_argument("-p", "--reprobes", type=int, default=126,
+                   help="Maximum number of reprobes")
     p.set_defaults(func=run_mem)
     return p
 
@@ -71,8 +76,9 @@ CITE_BIBTEX = """@article{Jellyfish2010,
 
 def add_cite_parser(sub):
     p = sub.add_parser("cite", help="How to cite Jellyfish's paper")
-    p.add_argument("-b", "--bibtex", action="store_true")
-    p.add_argument("-o", "--output")
+    p.add_argument("-b", "--bibtex", action="store_true",
+                   help="Bibtex format")
+    p.add_argument("-o", "--output", help="Output file")
     p.set_defaults(func=run_cite)
     return p
 
@@ -100,15 +106,18 @@ def add_bc_parser(sub):
     from jellyfish_tpu.cli.common import add_common_input_flags, suffix_int
 
     p = sub.add_parser("bc", help="Create a bloom counter from the input k-mers")
-    p.add_argument("-m", "--mer-len", type=int, required=True, dest="mer_len")
+    p.add_argument("-m", "--mer-len", type=int, required=True,
+                   dest="mer_len", help="Length of mer")
     p.add_argument("-s", "--size", type=suffix_int, required=True,
                    help="Expected number of k-mers in input")
     p.add_argument("-f", "--fpr", type=float, default=0.001,
                    help="False positive rate")
-    p.add_argument("-C", "--canonical", action="store_true")
-    p.add_argument("-o", "--output", default="mer_bloom_filter")
+    p.add_argument("-C", "--canonical", action="store_true",
+                   help="Count both strands, canonical representation")
+    p.add_argument("-o", "--output", default="mer_bloom_filter",
+                   help="Output file (default mer_bloom_filter)")
     add_common_input_flags(p)
-    p.add_argument("file", nargs="*")
+    p.add_argument("file", nargs="*", help="Input sequence files")
     p.set_defaults(func=run_bc)
     return p
 
@@ -178,13 +187,18 @@ def add_generate_parser(sub):
         help="Generate seeded random FASTA/FASTQ test data "
              "(generate_sequence equivalent)",
     )
-    p.add_argument("-s", "--seed", type=int, default=42)
+    p.add_argument("-s", "--seed", type=int, default=42,
+                   help="Seed for the pseudo-random generator")
     p.add_argument("-m", "--length", type=suffix_int, action="append",
                    required=True, help="Sequence length (repeatable)")
-    p.add_argument("-r", "--read-length", type=suffix_int, default=None)
-    p.add_argument("-q", "--fastq", action="store_true")
-    p.add_argument("-o", "--output", default="seq")
-    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("-r", "--read-length", type=suffix_int, default=None,
+                   help="Split sequence into reads of this length")
+    p.add_argument("-q", "--fastq", action="store_true",
+                   help="Generate FASTQ with Illumina-range qualities")
+    p.add_argument("-o", "--output", default="seq",
+                   help="Output prefix (default seq)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Output information")
     p.set_defaults(func=run_generate)
     return p
 
