@@ -177,6 +177,45 @@ def test_reference_interop_multiword(ref_oracle, tmp_path):
     assert got2 == pairs
 
 
+@pytest.mark.parametrize("k,size,n", [(2, 16, 10), (100, 2048, 120)])
+def test_reference_interop_edge_k(ref_oracle, tmp_path, k, size, n):
+    """Edge mer lengths (small_mers.sh / large_key.sh scenarios, but
+    byte-level against the real reference): k=2 (identity matrix, size >=
+    4^k) and k=100 (7 u32 limbs / 4 u64 words) round-trip in both
+    directions."""
+    from jellyfish_tpu.counter import MerCounter
+    from jellyfish_tpu.io.dumpers import dump_counter
+    from jellyfish_tpu.io.files import DBReader
+    from jellyfish_tpu.mer import MerDNA
+
+    pairs = _random_mer_counts(k, n, seed=1000 + k)
+
+    db1 = tmp_path / f"ref{k}.jf"
+    inp = "".join(f"{m} {v}\n" for m, v in pairs.items())
+    subprocess.run(
+        [ref_oracle, "write", str(db1), str(k), str(size)],
+        input=inp.encode(), check=True, capture_output=True,
+    )
+    with DBReader(str(db1)) as r:
+        got = {str(MerDNA(k, m)): v for m, v in r}
+    assert got == pairs
+
+    c = MerCounter(k, size=size, canonical=False,
+                   rng=np.random.default_rng(21))
+    for mer, v in pairs.items():
+        c.add_mers_np([MerDNA(mer).bits], value=v)
+    db2 = tmp_path / f"ours{k}.jf"
+    dump_counter(c, str(db2))
+    out = subprocess.run(
+        [ref_oracle, "read", str(db2)], check=True, capture_output=True
+    ).stdout.decode()
+    got2 = {}
+    for line in out.splitlines():
+        mer, v = line.split()
+        got2[mer] = int(v)
+    assert got2 == pairs
+
+
 def test_dump_order_parity(ref_oracle, tmp_path):
     """For the SAME hash matrix, our finalize order equals the reference's
     file order (its sorted_dumper (pos, key) order, mer_heap.hpp:26-30):
