@@ -147,7 +147,12 @@ class MerCounter:
         self.k = int(k)
         c = 2 * self.k
         self.W = mw.nwords(c)
-        if c <= 64 and size >= (1 << c):
+        # the table size rounds up to a power of two, so the identity
+        # regime is reached as soon as the ROUNDED size hits 4^k — e.g.
+        # k=7 with -s 16k (16000 -> 2^14 = 4^7). Mirrors the reference's
+        # bounded array (large_hash_array.hpp:983-1006), whose lsize ==
+        # key_len case uses the identity matrix.
+        if c <= 64 and ceil_log2(size) >= c:
             self.lsize = c
             self.size = 1 << c
             self.matrix = matrix if matrix is not None else GF2Matrix.identity(c)

@@ -70,8 +70,9 @@ class GF2Matrix:
 
         Mirrors init_low_identity (lib/rectangular_binary_matrix.cc:50-63).
         """
-        if r == c:
-            return cls.identity(c)
+        # r == c materializes real columns (matching init_low_identity,
+        # which never uses the NULL-columns identity representation) so
+        # pseudo_inverse works on square matrices too
         cols = np.zeros(c, dtype=np.uint64)
         row = min(r, c)
         col = c - row

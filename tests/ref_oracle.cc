@@ -15,6 +15,9 @@
 //   ref_oracle read <in.jf>                prints "MER COUNT" lines in
 //       file order via file_header + binary_reader.
 //   ref_oracle header <in.jf>              prints key header fields.
+//   ref_oracle count <out.jf> <k> <size> <canonical> <seq-file...>
+//       counts a FASTA/FASTQ file through the reference's OWN parser +
+//       mer_iterator + hash + dumper (the full `jellyfish count` path).
 
 #include <cstdlib>
 #include <cstring>
@@ -26,6 +29,9 @@
 
 #include <jellyfish/jellyfish.hpp>
 #include <jellyfish/file_header.hpp>
+#include <jellyfish/mer_overlap_sequence_parser.hpp>
+#include <jellyfish/mer_iterator.hpp>
+#include <jellyfish/stream_manager.hpp>
 
 using jellyfish::file_header;
 using jellyfish::mer_dna;
@@ -55,6 +61,49 @@ static int do_write(int argc, char** argv) {
     m = mer_s.c_str();
     ary.add(m, count);
   }
+  dumper->one_file(true);
+  dumper->dump(ary.ary());
+  return 0;
+}
+
+// Full reference counting pipeline on a real sequence file: its own
+// stream_manager -> mer_overlap_sequence_parser -> mer_iterator (with
+// canonicalization) -> hash -> binary_dumper. This is what `jellyfish
+// count -m k -s size [-C] -t 1 -o out file` executes (count_main.cc
+// 152-184,330-357) minus the yaggo CLI, so differential tests can compare
+// whole-file counting byte-for-byte.
+static int do_count(int argc, char** argv) {
+  if(argc < 5) {
+    std::cerr << "count <out.jf> <k> <size> <canonical 0|1> <seq-file>\n";
+    return 1;
+  }
+  const char* out = argv[0];
+  const int k = atoi(argv[1]);
+  const size_t size = strtoull(argv[2], nullptr, 0);
+  const bool canonical = atoi(argv[3]) != 0;
+  mer_dna::k(k);
+
+  typedef std::vector<const char*> path_vec;
+  typedef jellyfish::stream_manager<path_vec::const_iterator> streams_t;
+  typedef jellyfish::mer_overlap_sequence_parser<streams_t> parser_t;
+  typedef jellyfish::mer_iterator<parser_t, mer_dna> mer_iter_t;
+
+  path_vec files(argv + 4, argv + argc);
+  streams_t streams(files.begin(), files.end(), 1);
+
+  file_header header;
+  header.fill_standard();
+  header.canonical(canonical);
+
+  mer_hash ary(size, 2 * k, 7, 1, 126);
+  std::unique_ptr<jellyfish::dumper_t<mer_array>> dumper(
+      new binary_dumper(4, ary.key_len(), 1, out, &header));
+  ary.dumper(dumper.get());
+
+  parser_t parser(mer_dna::k(), streams.nb_streams(), 3, 4096, streams);
+  for(mer_iter_t mers(parser, canonical); mers; ++mers)
+    ary.add(*mers, 1);
+  ary.done();
   dumper->one_file(true);
   dumper->dump(ary.ary());
   return 0;
@@ -99,6 +148,7 @@ int main(int argc, char** argv) {
   if(mode == "write")  return do_write(argc - 2, argv + 2);
   if(mode == "read")   return do_read(argc - 2, argv + 2);
   if(mode == "header") return do_header(argc - 2, argv + 2);
+  if(mode == "count")  return do_count(argc - 2, argv + 2);
   std::cerr << "unknown mode " << mode << '\n';
   return 1;
 }

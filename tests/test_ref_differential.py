@@ -1,0 +1,110 @@
+"""Whole-file differential counting against the ACTUAL reference pipeline.
+
+The north-star correctness criterion is "histo/dump exact-match vs
+reference jellyfish" (BASELINE.json). tests/ref_oracle.cc `count` mode
+runs the reference's own stream_manager -> mer_overlap_sequence_parser ->
+mer_iterator -> hash -> binary_dumper on a real file (count_main.cc's
+whole path minus yaggo); here the same files go through OUR CLI and every
+(mer, count) pair plus the histogram must agree exactly — Ns, seams, DOS
+endings, FASTQ, canonicalization and all."""
+
+import collections
+import subprocess
+import sys
+
+import pytest
+
+from tests.test_ref_interop import LIBS, REF, ref_oracle  # noqa: F401
+
+pytestmark = []
+
+
+def _run_cli(argv):
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu"] + argv,
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def _ref_counts(ref_oracle, db):
+    out = subprocess.run(
+        [ref_oracle, "read", str(db)], check=True, capture_output=True
+    ).stdout.decode()
+    d = {}
+    for line in out.splitlines():
+        m, v = line.split()
+        d[m] = int(v)
+    return d
+
+
+def _our_counts(db):
+    out = _run_cli(["dump", "-c", str(db)])
+    d = {}
+    for line in out.splitlines():
+        m, v = line.split()
+        d[m] = int(v)
+    return d
+
+
+@pytest.fixture(scope="module")
+def seq_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("diffseq")
+    _run_cli(["generate", "-s", "271828", "-m", "40000", "-m", "15000",
+              "-o", str(d / "gen")])  # two lengths -> gen_0.fa, gen_1.fa
+    _run_cli(["generate", "-s", "314159", "-q", "-m", "30000", "-r", "75",
+              "-o", str(d / "genq")])
+    # handcrafted edge content: Ns, short reads, DOS endings, lowercase
+    edge = d / "edge.fa"
+    edge.write_bytes(
+        b">r1\r\nACGTNNACGTACGTACGTACGTTGCA\r\n"
+        b">r2\r\nacgtacgtacgtacgtacgA\r\n"
+        b">tiny\r\nACG\r\n"
+        b">r3\r\nNNNNACGTACGTACGTACGTACGTNNNN\r\n"
+    )
+    return [str(d / "gen_0.fa"), str(d / "gen_1.fa"), str(d / "genq.fq"),
+            str(edge)]
+
+
+@pytest.mark.parametrize("canonical", [False, True], ids=["fwd", "canon"])
+def test_whole_file_counts_match_reference(ref_oracle, seq_files, tmp_path,
+                                           canonical):
+    k = 21
+    flag = ["-C"] if canonical else []
+    ref_db = tmp_path / f"ref{int(canonical)}.jf"
+    subprocess.run(
+        [ref_oracle, "count", str(ref_db), str(k), "262144",
+         "1" if canonical else "0"] + seq_files,
+        check=True, capture_output=True,
+    )
+    our_db = tmp_path / f"ours{int(canonical)}.jf"
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-o", str(our_db)]
+             + flag + seq_files)
+
+    ref = _ref_counts(ref_oracle, ref_db)
+    ours = _our_counts(our_db)
+    assert ours == ref
+
+    # histo agreement (derived, but the criterion names it explicitly)
+    want = collections.Counter(ref.values())
+    histo = _run_cli(["histo", str(our_db)])
+    got = {int(l.split()[0]): int(l.split()[1]) for l in histo.splitlines()}
+    assert got == dict(want)
+
+
+def test_whole_file_small_k_matches_reference(ref_oracle, seq_files,
+                                              tmp_path):
+    """k=7 crosses the identity-matrix regime boundary differently and
+    makes heavy multiplicity (every 7-mer repeats)."""
+    k = 7
+    ref_db = tmp_path / "ref7.jf"
+    subprocess.run(
+        [ref_oracle, "count", str(ref_db), str(k), "16384", "1"]
+        + seq_files,
+        check=True, capture_output=True,
+    )
+    our_db = tmp_path / "ours7.jf"
+    _run_cli(["count", "-m", str(k), "-s", "16k", "-C", "-o", str(our_db)]
+             + seq_files)
+    assert _our_counts(our_db) == _ref_counts(ref_oracle, ref_db)
