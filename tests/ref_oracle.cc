@@ -23,15 +23,20 @@
 #include <cstring>
 #include <fstream>
 #include <iostream>
+#include <limits>
 #include <memory>
 #include <sstream>
 #include <string>
+#include <vector>
 
 #include <jellyfish/jellyfish.hpp>
 #include <jellyfish/file_header.hpp>
 #include <jellyfish/mer_overlap_sequence_parser.hpp>
 #include <jellyfish/mer_iterator.hpp>
+#include <jellyfish/mer_qual_iterator.hpp>
 #include <jellyfish/stream_manager.hpp>
+#include <jellyfish/whole_sequence_parser.hpp>
+#include <jellyfish/merge_files.hpp>
 
 using jellyfish::file_header;
 using jellyfish::mer_dna;
@@ -109,6 +114,76 @@ static int do_count(int argc, char** argv) {
   return 0;
 }
 
+// Quality-filtered counting through the reference's OWN whole-sequence
+// parser + mer_qual_iterator (count_main.cc:72-94,326-334: bases with
+// quality < min are treated as 'N'). FASTQ only.
+static int do_count_qual(int argc, char** argv) {
+  if(argc < 6) {
+    std::cerr << "count-qual <out.jf> <k> <size> <canonical 0|1> "
+                 "<min-qual-char> <fastq-file...>\n";
+    return 1;
+  }
+  const char* out = argv[0];
+  const int k = atoi(argv[1]);
+  const size_t size = strtoull(argv[2], nullptr, 0);
+  const bool canonical = atoi(argv[3]) != 0;
+  const char min_qual = argv[4][0];
+  mer_dna::k(k);
+
+  typedef std::vector<const char*> path_vec;
+  typedef jellyfish::stream_manager<path_vec::const_iterator> streams_t;
+  typedef jellyfish::whole_sequence_parser<streams_t> qparser_t;
+  typedef jellyfish::mer_qual_iterator<qparser_t, mer_dna> qmer_iter_t;
+
+  path_vec files(argv + 5, argv + argc);
+  streams_t streams(files.begin(), files.end(), 1);
+
+  file_header header;
+  header.fill_standard();
+  header.canonical(canonical);
+
+  mer_hash ary(size, 2 * k, 7, 1, 126);
+  std::unique_ptr<jellyfish::dumper_t<mer_array>> dumper(
+      new binary_dumper(4, ary.key_len(), 1, out, &header));
+  ary.dumper(dumper.get());
+
+  qparser_t parser(3, 100, 1, streams);
+  for(qmer_iter_t mers(parser, min_qual, canonical); mers; ++mers)
+    ary.add(*mers, 1);
+  ary.done();
+  dumper->one_file(true);
+  dumper->dump(ary.ary());
+  return 0;
+}
+
+// Reference merge_files over same-matrix DBs (merge_files.cc:105-176):
+// differential tests feed it OUR --disk partials and byte-compare with
+// our own `merge` output.
+static int do_merge(int argc, char** argv) {
+  if(argc < 4) {
+    std::cerr << "merge <out.jf> <sum|min|max|jaccard> <in.jf> <in.jf...>\n";
+    return 1;
+  }
+  const char* out = argv[0];
+  std::string opname(argv[1]);
+  merge_op op = SUM;
+  if(opname == "min") op = MIN;
+  else if(opname == "max") op = MAX;
+  else if(opname == "jaccard") op = JACCARD;
+  else if(opname != "sum") { std::cerr << "bad op " << opname << '\n'; return 1; }
+  std::vector<const char*> files(argv + 2, argv + argc);
+  jellyfish::file_header header;
+  header.fill_standard();
+  try {
+    merge_files(files, out, header, 0, std::numeric_limits<uint64_t>::max(),
+                op);
+  } catch(MergeError& e) {
+    std::cerr << "MergeError: " << e.what() << '\n';
+    return 1;
+  }
+  return 0;
+}
+
 static int do_read(int argc, char** argv) {
   if(argc < 1) { std::cerr << "read <in.jf>\n"; return 1; }
   std::ifstream is(argv[0]);
@@ -149,6 +224,8 @@ int main(int argc, char** argv) {
   if(mode == "read")   return do_read(argc - 2, argv + 2);
   if(mode == "header") return do_header(argc - 2, argv + 2);
   if(mode == "count")  return do_count(argc - 2, argv + 2);
+  if(mode == "merge")  return do_merge(argc - 2, argv + 2);
+  if(mode == "count-qual") return do_count_qual(argc - 2, argv + 2);
   std::cerr << "unknown mode " << mode << '\n';
   return 1;
 }

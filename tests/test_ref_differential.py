@@ -93,6 +93,56 @@ def test_whole_file_counts_match_reference(ref_oracle, seq_files, tmp_path,
     assert got == dict(want)
 
 
+def test_quality_filtered_counts_match_reference(ref_oracle, seq_files,
+                                                 tmp_path):
+    """-Q filtering through the reference's own whole-sequence parser +
+    mer_qual_iterator (bases below min qual become N) vs our min-qual
+    staging path, on a generated FASTQ with Illumina-range qualities."""
+    k = 21
+    fq = seq_files[2]  # genq.fq
+    ref_db = tmp_path / "refq.jf"
+    subprocess.run(
+        [ref_oracle, "count-qual", str(ref_db), str(k), "131072", "1", "5"]
+        + [fq],
+        check=True, capture_output=True,
+    )
+    our_db = tmp_path / "oursq.jf"
+    _run_cli(["count", "-m", str(k), "-s", "128k", "-C", "-Q", "5",
+              "-o", str(our_db), fq])
+    assert _our_counts(our_db) == _ref_counts(ref_oracle, ref_db)
+
+
+def test_disk_partials_merged_by_reference(ref_oracle, seq_files, tmp_path):
+    """OUR --disk partials are valid inputs to the reference's own
+    merge_files (same-matrix k-way heap merge, merge_files.cc:105-176),
+    and its merged output equals our own merge of the same partials."""
+    k = 21
+    pre = tmp_path / "part.jf"
+    _run_cli(["count", "-m", str(k), "-s", "8k", "-C", "--disk",
+              "--no-merge", "--no-unlink", "-o", str(pre), seq_files[0]])
+    import glob
+
+    partials = sorted(glob.glob(str(pre) + "[0-9]*"))
+    assert len(partials) >= 2, partials
+
+    ref_merged = tmp_path / "refmerged.jf"
+    subprocess.run(
+        [ref_oracle, "merge", str(ref_merged), "sum"] + partials,
+        check=True, capture_output=True,
+    )
+    our_merged = tmp_path / "ourmerged.jf"
+    _run_cli(["merge", "-o", str(our_merged)] + partials)
+    assert _our_counts(our_merged) == _ref_counts(ref_oracle, ref_merged)
+
+    # and the records agree IN ORDER (same matrix -> same hash order)
+    out_ref = subprocess.run(
+        [ref_oracle, "read", str(ref_merged)], check=True,
+        capture_output=True,
+    ).stdout.decode().splitlines()
+    out_ours = _run_cli(["dump", "-c", str(our_merged)]).splitlines()
+    assert [l.split() for l in out_ours] == [l.split() for l in out_ref]
+
+
 def test_whole_file_small_k_matches_reference(ref_oracle, seq_files,
                                               tmp_path):
     """k=7 crosses the identity-matrix regime boundary differently and

@@ -44,8 +44,9 @@ def ref_oracle(tmp_path_factory):
     src = os.path.join(os.path.dirname(__file__), "ref_oracle.cc")
     cmd = (
         ["g++", "-std=c++11", "-O1", "-DHAVE_CONFIG_H", f"-I{d}",
-         f"-I{REF}/include", "-o", str(exe), src]
+         f"-I{REF}/include", f"-I{REF}", "-o", str(exe), src]
         + [os.path.join(REF, "lib", f) for f in LIBS]
+        + [os.path.join(REF, "jellyfish", "merge_files.cc")]
         + ["-lpthread"]
     )
     try:
