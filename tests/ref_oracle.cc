@@ -36,6 +36,7 @@
 #include <jellyfish/mer_qual_iterator.hpp>
 #include <jellyfish/stream_manager.hpp>
 #include <jellyfish/whole_sequence_parser.hpp>
+#include <jellyfish/mapped_file.hpp>
 #include <jellyfish/merge_files.hpp>
 
 using jellyfish::file_header;
@@ -200,6 +201,32 @@ static int do_read(int argc, char** argv) {
   return 0;
 }
 
+// Random-access lookups through the reference's OWN binary_query backend
+// (mmap + interpolated search, binary_dumper.hpp:112-213; what
+// `jellyfish query` executes, query_main.cc:109-116). Prints one count
+// per mer; canonicalizes when the header says so.
+static int do_query(int argc, char** argv) {
+  if(argc < 2) { std::cerr << "query <in.jf> <mer...>\n"; return 1; }
+  jellyfish::mapped_file map(argv[0]);
+  std::ifstream is(argv[0]);
+  file_header header(is);
+  if(header.format() != binary_dumper::format) {
+    std::cerr << "unexpected format " << header.format() << '\n';
+    return 1;
+  }
+  mer_dna::k(header.key_len() / 2);
+  binary_query bq(map.base() + header.offset(), header.key_len(),
+                  header.counter_len(), header.matrix(),
+                  header.size() - 1, map.length() - header.offset());
+  mer_dna m;
+  for(int i = 1; i < argc; ++i) {
+    m = argv[i];
+    if(header.canonical()) m.canonicalize();
+    std::cout << bq.check(m) << '\n';
+  }
+  return 0;
+}
+
 static int do_header(int argc, char** argv) {
   if(argc < 1) { std::cerr << "header <in.jf>\n"; return 1; }
   std::ifstream is(argv[0]);
@@ -226,6 +253,7 @@ int main(int argc, char** argv) {
   if(mode == "count")  return do_count(argc - 2, argv + 2);
   if(mode == "merge")  return do_merge(argc - 2, argv + 2);
   if(mode == "count-qual") return do_count_qual(argc - 2, argv + 2);
+  if(mode == "query")  return do_query(argc - 2, argv + 2);
   std::cerr << "unknown mode " << mode << '\n';
   return 1;
 }

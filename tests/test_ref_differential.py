@@ -143,6 +143,38 @@ def test_disk_partials_merged_by_reference(ref_oracle, seq_files, tmp_path):
     assert [l.split() for l in out_ours] == [l.split() for l in out_ref]
 
 
+def test_reference_binary_query_reads_our_db(ref_oracle, seq_files,
+                                             tmp_path):
+    """The reference's own binary_query backend (mmap + interpolated
+    search, what `jellyfish query` runs) answers lookups on OUR canonical
+    DB identically to our `query` subcommand — present mers, their
+    reverse complements, and absent mers."""
+    k = 21
+    our_db = tmp_path / "q.jf"
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-C", "-o", str(our_db),
+              seq_files[0]])
+    recs = sorted(_our_counts(our_db).items())
+    comp = str.maketrans("ACGT", "TGCA")
+    sample = [m for m, _ in recs[:5] + recs[-5:] + recs[len(recs) // 2:][:5]]
+    rcs = [m.translate(comp)[::-1] for m in sample[:5]]
+    absent = ["A" * k, "ACGT" * 5 + "A"]
+    mers = sample + rcs + absent
+
+    ref_out = subprocess.run(
+        [ref_oracle, "query", str(our_db)] + mers,
+        check=True, capture_output=True,
+    ).stdout.decode().split()
+    our_out = [
+        line.split()[1]
+        for line in _run_cli(["query", str(our_db)] + mers).splitlines()
+    ]
+    assert ref_out == our_out
+    d = dict(recs)
+    assert [int(x) for x in ref_out[: len(sample)]] == [
+        d[m] for m in sample
+    ]
+
+
 def test_whole_file_small_k_matches_reference(ref_oracle, seq_files,
                                               tmp_path):
     """k=7 crosses the identity-matrix regime boundary differently and
