@@ -37,6 +37,7 @@
 #include <jellyfish/stream_manager.hpp>
 #include <jellyfish/whole_sequence_parser.hpp>
 #include <jellyfish/mapped_file.hpp>
+#include <jellyfish/mer_dna_bloom_counter.hpp>
 #include <jellyfish/merge_files.hpp>
 
 using jellyfish::file_header;
@@ -227,6 +228,33 @@ static int do_query(int argc, char** argv) {
   return 0;
 }
 
+// Lookups in a "bloomcounter" file through the reference's OWN
+// mer_dna_bloom_counter (base-3 packed cells + two-matrix double hashing,
+// bloom_counter2.hpp; what `jellyfish query` runs on bc output,
+// query_main.cc:99-107). Prints one saturating count {0,1,2} per mer.
+static int do_bcquery(int argc, char** argv) {
+  if(argc < 2) { std::cerr << "bcquery <in.bc> <mer...>\n"; return 1; }
+  std::ifstream in(argv[0]);
+  if(!in.good()) { std::cerr << "cannot open " << argv[0] << '\n'; return 1; }
+  file_header header(in);
+  if(header.format() != "bloomcounter") {
+    std::cerr << "unexpected format " << header.format() << '\n';
+    return 1;
+  }
+  mer_dna::k(header.key_len() / 2);
+  jellyfish::hash_pair<mer_dna> fns(header.matrix(1), header.matrix(2));
+  jellyfish::mer_dna_bloom_counter filter(header.size(), header.nb_hashes(),
+                                          in, fns);
+  if(!in.good()) { std::cerr << "bloom file truncated\n"; return 1; }
+  mer_dna m;
+  for(int i = 1; i < argc; ++i) {
+    m = argv[i];
+    if(header.canonical()) m.canonicalize();
+    std::cout << filter.check(m) << '\n';
+  }
+  return 0;
+}
+
 static int do_header(int argc, char** argv) {
   if(argc < 1) { std::cerr << "header <in.jf>\n"; return 1; }
   std::ifstream is(argv[0]);
@@ -254,6 +282,7 @@ int main(int argc, char** argv) {
   if(mode == "merge")  return do_merge(argc - 2, argv + 2);
   if(mode == "count-qual") return do_count_qual(argc - 2, argv + 2);
   if(mode == "query")  return do_query(argc - 2, argv + 2);
+  if(mode == "bcquery") return do_bcquery(argc - 2, argv + 2);
   std::cerr << "unknown mode " << mode << '\n';
   return 1;
 }

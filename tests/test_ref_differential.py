@@ -175,6 +175,47 @@ def test_reference_binary_query_reads_our_db(ref_oracle, seq_files,
     ]
 
 
+def test_reference_reads_our_bloomcounter(ref_oracle, seq_files, tmp_path):
+    """Our `bc` output (base-3 packed cells, two-matrix double hashing) is
+    consumed by the reference's OWN mer_dna_bloom_counter (query_main.cc
+    99-107) with identical saturating counts {0,1,2} for mers seen 0, 1
+    and >=2 times."""
+    k = 21
+    bc = tmp_path / "f.bc"
+    _run_cli(["bc", "-m", str(k), "-s", "200k", "-C", "-o", str(bc),
+              seq_files[0]])
+    # ground truth from an exact count of the same file
+    db = tmp_path / "exact.jf"
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-C", "-o", str(db),
+              seq_files[0]])
+    counts = _our_counts(db)
+    items = sorted(counts.items())
+    singles = [m for m, c in items if c == 1][:8]
+    multis = [m for m, c in items if c >= 2][:8]
+    absent = ["A" * k, "CGCGCGCGCGCGCGCGCGCGC"]
+    mers = singles + multis + absent
+
+    ref_out = subprocess.run(
+        [ref_oracle, "bcquery", str(bc)] + mers,
+        check=True, capture_output=True,
+    ).stdout.decode().split()
+    got = [int(x) for x in ref_out]
+    # bloom counters never undercount; false positives can only inflate
+    for v, m in zip(got[: len(singles)], singles):
+        assert v >= 1
+    for v in got[len(singles) : len(singles) + len(multis)]:
+        assert v == 2
+    for v, m in zip(got[len(singles) + len(multis):], absent):
+        assert v >= (2 if counts.get(m, 0) >= 2 else 0)
+
+    # and the reference's answers equal OUR bc query answers exactly
+    our_out = [
+        line.split()[1]
+        for line in _run_cli(["query", str(bc)] + mers).splitlines()
+    ]
+    assert our_out == ref_out
+
+
 def test_whole_file_small_k_matches_reference(ref_oracle, seq_files,
                                               tmp_path):
     """k=7 crosses the identity-matrix regime boundary differently and

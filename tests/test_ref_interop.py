@@ -50,9 +50,15 @@ def ref_oracle(tmp_path_factory):
         + ["-lpthread"]
     )
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-    except (OSError, subprocess.SubprocessError) as e:
+        r = subprocess.run(cmd, capture_output=True, timeout=300)
+    except OSError as e:  # no g++ at all
         pytest.skip(f"cannot build reference harness: {e}")
+    # with the reference tree and a toolchain present, a compile failure
+    # is a real regression in the harness — FAIL loudly instead of
+    # silently skipping the whole interop/differential tier
+    assert r.returncode == 0, (
+        "reference harness failed to compile:\n" + r.stderr.decode()
+    )
     return str(exe)
 
 
