@@ -202,6 +202,24 @@ static int do_read(int argc, char** argv) {
   return 0;
 }
 
+// Stream a "text/sorted" DB through the reference's OWN text_reader
+// (text_dumper.hpp:61-77) — validates our --text output end to end.
+static int do_read_text(int argc, char** argv) {
+  if(argc < 1) { std::cerr << "read-text <in.jf>\n"; return 1; }
+  std::ifstream is(argv[0]);
+  if(!is.good()) { std::cerr << "cannot open " << argv[0] << '\n'; return 1; }
+  file_header header(is);
+  if(header.format() != text_dumper::format) {
+    std::cerr << "unexpected format " << header.format() << '\n';
+    return 1;
+  }
+  mer_dna::k(header.key_len() / 2);
+  text_reader reader(is, &header);
+  while(reader.next())
+    std::cout << reader.key() << ' ' << reader.val() << '\n';
+  return 0;
+}
+
 // Random-access lookups through the reference's OWN binary_query backend
 // (mmap + interpolated search, binary_dumper.hpp:112-213; what
 // `jellyfish query` executes, query_main.cc:109-116). Prints one count
@@ -277,6 +295,7 @@ int main(int argc, char** argv) {
   std::string mode(argv[1]);
   if(mode == "write")  return do_write(argc - 2, argv + 2);
   if(mode == "read")   return do_read(argc - 2, argv + 2);
+  if(mode == "read-text") return do_read_text(argc - 2, argv + 2);
   if(mode == "header") return do_header(argc - 2, argv + 2);
   if(mode == "count")  return do_count(argc - 2, argv + 2);
   if(mode == "merge")  return do_merge(argc - 2, argv + 2);

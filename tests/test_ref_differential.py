@@ -175,6 +175,29 @@ def test_reference_binary_query_reads_our_db(ref_oracle, seq_files,
     ]
 
 
+def test_reference_text_reader_reads_our_text_db(ref_oracle, seq_files,
+                                                 tmp_path):
+    """`count --text` output parses through the reference's own
+    text_reader with identical records to the binary DB of the same
+    run."""
+    k = 21
+    txt_db = tmp_path / "t.jf"
+    bin_db = tmp_path / "b.jf"
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-C", "--text",
+              "-o", str(txt_db), seq_files[0]])
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-C",
+              "-o", str(bin_db), seq_files[0]])
+    out = subprocess.run(
+        [ref_oracle, "read-text", str(txt_db)], check=True,
+        capture_output=True,
+    ).stdout.decode()
+    got = {}
+    for line in out.splitlines():
+        m, v = line.split()
+        got[m] = int(v)
+    assert got == _our_counts(bin_db)
+
+
 def test_reference_reads_our_bloomcounter(ref_oracle, seq_files, tmp_path):
     """Our `bc` output (base-3 packed cells, two-matrix double hashing) is
     consumed by the reference's OWN mer_dna_bloom_counter (query_main.cc
