@@ -55,6 +55,56 @@ def _both_paths(paths, k, chunk_len, **kw):
     return native, py, nreads, preads
 
 
+@pytest.mark.parametrize("seed", [11, 22, 33, 44])
+def test_fuzz_structured_parity(tmp_path, rng, native_available, seed):
+    """Seeded structural fuzz: random record shapes, empty sequences,
+    stray blank lines, mixed DOS endings, ragged quality strings padded
+    to length, lowercase and ambiguity codes — the native FSM and the
+    python parser must agree mer-for-mer (the sanitizer/fuzz tier the
+    reference covers with valgrind-wrapped stress, compat.sh.in:7)."""
+    frng = np.random.default_rng(seed)
+    alpha = np.array(list("ACGTNacgtnRYKM"), dtype="U1")
+
+    def rand_seq(n):
+        return "".join(frng.choice(alpha, size=n))
+
+    fa = tmp_path / "fuzz.fa"
+    eols = ["\n", "\r\n"]
+    with open(fa, "w", newline="") as f:
+        for i in range(int(frng.integers(3, 12))):
+            eol = eols[int(frng.integers(0, 2))]
+            f.write(f">rec{i} desc{eol}")
+            n = int(frng.integers(0, 300))
+            line_len = int(frng.integers(1, 80))
+            s = rand_seq(n)
+            for j in range(0, len(s), line_len):
+                f.write(s[j : j + line_len] + eol)
+            if frng.random() < 0.3:
+                f.write(eol)  # stray blank line between records
+
+    fq = tmp_path / "fuzz.fq"
+    with open(fq, "w") as f:
+        for i in range(int(frng.integers(3, 10))):
+            n = int(frng.integers(0, 150))
+            s = rand_seq(n)
+            q = "".join(
+                chr(int(x)) for x in frng.integers(33, 74, size=n)
+            )
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
+
+    k = int(frng.integers(3, 32))
+    chunk_len = int(frng.integers(64, 4096))
+    for paths, kw in (
+        ([str(fa)], {}),
+        ([str(fq)], {}),
+        ([str(fq)], {"min_qual": 40}),
+        ([str(fa), str(fq)], {}),
+    ):
+        native, py, nreads, preads = _both_paths(paths, k, chunk_len, **kw)
+        assert native == py, (paths, kw, k, chunk_len)
+        assert nreads == preads
+
+
 def test_fasta_parity(tmp_path, rng, native_available):
     seqs = [random_dna(rng, n, with_n=True) for n in (37, 200, 61, 1000, 5)]
     fa = str(tmp_path / "a.fa")
