@@ -3,11 +3,14 @@
 
 from __future__ import annotations
 
+import argparse
 import json
 import shlex
 import sys
 
 import numpy as np
+
+from jellyfish_tpu.cli.common import suffix_int
 
 U64MAX = (1 << 64) - 1
 
@@ -31,6 +34,9 @@ def add_histo_parser(sub):
                    help="Number of threads (accepted for compatibility)")
     p.add_argument("-f", "--full", action="store_true",
                    help="Full histo. Don't skip count 0.")
+    p.add_argument("-s", "--buffer-size", type=suffix_int, default=10 << 20,
+                   help="Length in bytes of input buffer (accepted for "
+                        "compatibility)")
     p.add_argument("-o", "--output", help="Output file")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Output information")
@@ -144,6 +150,10 @@ def run_dump(args, argv):
 
 def add_stats_parser(sub):
     p = sub.add_parser("stats", help="Statistics of a database")
+    # hidden vestigial flag: the reference parses it and never reads it
+    # (stats_main_cmdline.yaggo:11-13)
+    p.add_argument("-r", "--recompute", action="store_true",
+                   help=argparse.SUPPRESS)
     p.add_argument("-L", "--lower-count", type=int, default=0,
                    help="Don't consider mers with count < lower-count")
     p.add_argument("-U", "--upper-count", type=int, default=U64MAX,

@@ -25,6 +25,36 @@ def add_mem_parser(sub):
                    dest="counter_len", help="Length bits of counting field")
     p.add_argument("-p", "--reprobes", type=int, default=126,
                    help="Maximum number of reprobes")
+    # the reference's mem parser mirrors count's full flag surface so a
+    # `count` command line can be replayed with the verb swapped to `mem`
+    # (mem_main_cmdline.yaggo); accept-and-ignore the rest the same way
+    import argparse
+
+    for flags, kw in [
+        (("-t", "--threads"), dict(type=int)),
+        (("-F", "--Files"), dict(type=int)),
+        (("-g", "--generator"), dict()),
+        (("-G", "--Generators"), dict(type=int)),
+        (("-S", "--shell"), dict()),
+        (("-o", "--output"), dict()),
+        (("--out-counter-len",), dict(type=int)),
+        (("-C", "--canonical"), dict(action="store_true")),
+        (("--bc",), dict()),
+        (("--bf-size",), dict(type=suffix_int)),
+        (("--bf-fp",), dict(type=float)),
+        (("--if",), dict(dest="if_")),
+        (("-Q", "--min-qual-char"), dict()),
+        (("--text",), dict(action="store_true")),
+        (("--disk",), dict(action="store_true")),
+        (("--no-merge",), dict(action="store_true")),
+        (("--no-unlink",), dict(action="store_true")),
+        (("-L", "--lower-count"), dict(type=int)),
+        (("-U", "--upper-count"), dict(type=int)),
+        (("--timing",), dict()),
+        (("--no-write",), dict(action="store_true")),
+    ]:
+        p.add_argument(*flags, help=argparse.SUPPRESS, **kw)
+    p.add_argument("file", nargs="*", help=argparse.SUPPRESS)
     p.set_defaults(func=run_mem)
     return p
 
