@@ -14,6 +14,22 @@ from jellyfish_tpu.cli.common import suffix_int
 
 U64MAX = (1 << 64) - 1
 
+_BLOCK = 1 << 20  # records per streamed block (O(block) host memory)
+
+
+def _stream_counts(r):
+    """Yield count arrays in blocks (binary) or one text-parsed array."""
+    from jellyfish_tpu.io.header import FileHeader
+
+    if r.fmt == FileHeader.FORMAT_BINARY:
+        while True:
+            _, counts = r.read_records_np(_BLOCK)
+            if len(counts) == 0:
+                return
+            yield counts
+    else:
+        yield r.counts_np()
+
 
 # -- histo (histo_main.cc:33-90) ---------------------------------------------
 
@@ -56,13 +72,16 @@ def run_histo(args, argv):
     inc = args.increment
     nb = (ceil + inc - base) // inc
     histo = np.zeros(nb, dtype=np.uint64)
+    # stream in blocks like the reference's reader loop (histo_main.cc:
+    # 33-44): memory stays O(block), not O(database)
     with DBReader(args.db) as r:
-        counts = r.counts_np()
-    np.add.at(histo, 0, int((counts < base).sum()))
-    np.add.at(histo, nb - 1, int((counts > ceil).sum()))
-    mid = counts[(counts >= base) & (counts <= ceil)]
-    bins = ((mid - np.uint64(base)) // np.uint64(inc)).astype(np.int64)
-    histo += np.bincount(bins, minlength=nb).astype(np.uint64)
+        for counts in _stream_counts(r):
+            np.add.at(histo, 0, int((counts < base).sum()))
+            np.add.at(histo, nb - 1, int((counts > ceil).sum()))
+            mid = counts[(counts >= base) & (counts <= ceil)]
+            bins = ((mid - np.uint64(base)) // np.uint64(inc)) \
+                .astype(np.int64)
+            histo += np.bincount(bins, minlength=nb).astype(np.uint64)
     out = open_output(args.output)
     for i in range(nb):
         col = base + i * inc
@@ -103,19 +122,21 @@ def run_dump(args, argv):
     with DBReader(args.db) as r:
         k = r.k
         if r.fmt == FileHeader.FORMAT_BINARY:
-            # bulk path: vectorized key->string decoding
-            key_bytes, counts = r.records_np()
-            n = len(counts)
+            # streamed blocks + vectorized key->string decoding: memory
+            # stays O(block) like the reference's reader loop
             W = (2 * k + 31) // 32
-            kb = np.zeros((n, 4 * W), dtype=np.uint8)
-            kb[:, : key_bytes.shape[1]] = key_bytes
-            limbs = kb.view("<u4").reshape(n, W)
-            sel = (counts >= np.uint64(lo)) & (counts <= np.uint64(hi))
-            limbs, counts = limbs[sel], counts[sel]
             sepb = sep.encode()
-            for off in range(0, len(counts), 1 << 20):
-                chars = mer_strings_np(limbs[off : off + (1 << 20)], k)
-                cs = counts[off : off + (1 << 20)]
+            while True:
+                key_bytes, counts = r.read_records_np(_BLOCK)
+                n = len(counts)
+                if n == 0:
+                    break
+                kb = np.zeros((n, 4 * W), dtype=np.uint8)
+                kb[:, : key_bytes.shape[1]] = key_bytes
+                limbs = kb.view("<u4").reshape(n, W)
+                sel = (counts >= np.uint64(lo)) & (counts <= np.uint64(hi))
+                limbs2, cs = limbs[sel], counts[sel]
+                chars = mer_strings_np(limbs2, k)
                 if args.column:
                     block = b"".join(
                         b"%s%s%d\n" % (chars[i].tobytes(), sepb, cs[i])
@@ -170,13 +191,16 @@ def run_stats(args, argv):
     from jellyfish_tpu.cli.common import open_output
     from jellyfish_tpu.io.files import DBReader
 
+    uniq = distinct = total = maxc = 0
     with DBReader(args.db) as r:
-        counts = r.counts_np()
-    sel = counts[(counts >= args.lower_count) & (counts <= args.upper_count)]
-    uniq = int((sel == 1).sum())
-    distinct = int(len(sel))
-    total = int(sel.sum())
-    maxc = int(sel.max()) if len(sel) else 0
+        for counts in _stream_counts(r):
+            sel = counts[(counts >= args.lower_count)
+                         & (counts <= args.upper_count)]
+            uniq += int((sel == 1).sum())
+            distinct += int(len(sel))
+            total += int(sel.sum())
+            if len(sel):
+                maxc = max(maxc, int(sel.max()))
     out = open_output(args.output)
     out.write(
         f"Unique:    {uniq}\nDistinct:  {distinct}\n"
