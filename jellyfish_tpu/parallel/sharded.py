@@ -5,13 +5,14 @@ The reference's only parallelism is N pthreads CAS-ing into one shared table
 shards the *table* across chips by hash prefix and the *input* across chips
 by chunk (data parallel ingest):
 
-    owner(sortkey) = top log2(P) bits of sortkey = top bits of hash position
+    owner(sortkey) = floor(top-16-bits(sortkey) * P / 2^16)
 
 Each device ingests its own chunk, extracts/hashes locally, then an
 all-to-all over the `shards` mesh axis routes every (sortkey, weight) pair
-to its owner shard — the collective rides ICI. Because sortkeys are ordered
-by (pos, key) and owners are the top position bits, shard p owns one
-contiguous range of the global hash order: the final dump is just the
+to its owner shard — the collective rides ICI. The owner map is monotone
+in the sortkey (works for ANY shard count, not just powers of two), so
+shard p owns one contiguous range of the global hash order: the final
+dump is just the
 shard-order concatenation of per-shard sorted runs (no merge machinery;
 compare the reference's mer_heap + token_ring recovery,
 sorted_dumper.hpp:57-101).
@@ -69,13 +70,23 @@ def make_mesh(n_shards: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def _owner_of_sortkeys(sortkeys, weights, c: int, log_p: int):
-    """Owner shard of each entry: top log_p bits of the 2k-bit sortkey.
+def _owner_of_sortkeys(sortkeys, weights, c: int, n_shards: int):
+    """Owner shard of each entry: the top bits of the 2k-bit sortkey
+    range-mapped onto [0, n_shards) with a monotone multiply-shift
+    (owner = floor(topB * P / 2^B)). Monotone in the sortkey, so shard p
+    still owns one contiguous slice of the global hash order for ANY P —
+    including non-power-of-two meshes (a plain log2-prefix owner would
+    route to 2^ceil_log2(P) > P destinations and silently drop rows).
     PAD entries (weight == 0) get owner -1 (sent nowhere)."""
-    if log_p == 0:
+    if n_shards <= 1:
         return jnp.where(weights == 0, -1, 0).astype(jnp.int32)
-    top = mw.mw_shift_right(sortkeys, c - log_p)
-    owner = top[..., 0].astype(jnp.int32) & ((1 << log_p) - 1)
+    B = min(16, c)
+    top = mw.mw_shift_right(sortkeys, c - B)[..., 0]
+    # PAD rows are all-ones in every 32-bit limb, which exceeds 2^B - 1
+    # when c is not a limb multiple: clamp before the multiply (real keys
+    # are < 2^B by construction, all-ones maps to owner P - 1)
+    top = jnp.minimum(top, jnp.uint32((1 << B) - 1))
+    owner = ((top * jnp.uint32(n_shards)) >> B).astype(jnp.int32)
     return jnp.where(weights == 0, -1, owner)
 
 
@@ -94,8 +105,8 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
                 packed_L: int | None = None, compact: bool = True):
     """Jitted per-step program: [P, L] chunks -> per-shard raw owned runs.
 
-    compact=True (default): each device sorts its keys locally (owner =
-    top log2(P) sortkey bits, so key order IS owner order), slices one
+    compact=True (default): each device sorts its keys locally (the owner
+    map is monotone in the sortkey, so key order IS owner order), slices one
     contiguous ~(N/P + 25%) segment per destination and a regular tiled
     all-to-all ships them — exchange volume ~= 1.3x the compacted volume,
     and the per-step store ingest is [P, ~1.3N] instead of [P, P*N] (the
@@ -108,10 +119,9 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
     masked copy per destination) kept as a fallback."""
     n_shards = mesh.devices.size
     c = 2 * k
-    log_p = ceil_log2(n_shards)
 
     def _local_masked(sk, w, N, W):
-        owner = _owner_of_sortkeys(sk, w, c, log_p)
+        owner = _owner_of_sortkeys(sk, w, c, n_shards)
         dst = jnp.arange(n_shards, dtype=jnp.int32)
         send_mask = owner[None, :] == dst[:, None]  # [P, N]
         sent_w = jnp.where(send_mask, w[None, :], 0)
@@ -146,7 +156,7 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         # them sit below n_valid, so truncating the send at n_valid ships
         # the exact valid multiset (pad accounting comes free)
         own = _owner_of_sortkeys(
-            sorted_sk, jnp.ones(N, dtype=jnp.uint32), c, log_p
+            sorted_sk, jnp.ones(N, dtype=jnp.uint32), c, n_shards
         )
         idx = jnp.arange(N, dtype=jnp.int32)
         valid_row = idx < n_valid

@@ -234,3 +234,41 @@ def test_exchange_overflow_detected(rng):
             c.finalize()
     finally:
         sh._exchange_cap = orig
+
+
+@pytest.mark.parametrize("P", [3, 5, 6])
+def test_sharded_non_pow2_mesh(rng, P):
+    """Non-power-of-two shard counts: the monotone multiply-shift owner
+    map must route every mer to a live shard (a log2-prefix owner would
+    route to 2^ceil_log2(P) destinations and silently drop rows) and the
+    output must stay in global hash order."""
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    k = 15
+    mesh = make_mesh(P)
+    seqs = [random_dna(rng, 300, with_n=True) for _ in range(P * 2)]
+    counter = ShardedMerCounter(
+        k, size=1 << 12, mesh=mesh, canonical=True, rng=rng
+    )
+    for i in range(0, len(seqs), P):
+        counter.add_chunks(_chunks_from_seqs(seqs[i : i + P], P, 384))
+    mers_np, counts = counter.finalize_np()
+
+    got = {}
+    from jellyfish_tpu.ops import multiword as mw
+
+    for m, c in zip(mw.to_ints(mers_np), counts):
+        got[int(m)] = int(c)
+    assert got == oracle_counts(seqs, k, True)
+
+    # global hash order: ascending sortkeys across the shard concatenation
+    from jellyfish_tpu.ops.hashing import sortkey_of_mers
+    import jax.numpy as jnp
+
+    sk = np.asarray(
+        sortkey_of_mers(
+            jnp.asarray(mers_np), counter._A, counter.k, counter.lsize
+        )
+    )
+    vals = [int.from_bytes(row.tobytes(), "little") for row in sk]
+    assert vals == sorted(vals)
