@@ -21,14 +21,18 @@ Per-shard accumulation reuses the forest-store kernels (ops/count.merge_raw
 / merge_many) vmapped over a leading [P] shard axis that stays sharded on
 the mesh, so every merge is chip-local (no collectives).
 
-Exchange: each device sorts its sortkeys locally (key order = owner
-order), then ships one contiguous ~(N/P + 25%) segment per destination
-through a regular tiled all-to-all — exchange volume ~= 1.3x the
-compacted volume and per-step ingest is [P, ~1.3N] rather than the masked
-fallback's [P, P*N]. Segment capacity overflow (a >25% binomial deviation
-under the random invertible matrix) is detected on device and raised at
-finalize, never silently truncated. The capacity-free masked exchange
-remains as compact_exchange=False.
+Exchange: each device locally consolidates its chunk (keys-only sort +
+segment counts + compaction — the ops/count.py kernels on chunk scale)
+and ships one contiguous ~(N/P + 25%) segment of DEDUPLICATED
+(key, count) pairs per destination through a regular tiled all-to-all —
+exchange volume <= ~1.3x the distinct-key volume and per-step ingest is
+[P, ~1.3N] rather than the masked fallback's [P, P*N]. Because duplicates
+collapse before routing, pathological repeat content (homopolymers,
+satellite DNA) cannot skew a destination: per-destination load is the
+DISTINCT-key count, which is binomial under the random invertible matrix.
+Capacity overflow (a >25% deviation of that binomial) is still detected
+on device and raised at finalize, never silently truncated. The
+capacity-free masked exchange remains as compact_exchange=False.
 """
 
 from __future__ import annotations
@@ -103,20 +107,23 @@ def _exchange_cap(N: int, n_shards: int) -> int:
 
 def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
                 packed_L: int | None = None, compact: bool = True):
-    """Jitted per-step program: [P, L] chunks -> per-shard raw owned runs.
+    """Jitted per-step program: [P, L] chunks -> per-shard routed runs.
 
-    compact=True (default): each device sorts its keys locally (the owner
-    map is monotone in the sortkey, so key order IS owner order), slices one
-    contiguous ~(N/P + 25%) segment per destination and a regular tiled
-    all-to-all ships them — exchange volume ~= 1.3x the compacted volume,
-    and the per-step store ingest is [P, ~1.3N] instead of [P, P*N] (the
-    masked scheme's P x blowup in both bandwidth and downstream sort
-    volume). Static shapes on every backend (jax.lax.ragged_all_to_all
-    exists but is unimplemented on XLA:CPU, so it would be untestable
-    here). Returns (keys [P, P*capp, W], weights, overflow [P] i32).
+    compact=True (default): each device consolidates its chunk locally
+    (keys-only sort + segment counts + one compacting sort; the owner map
+    is monotone in the sortkey, so key order IS owner order), slices one
+    contiguous ~(N/P + 25%) segment of deduplicated (key, count) pairs
+    per destination and a regular tiled all-to-all ships keys + counts —
+    per-step store ingest is [P, ~1.3N] instead of [P, P*N] (the masked
+    scheme's P x blowup in both bandwidth and downstream sort volume),
+    and duplicate-key skew (homopolymers) cannot overflow a segment.
+    Static shapes on every backend (jax.lax.ragged_all_to_all exists but
+    is unimplemented on XLA:CPU, so it would be untestable here).
+    Returns (keys [P, P*capp, W], counts [P, P*capp] u32, overflow [P]
+    i32) — the receive is P concatenated deduplicated sender segments.
 
     compact=False: the capacity-free masked all-to-all (full-length
-    masked copy per destination) kept as a fallback."""
+    masked copy per destination, weights in {0,1}) kept as a fallback."""
     n_shards = mesh.devices.size
     c = 2 * k
 
@@ -145,55 +152,80 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         )
 
     def _local_compact(sk, w, N, W):
-        # local keys-only sort: ascending sortkey = ascending owner, PADs
-        # (invalid windows, already masked) last
+        # fused local consolidate + compact (ops/count.py kernels inlined
+        # on the chunk): sort keys, count duplicate segments, compact the
+        # (key, count) pairs to the ascending prefix. The exchange then
+        # ships DEDUPLICATED pairs: a pathological chunk (homopolymer /
+        # satellite repeats) collapses to one row per distinct key, so
+        # per-destination capacity only has to cover DISTINCT keys — and
+        # distinct-key loads are binomial under the random invertible
+        # matrix (a hot key can never overflow a segment).
         limbs = [sk[:, W - 1 - i] for i in range(W)]
         s = jax.lax.sort(limbs, num_keys=W, is_stable=False)
-        sorted_sk = jnp.stack([s[W - 1 - i] for i in range(W)], axis=-1)
         n_valid = jnp.sum(w, dtype=jnp.uint32).astype(jnp.int32)
-        # NOTE rows >= n_valid are all-ones; any genuine all-ones mers are
-        # bit-identical to PADs, and exactly (#all-ones-rows - #pads) of
-        # them sit below n_valid, so truncating the send at n_valid ships
-        # the exact valid multiset (pad accounting comes free)
-        own = _owner_of_sortkeys(
-            sorted_sk, jnp.ones(N, dtype=jnp.uint32), c, n_shards
-        )
         idx = jnp.arange(N, dtype=jnp.int32)
-        valid_row = idx < n_valid
+        neq = s[0] != jnp.roll(s[0], 1)
+        for l in s[1:]:
+            neq = neq | (l != jnp.roll(l, 1))
+        is_new = neq.at[0].set(True)
+        start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+        is_last = jnp.roll(is_new, -1).at[N - 1].set(True)
+        # segment count restricted to valid rows: PADs are all-ones and
+        # sort last, so the all-ones segment's valid occurrences are the
+        # rows below n_valid (genuine all-ones mers are bit-identical to
+        # PADs; exactly (#all-ones-rows - #pads) sit below n_valid)
+        cnt = jnp.maximum(jnp.minimum(idx + 1, n_valid) - start, 0)
+        cnt = jnp.where(is_last, cnt, 0).astype(jnp.uint32)
+        keep = cnt != 0
+        m_limbs = [jnp.where(keep, l, jnp.uint32(0xFFFFFFFF)) for l in s]
+        # compact with ~count as the least-significant sort key: real
+        # entries (including a genuine all-ones key with count > 0) order
+        # before pure-PAD rows within the all-ones block
+        s2 = jax.lax.sort(m_limbs + [~cnt], num_keys=W + 1, is_stable=False)
+        ck = jnp.stack([s2[W - 1 - i] for i in range(W)], axis=-1)
+        ccnt = ~s2[W]
+        own = _owner_of_sortkeys(ck, ccnt, c, n_shards)
         dst = jnp.arange(n_shards, dtype=jnp.int32)
         send_sizes = jnp.sum(
-            (own[None, :] == dst[:, None]) & valid_row[None, :],
-            axis=1, dtype=jnp.int32,
+            own[None, :] == dst[:, None], axis=1, dtype=jnp.int32
         )
         input_offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1]]
         )
         capp = _exchange_cap(N, n_shards)
         # one contiguous segment per destination, cut with dynamic slices
-        # from the sorted run (PAD-padded so slices never clamp)
+        # from the compacted run (PAD-padded so slices never clamp)
         padded = jnp.concatenate(
-            [sorted_sk, jnp.full((capp, W), 0xFFFFFFFF, dtype=jnp.uint32)],
+            [ck, jnp.full((capp, W), 0xFFFFFFFF, dtype=jnp.uint32)],
             axis=0,
+        )
+        padded_w = jnp.concatenate(
+            [ccnt, jnp.zeros(capp, dtype=jnp.uint32)]
         )
         segs = [
             jax.lax.dynamic_slice(padded, (input_offsets[d], 0), (capp, W))
             for d in range(n_shards)
         ]
-        send = jnp.stack(segs)  # [P, capp, W]
+        wsegs = [
+            jax.lax.dynamic_slice(padded_w, (input_offsets[d],), (capp,))
+            for d in range(n_shards)
+        ]
+        send = jnp.stack(segs)      # [P, capp, W]
+        send_w = jnp.stack(wsegs)   # [P, capp]
         iot = jnp.arange(capp, dtype=jnp.int32)
         seg_mask = iot[None, :] < send_sizes[:, None]
         send = jnp.where(seg_mask[..., None], send, jnp.uint32(0xFFFFFFFF))
+        send_w = jnp.where(seg_mask, send_w, 0)
         recv = jax.lax.all_to_all(
             send, AXIS, split_axis=0, concat_axis=0, tiled=True
         )  # [P, capp, W]: segment from each sender
-        all_sizes = jax.lax.all_gather(send_sizes, AXIS)  # [P, P]
-        me = jax.lax.axis_index(AXIS)
-        recv_sizes = all_sizes[:, me].astype(jnp.int32)
-        wout = (iot[None, :] < recv_sizes[:, None]).astype(jnp.uint32)
+        recv_w = jax.lax.all_to_all(
+            send_w, AXIS, split_axis=0, concat_axis=0, tiled=True
+        )
         overflow = jnp.any(send_sizes > capp).astype(jnp.int32).reshape(1)
         return (
             recv.reshape(1, n_shards * capp, W),
-            wout.reshape(1, n_shards * capp),
+            recv_w.reshape(1, n_shards * capp),
             overflow,
         )
 
@@ -271,9 +303,15 @@ def _merge_raw_batched_fn(n_runs: int, use_vword: bool):
 
 
 @functools.lru_cache(maxsize=64)
-def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
+def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool,
+                              max_dups: int | None = None):
+    """max_dups: bound on occurrences of one key in the concatenation
+    (defaults to len(arity) — every run deduplicated). Compact-exchange
+    level-1 runs are P concatenated sender segments, so they contribute P
+    potential duplicates each."""
     n_args = sum(arity)
     any_hi = any(a == 3 for a in arity)
+    nd = len(arity) if max_dups is None else int(max_dups)
 
     @functools.partial(jax.jit, donate_argnums=tuple(range(n_args)))
     def f(*args):
@@ -290,7 +328,6 @@ def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
             off += a
         kk = jnp.concatenate(keys, axis=1)
         ll = jnp.concatenate(lo, axis=1)
-        nd = len(arity)
         if any_hi:
             hh = jnp.concatenate(hi, axis=1)
             return jax.vmap(
@@ -310,7 +347,10 @@ def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool):
 class _ShardedStore:
     """Forest store with a leading [P] shard axis kept sharded on the mesh
     so every merge stays chip-local (no collectives). Runs are tuples
-    (keys [P, M, W], lo [P, M], hi [P, M] | None)."""
+    (keys [P, M, W], lo [P, M], hi [P, M] | None, dups) where `dups`
+    bounds how many rows one key may occupy in the run (1 for merged
+    output; n_senders for a compact-exchange receive; None for raw {0,1}
+    runs, whose duplicates are unbounded)."""
 
     def __init__(self, W: int, key_bits: int, branch: int = 8,
                  max_levels: int = 16):
@@ -319,12 +359,25 @@ class _ShardedStore:
         self.use_vword = key_bits % 32 == 0
         self.levels: list[list] = [[] for _ in range(max_levels)]
         self.total_weight = 0
-        self._raw0 = True  # level-0 runs are raw (weights in {0,1})
 
     def insert_raw(self, keys, weights, max_weight: int) -> None:
-        self.levels[0].append((keys, weights, None))
+        """Raw run (weights in {0,1}, unbounded duplicates — the masked
+        exchange's output). Lives at level 0 and combines via the
+        segment-length kernel."""
+        self.levels[0].append((keys, weights, None, None))
         self.total_weight += int(max_weight)
-        lvl = 0
+        self._cascade(0)
+
+    def insert_dedup(self, keys, lo, max_weight: int, dups: int) -> None:
+        """Counted run with at most `dups` rows per key (a compact-
+        exchange receive: `dups` concatenated deduplicated sender
+        segments). Enters above the raw level so it only ever meets
+        merge_many's bounded log-scan."""
+        self.levels[1].append((keys, lo, None, int(dups)))
+        self.total_weight += int(max_weight)
+        self._cascade(1)
+
+    def _cascade(self, lvl: int) -> None:
         while len(self.levels[lvl]) >= self.branch:
             group = self.levels[lvl]
             self.levels[lvl] = []
@@ -334,26 +387,30 @@ class _ShardedStore:
             self.levels[lvl + 1].append(merged)
             lvl += 1
 
-    def _merge_group(self, group, raw: bool):
+    def _merge_group(self, group, raw: bool, compact: bool = False):
         # raw groups ALWAYS take the segment-length kernel: merge_raw's
         # counts are bounded by the group's row count (fits u32 regardless
         # of total ingested weight), while merge_many's log-scan requires
-        # deduplicated inputs; 64-bit growth is handled by the general
+        # bounded duplicates; 64-bit growth is handled by the general
         # merge at higher levels
         if raw:
             args = []
             for r in group:
                 args += [r[0], r[1]]
             k2, c2 = _merge_raw_batched_fn(len(group), self.use_vword)(*args)
-            return (k2, c2, None)
+            return (k2, c2, None, 1)
         arity = tuple(2 if r[2] is None else 3 for r in group)
+        max_dups = sum(r[3] for r in group)
         args = []
         for r in group:
             args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
-        k2, l2, h2, _ = _merge_general_batched_fn(
-            arity, self.use_vword, False
+        out = _merge_general_batched_fn(
+            arity, self.use_vword, compact, max_dups
         )(*args)
-        return (k2, l2, h2)
+        k2, l2, h2 = out[0], out[1], out[2]
+        if compact:
+            return (k2, l2, h2, 1), out[3]
+        return (k2, l2, h2, 1)
 
     def occupied_runs(self):
         return [r for level in self.levels for r in level]
@@ -361,7 +418,7 @@ class _ShardedStore:
     def device_bytes(self) -> int:
         total = 0
         for r in self.occupied_runs():
-            for x in r:
+            for x in r[:3]:
                 if x is not None:
                     total += int(np.prod(x.shape)) * 4
         return total
@@ -369,25 +426,20 @@ class _ShardedStore:
     def finalize(self):
         """Returns (keys [P, M, W], lo, hi, ns [P]) compacted per shard."""
         # level-0 raw runs have unbounded duplicates: combine them via the
-        # raw kernel first so the general merge only sees dedup runs
+        # raw kernel first so the general merge only sees bounded runs
         if self.levels[0]:
             group, self.levels[0] = self.levels[0], []
             self.levels[1].append(self._merge_group(group, raw=True))
         runs = self.occupied_runs()
         if not runs:
             return None
-        arity = tuple(2 if r[2] is None else 3 for r in runs)
-        args = []
-        for r in runs:
-            args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
-        k2, l2, h2, ns = _merge_general_batched_fn(
-            arity, self.use_vword, True
-        )(*args)
+        (k2, l2, h2, _), ns = self._merge_group(runs, raw=False,
+                                                compact=True)
         if h2 is None:
             h2 = jnp.zeros_like(l2)
         for level in self.levels:
             level.clear()
-        self.levels[-1].append((k2, l2, h2))
+        self.levels[-1].append((k2, l2, h2, 1))
         return k2, l2, h2, ns
 
     def reset(self):
@@ -473,7 +525,7 @@ class ShardedMerCounter:
         dev = self._put(chunks, np.uint8, sharding)
         keys, weights, overflow = self._step(dev, self._A)
         self._overflow_flags.append(overflow)
-        self.store.insert_raw(keys, weights, max_weight=chunks.shape[1])
+        self._insert_step(keys, weights, max_weight=chunks.shape[1])
 
     def packed_step(self, L: int):
         """Jitted packed-ingest counting step for chunk length L: device
@@ -503,7 +555,20 @@ class ShardedMerCounter:
         vb = self._put(validbits, np.uint32, sharding)
         keys, weights, overflow = step(pw, vb)
         self._overflow_flags.append(overflow)
-        self.store.insert_raw(keys, weights, max_weight=L)
+        self._insert_step(keys, weights, max_weight=L)
+
+    def _insert_step(self, keys, weights, max_weight: int) -> None:
+        """Route one step's routed output into the store. Compact exchange:
+        the [P, P*capp] receive is P concatenated sender segments, each a
+        DEDUPLICATED (key, count) run — insert per-sender runs so they
+        take merge_many's bounded log-scan. Masked exchange: raw {0,1}
+        rows, segment-length kernel."""
+        if self.compact_exchange and self.n_shards > 1:
+            self.store.insert_dedup(
+                keys, weights, max_weight=max_weight, dups=self.n_shards
+            )
+        else:
+            self.store.insert_raw(keys, weights, max_weight=max_weight)
 
     def _put(self, arr, dtype, sharding):
         """Stage host chunks onto the mesh. Multi-process: each host

@@ -272,3 +272,27 @@ def test_sharded_non_pow2_mesh(rng, P):
     )
     vals = [int.from_bytes(row.tobytes(), "little") for row in sk]
     assert vals == sorted(vals)
+
+
+def test_sharded_homopolymer_no_overflow(rng):
+    """Pathological repeat content: every window of a poly-A chunk is the
+    same mer, so ALL rows route to one owner. The raw compact exchange
+    used to overflow its per-destination capacity and raise; with
+    deduplicated (key, count) segments the hot key collapses to one row
+    and counting succeeds exactly."""
+    import jax
+
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P = len(jax.devices())
+    k = 15
+    counter = ShardedMerCounter(
+        k, size=1 << 12, mesh=make_mesh(), canonical=False,
+        rng=np.random.default_rng(5),
+    )
+    seqs = ["A" * 4096] * P + ["ACGT" * 1024] * P
+    for i in range(0, len(seqs), P):
+        counter.add_chunks(_chunks_from_seqs(seqs[i : i + P], P, 4200))
+    mers, counts = counter.finalize()
+    got = {int(m): int(c) for m, c in zip(mers, counts)}
+    assert got == oracle_counts(seqs, k, False)
