@@ -312,6 +312,11 @@ class MerCounter:
                  np.zeros(0, dtype=np.uint64))
         keys, lo, hi, n, pads = self.store.finalize()
         if n == 0:
+            if self._restrict_store is not None:
+                # primed mers still dump with count 0 on empty input
+                return self._apply_restriction(
+                    keys, 0, False, np.zeros(0, dtype=np.uint64)
+                )
             return empty
         counts, drop_last = self._fetch_counts_corrected(
             self.store, keys, lo, hi, n, pads
@@ -324,32 +329,44 @@ class MerCounter:
             return empty
 
         if self._restrict_store is not None:
-            akeys, alo, ahi, an, apads = self._restrict_store.finalize()
-            if an == 0:
-                return empty
-            _, adrop = self._fetch_counts_corrected(
-                self._restrict_store, akeys, alo, ahi, an, apads
-            )
-            # both runs are sorted ascending by sortkey (hash order) under
-            # the SAME matrix: intersect with one vectorized binary search
-            # (count_main.cc:288-295 PRIME/UPDATE semantics, without the
-            # reference's in-table priming)
-            akeys_np = np.asarray(akeys[:an])
-            if adrop:
-                akeys_np = akeys_np[:-1]
-            keys_np = np.asarray(keys[:n])
-            if drop_last:
-                keys_np = keys_np[:-1]
-            if len(akeys_np) == 0:
-                return empty
-            kv = _sortkey_order_view(keys_np)
-            av = _sortkey_order_view(akeys_np)
-            pos = np.minimum(np.searchsorted(av, kv), len(av) - 1)
-            sel = av[pos] == kv
-            mers, counts = mers[sel], counts[sel]
-            if len(mers) == 0:
-                return empty
+            return self._apply_restriction(keys, n, drop_last, counts)
         return mers, counts
+
+    def _apply_restriction(self, keys, n, drop_last, counts):
+        """--if output: the PRIMED key set in hash order, each with its
+        counted value or 0. The reference's PRIME pass claims every
+        allowed mer with count 0 before counting (count_main.cc:288-295),
+        so allowed-but-unseen mers APPEAR in the dump with count 0 (the
+        documented 0-bucket histogram, doc/Readme.md); counting keys
+        outside the primed set never enter. Both runs are hash-sorted
+        under the same matrix: one vectorized binary search."""
+        empty = (np.zeros((0, self.W), dtype=np.uint32),
+                 np.zeros(0, dtype=np.uint64))
+        akeys, alo, ahi, an, apads = self._restrict_store.finalize()
+        if an == 0:
+            return empty
+        _, adrop = self._fetch_counts_corrected(
+            self._restrict_store, akeys, alo, ahi, an, apads
+        )
+        akeys_np = np.asarray(akeys[:an])
+        if adrop:
+            akeys_np = akeys_np[:-1]
+        if len(akeys_np) == 0:
+            return empty
+        keys_np = np.asarray(keys[:n])
+        if drop_last:
+            keys_np = keys_np[:-1]
+        amers = np.asarray(_recover_mers(
+            akeys, self._Ainv, k=self.k, lsize=self.lsize
+        )[: len(akeys_np)])
+        if len(keys_np) == 0:
+            return amers, np.zeros(len(akeys_np), dtype=np.uint64)
+        kv = _sortkey_order_view(keys_np)
+        av = _sortkey_order_view(akeys_np)
+        pos = np.minimum(np.searchsorted(kv, av), len(kv) - 1)
+        match = kv[pos] == av
+        out = np.where(match, counts[pos], np.uint64(0))
+        return amers, out
 
     def finalize(self):
         """Return (mers [n] object ints, counts [n] uint64 np) in hash

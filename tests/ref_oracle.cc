@@ -116,6 +116,57 @@ static int do_count(int argc, char** argv) {
   return 0;
 }
 
+// --if subset counting through the reference's OWN PRIME/UPDATE passes
+// (count_main.cc:156-181,288-295): the if-file's mers are claimed with
+// set() at count 0, then only update_add() touches them while counting —
+// allowed-but-unseen mers stay in the dump with count 0.
+static int do_count_if(int argc, char** argv) {
+  if(argc < 6) {
+    std::cerr << "count-if <out.jf> <k> <size> <canonical 0|1> <if-file> "
+                 "<seq-file...>\n";
+    return 1;
+  }
+  const char* out = argv[0];
+  const int k = atoi(argv[1]);
+  const size_t size = strtoull(argv[2], nullptr, 0);
+  const bool canonical = atoi(argv[3]) != 0;
+  mer_dna::k(k);
+
+  typedef std::vector<const char*> path_vec;
+  typedef jellyfish::stream_manager<path_vec::const_iterator> streams_t;
+  typedef jellyfish::mer_overlap_sequence_parser<streams_t> parser_t;
+  typedef jellyfish::mer_iterator<parser_t, mer_dna> mer_iter_t;
+
+  file_header header;
+  header.fill_standard();
+  header.canonical(canonical);
+
+  mer_hash ary(size, 2 * k, 7, 1, 126);
+  std::unique_ptr<jellyfish::dumper_t<mer_array>> dumper(
+      new binary_dumper(4, ary.key_len(), 1, out, &header));
+  ary.dumper(dumper.get());
+
+  {
+    path_vec prime_files(argv + 4, argv + 5);
+    streams_t streams(prime_files.begin(), prime_files.end(), 1);
+    parser_t parser(mer_dna::k(), streams.nb_streams(), 3, 4096, streams);
+    for(mer_iter_t mers(parser, canonical); mers; ++mers)
+      ary.set(*mers);
+  }
+  {
+    path_vec files(argv + 5, argv + argc);
+    streams_t streams(files.begin(), files.end(), 1);
+    parser_t parser(mer_dna::k(), streams.nb_streams(), 3, 4096, streams);
+    mer_dna tmp;
+    for(mer_iter_t mers(parser, canonical); mers; ++mers)
+      ary.update_add(*mers, 1, tmp);
+  }
+  ary.done();
+  dumper->one_file(true);
+  dumper->dump(ary.ary());
+  return 0;
+}
+
 // Quality-filtered counting through the reference's OWN whole-sequence
 // parser + mer_qual_iterator (count_main.cc:72-94,326-334: bases with
 // quality < min are treated as 'N'). FASTQ only.
@@ -300,6 +351,7 @@ int main(int argc, char** argv) {
   if(mode == "count")  return do_count(argc - 2, argv + 2);
   if(mode == "merge")  return do_merge(argc - 2, argv + 2);
   if(mode == "count-qual") return do_count_qual(argc - 2, argv + 2);
+  if(mode == "count-if") return do_count_if(argc - 2, argv + 2);
   if(mode == "query")  return do_query(argc - 2, argv + 2);
   if(mode == "bcquery") return do_bcquery(argc - 2, argv + 2);
   std::cerr << "unknown mode " << mode << '\n';

@@ -254,3 +254,31 @@ def test_whole_file_small_k_matches_reference(ref_oracle, seq_files,
     _run_cli(["count", "-m", str(k), "-s", "16k", "-C", "-o", str(our_db)]
              + seq_files)
     assert _our_counts(our_db) == _ref_counts(ref_oracle, ref_db)
+
+
+def test_if_subset_matches_reference(ref_oracle, seq_files, tmp_path):
+    """--if through the reference's OWN PRIME/UPDATE passes: allowed
+    mers not present in the input must appear with count 0 (the primed
+    table dumps them), counted mers keep exact counts, and non-allowed
+    mers never appear."""
+    k = 13
+    iffile = tmp_path / "allowed.fa"
+    # a slice of the real input plus reads that are absent from it
+    with open(seq_files[0]) as src:
+        head = "".join(src.readlines()[:10])
+    iffile.write_text(
+        head + ">absent1\n" + "AT" * 40 + "\n>absent2\n" + "GGGC" * 20 + "\n"
+    )
+    ref_db = tmp_path / "refif.jf"
+    subprocess.run(
+        [ref_oracle, "count-if", str(ref_db), str(k), "65536", "1",
+         str(iffile), seq_files[0]],
+        check=True, capture_output=True,
+    )
+    our_db = tmp_path / "oursif.jf"
+    _run_cli(["count", "-m", str(k), "-s", "64k", "-C", "--if",
+              str(iffile), "-o", str(our_db), seq_files[0]])
+    ref = _ref_counts(ref_oracle, ref_db)
+    ours = _our_counts(our_db)
+    assert ours == ref
+    assert 0 in set(ref.values())  # the scenario really exercises priming
