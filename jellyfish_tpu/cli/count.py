@@ -172,6 +172,12 @@ def run(args, argv):
         if filt is not None or args.if_files:
             die("count: --bc/--bf-size/--if are not yet supported with "
                 "--devices > 1")
+        import jax
+
+        avail = len(jax.devices())
+        if n_devices > avail:
+            die(f"count: --devices {n_devices} exceeds the {avail} "
+                "visible devices")
         counter = ShardedMerCounter(
             k, size=args.size, mesh=make_mesh(n_devices),
             canonical=args.canonical, rng=np.random.default_rng(),

@@ -44,6 +44,11 @@ def add_mem_parser(sub):
         (("--bf-fp",), dict(type=float)),
         (("--if",), dict(dest="if_")),
         (("-Q", "--min-qual-char"), dict()),
+        (("--quality-start",), dict(type=int)),
+        (("--min-quality",), dict(type=int)),
+        (("--sam",), dict(action="append")),
+        (("-d", "--devices"), dict()),
+        (("--chunk-len",), dict()),
         (("--text",), dict(action="store_true")),
         (("--disk",), dict(action="store_true")),
         (("--no-merge",), dict(action="store_true")),

@@ -325,11 +325,12 @@ class MerCounter:
         mers = np.asarray(mers_dev[:n])
         if drop_last:
             mers, counts = mers[:-1], counts[:-1]
+        if self._restrict_store is not None:
+            # before the emptiness check: even a count run that trimmed
+            # to nothing (input all Ns) must dump the primed set at 0
+            return self._apply_restriction(keys, n, drop_last, counts)
         if len(counts) == 0:
             return empty
-
-        if self._restrict_store is not None:
-            return self._apply_restriction(keys, n, drop_last, counts)
         return mers, counts
 
     def _apply_restriction(self, keys, n, drop_last, counts):

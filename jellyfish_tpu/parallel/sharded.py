@@ -435,8 +435,8 @@ class _ShardedStore:
             return None
         (k2, l2, h2, _), ns = self._merge_group(runs, raw=False,
                                                 compact=True)
-        if h2 is None:
-            h2 = jnp.zeros_like(l2)
+        # merge_many's compact path always materializes the hi limbs
+        assert h2 is not None
         for level in self.levels:
             level.clear()
         self.levels[-1].append((k2, l2, h2, 1))

@@ -345,3 +345,21 @@ def test_generators_G_counts_unchanged(data, capsys, tmp_path):
     got = _dump_dict(capsys, db)
     assert set(got) == set(direct)
     assert all(got[m] == 3 * direct[m] for m in direct)
+
+
+def test_if_all_n_input_dumps_primed_zeros(tmp_path, capsys):
+    """--if with an input that yields no valid mers still dumps the primed
+    set at count 0 (the reference's PRIME pass claims them before
+    counting; they survive an empty UPDATE pass)."""
+    from jellyfish_tpu.mer import string_canonicals
+
+    alln = tmp_path / "alln.fa"
+    alln.write_text(">r\n" + "N" * 60 + "\n")
+    allow = tmp_path / "allow.fa"
+    allow.write_text(">a\nACGTACGTACGTACGTA\n")
+    db = tmp_path / "ifz.jf"
+    run_cli(["count", "-m", "13", "-s", "16k", "-C", "--if", str(allow),
+             "-o", str(db), str(alln)])
+    got = _dump_dict(capsys, str(db))
+    want = {str(m): 0 for m in string_canonicals("ACGTACGTACGTACGTA", 13)}
+    assert got == want
