@@ -1,0 +1,846 @@
+"""CRAM 3.0 reader — native sequence/quality extraction, no htslib.
+
+The reference consumes CRAM through htslib behind `sam_format.hpp:22-57`
+(only next()/seq_len()/base(i)/qual(i) — sequences and qualities, no
+alignment semantics). This module implements exactly that consumption
+natively: container/slice walking, block codecs (raw, gzip, bzip2,
+lzma, rANS 4x8), the CRAM bit/byte codecs (EXTERNAL, HUFFMAN, BETA,
+GAMMA, SUBEXP, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP), and read
+reconstruction from reference + substitution/insert/clip features.
+
+Reference sequences, when a CRAM is reference-compressed (RR=true and
+no embedded reference in the slice), are located like htslib does:
+`JF_CRAM_REF=<fasta>` env (htslib's REF_PATH role) or a local-file
+`UR:` field in the SAM header's @SQ lines. Slices with embedded
+references and non-reference CRAMs (samtools --output-fmt-option
+no_ref) need nothing.
+
+Entry point: `cram_records_to_fastx(stream)` yields FASTA/FASTQ record
+bytes exactly like the BAM adapter in parse.py.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Iterator, Optional
+
+from jellyfish_tpu.io import rans
+
+__all__ = ["cram_records_to_fastx", "CramError"]
+
+
+class CramError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------- cursors
+
+
+class ByteCursor:
+    """Sequential reader over a bytes object: ITF-8 / LTF-8 / raw."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def u8(self) -> int:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        d = self.buf[self.pos:self.pos + n]
+        if len(d) != n:
+            raise CramError("truncated CRAM structure")
+        self.pos += n
+        return d
+
+    def itf8(self) -> int:
+        """Signed 32-bit int, 1-5 bytes (5th byte contributes 4 bits)."""
+        b0 = self.u8()
+        if b0 < 0x80:
+            v = b0
+        elif b0 < 0xC0:
+            v = (b0 & 0x3F) << 8 | self.u8()
+        elif b0 < 0xE0:
+            v = (b0 & 0x1F) << 16 | self.u8() << 8 | self.u8()
+        elif b0 < 0xF0:
+            v = ((b0 & 0x0F) << 24 | self.u8() << 16 | self.u8() << 8
+                 | self.u8())
+        else:
+            v = ((b0 & 0x0F) << 28 | self.u8() << 20 | self.u8() << 12
+                 | self.u8() << 4 | (self.u8() & 0x0F))
+        return v - (1 << 32) if v >= (1 << 31) else v
+
+    def ltf8(self) -> int:
+        """Signed 64-bit int, 1-9 bytes."""
+        b0 = self.u8()
+        n = 0
+        while n < 8 and (b0 << n) & 0x80:
+            n += 1
+        if n == 8:
+            v = int.from_bytes(self.take(8), "big")
+        else:
+            v = b0 & (0xFF >> (n + 1))
+            for _ in range(n):
+                v = v << 8 | self.u8()
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def itf8_array(self):
+        return [self.itf8() for _ in range(self.itf8())]
+
+
+def write_itf8(out: bytearray, v: int) -> None:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        out.append(v)
+    elif v < 0x4000:
+        out += bytes([0x80 | v >> 8, v & 0xFF])
+    elif v < 0x200000:
+        out += bytes([0xC0 | v >> 16, v >> 8 & 0xFF, v & 0xFF])
+    elif v < 0x10000000:
+        out += bytes([0xE0 | v >> 24, v >> 16 & 0xFF, v >> 8 & 0xFF,
+                      v & 0xFF])
+    else:
+        out += bytes([0xF0 | v >> 28 & 0x0F, v >> 20 & 0xFF,
+                      v >> 12 & 0xFF, v >> 4 & 0xFF, v & 0x0F])
+
+
+def write_ltf8(out: bytearray, v: int) -> None:
+    v &= (1 << 64) - 1
+    if v < 0x80:
+        out.append(v)
+    elif v < 1 << 56:
+        # n extra bytes carry 8n bits + (7-n) payload bits in byte 0
+        n = 1
+        while v >= (1 << (7 * n + 7)):
+            n += 1
+        lead = (0xFF << (8 - n)) & 0xFF
+        body = v.to_bytes(n + 1, "big")
+        out.append(lead | body[0])
+        out += body[1:]
+    else:
+        out.append(0xFF)
+        out += v.to_bytes(8, "big")
+
+
+class BitReader:
+    """MSB-first bit reader over a core block."""
+
+    __slots__ = ("buf", "pos", "bit")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = (self.buf[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = v << 1 | self.read_bit()
+        return v
+
+
+# --------------------------------------------------------------- codecs
+
+CODEC_NULL = 0
+CODEC_EXTERNAL = 1
+CODEC_GOLOMB = 2
+CODEC_HUFFMAN = 3
+CODEC_BYTE_ARRAY_LEN = 4
+CODEC_BYTE_ARRAY_STOP = 5
+CODEC_BETA = 6
+CODEC_SUBEXP = 7
+CODEC_GOLOMB_RICE = 8
+CODEC_GAMMA = 9
+
+
+class _External:
+    def __init__(self, params: ByteCursor):
+        self.cid = params.itf8()
+
+    def read_int(self, ctx) -> int:
+        return ctx.ext(self.cid).itf8()
+
+    def read_byte(self, ctx) -> int:
+        return ctx.ext(self.cid).u8()
+
+    def read_bytes(self, ctx, n: int) -> bytes:
+        return ctx.ext(self.cid).take(n)
+
+
+class _Huffman:
+    """Canonical Huffman over int symbols; the ubiquitous 0-bit
+    single-symbol form is a constant that consumes nothing."""
+
+    def __init__(self, params: ByteCursor):
+        syms = params.itf8_array()
+        lens = params.itf8_array()
+        if len(syms) != len(lens):
+            raise CramError("huffman alphabet/length size mismatch")
+        self.const: Optional[int] = None
+        if len(syms) == 1 and lens[0] == 0:
+            self.const = syms[0]
+            return
+        # canonical code assignment: by (length, symbol order as given)
+        pairs = sorted(zip(lens, range(len(syms))))
+        code = 0
+        prev_len = pairs[0][0]
+        self.table = {}  # (length, code) -> symbol
+        for ln, idx in pairs:
+            code <<= (ln - prev_len)
+            prev_len = ln
+            self.table[(ln, code)] = syms[idx]
+            code += 1
+        self.max_len = pairs[-1][0]
+
+    def read_int(self, ctx) -> int:
+        if self.const is not None:
+            return self.const
+        core = ctx.core
+        code = 0
+        ln = 0
+        while ln <= self.max_len:
+            code = code << 1 | core.read_bit()
+            ln += 1
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise CramError("invalid huffman code in core block")
+
+    read_byte = read_int
+
+
+class _Beta:
+    def __init__(self, params: ByteCursor):
+        self.offset = params.itf8()
+        self.nbits = params.itf8()
+
+    def read_int(self, ctx) -> int:
+        return ctx.core.read_bits(self.nbits) - self.offset
+
+    read_byte = read_int
+
+
+class _Gamma:
+    def __init__(self, params: ByteCursor):
+        self.offset = params.itf8()
+
+    def read_int(self, ctx) -> int:
+        core = ctx.core
+        z = 0
+        while core.read_bit() == 0:
+            z += 1
+        v = (1 << z) | core.read_bits(z)
+        return v - self.offset
+
+    read_byte = read_int
+
+
+class _SubExp:
+    def __init__(self, params: ByteCursor):
+        self.offset = params.itf8()
+        self.k = params.itf8()
+
+    def read_int(self, ctx) -> int:
+        core = ctx.core
+        u = 0
+        while core.read_bit() == 1:
+            u += 1
+        if u == 0:
+            n = core.read_bits(self.k)
+        else:
+            b = u + self.k - 1
+            n = (1 << b) | core.read_bits(b)
+        return n - self.offset
+
+    read_byte = read_int
+
+
+class _ByteArrayLen:
+    def __init__(self, params: ByteCursor):
+        self.len_codec = make_codec(params.itf8(),
+                                    ByteCursor(params.take(params.itf8())))
+        self.val_codec = make_codec(params.itf8(),
+                                    ByteCursor(params.take(params.itf8())))
+
+    def read_array(self, ctx) -> bytes:
+        n = self.len_codec.read_int(ctx)
+        return self.val_codec.read_bytes(ctx, n)
+
+    def read_bytes(self, ctx, n: int) -> bytes:
+        return self.val_codec.read_bytes(ctx, n)
+
+
+class _ByteArrayStop:
+    def __init__(self, params: ByteCursor):
+        self.stop = params.u8()
+        self.cid = params.itf8()
+
+    def read_array(self, ctx) -> bytes:
+        cur = ctx.ext(self.cid)
+        end = cur.buf.index(self.stop, cur.pos)
+        data = cur.buf[cur.pos:end]
+        cur.pos = end + 1
+        return data
+
+
+def _default_read_bytes(codec, ctx, n: int) -> bytes:
+    return bytes(codec.read_byte(ctx) for _ in range(n))
+
+
+_CODECS = {
+    CODEC_EXTERNAL: _External,
+    CODEC_HUFFMAN: _Huffman,
+    CODEC_BETA: _Beta,
+    CODEC_GAMMA: _Gamma,
+    CODEC_SUBEXP: _SubExp,
+    CODEC_BYTE_ARRAY_LEN: _ByteArrayLen,
+    CODEC_BYTE_ARRAY_STOP: _ByteArrayStop,
+}
+
+
+def make_codec(codec_id: int, params: ByteCursor):
+    cls = _CODECS.get(codec_id)
+    if cls is None:
+        raise CramError(f"CRAM codec {codec_id} not supported "
+                        "(GOLOMB family is never written by htslib)")
+    c = cls(params)
+    if not hasattr(c, "read_bytes"):
+        c.read_bytes = lambda ctx, n, _c=c: _default_read_bytes(_c, ctx, n)
+    return c
+
+
+# --------------------------------------------------------------- blocks
+
+METHOD_RAW = 0
+METHOD_GZIP = 1
+METHOD_BZIP2 = 2
+METHOD_LZMA = 3
+METHOD_RANS = 4
+
+CT_FILE_HEADER = 0
+CT_COMPRESSION_HEADER = 1
+CT_SLICE_HEADER = 2
+CT_EXTERNAL = 4
+CT_CORE = 5
+
+
+def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == METHOD_RAW:
+        out = data
+    elif method == METHOD_GZIP:
+        import gzip
+        out = gzip.decompress(data)
+    elif method == METHOD_BZIP2:
+        import bz2
+        out = bz2.decompress(data)
+    elif method == METHOD_LZMA:
+        import lzma
+        out = lzma.decompress(data)
+    elif method == METHOD_RANS:
+        out = rans.decode(data)
+    else:
+        raise CramError(f"CRAM block compression method {method} not "
+                        "supported (CRAM 3.1 codecs need --version 3.0)")
+    if len(out) != raw_size:
+        raise CramError("CRAM block raw size mismatch")
+    return out
+
+
+class Block:
+    __slots__ = ("method", "ctype", "cid", "data")
+
+    def __init__(self, cur: ByteCursor, verify_crc: bool = True):
+        start = cur.pos
+        self.method = cur.u8()
+        self.ctype = cur.u8()
+        self.cid = cur.itf8()
+        comp_size = cur.itf8()
+        raw_size = cur.itf8()
+        comp = cur.take(comp_size)
+        crc_calc = zlib.crc32(cur.buf[start:cur.pos])
+        crc_stored = struct.unpack("<I", cur.take(4))[0]
+        if verify_crc and crc_calc != crc_stored:
+            raise CramError("CRAM block CRC mismatch")
+        self.data = _decompress(self.method, comp, raw_size)
+
+
+# --------------------------------------------------- compression header
+
+
+class CompressionHeader:
+    def __init__(self, data: bytes):
+        cur = ByteCursor(data)
+        # preservation map
+        self.rn_preserved = True
+        self.ap_delta = True
+        self.rr = True
+        self.subst = None
+        self.tag_dict = [[]]
+        cur.itf8()  # size in bytes
+        for _ in range(cur.itf8()):
+            key = cur.take(2)
+            if key == b"RN":
+                self.rn_preserved = bool(cur.u8())
+            elif key == b"AP":
+                self.ap_delta = bool(cur.u8())
+            elif key == b"RR":
+                self.rr = bool(cur.u8())
+            elif key == b"SM":
+                self.subst = cur.take(5)
+            elif key == b"TD":
+                blob = cur.take(cur.itf8())
+                self.tag_dict = [
+                    [line[i:i + 3] for i in range(0, len(line), 3)]
+                    for line in blob.split(b"\x00")[:-1]
+                ] or [[]]
+            else:
+                raise CramError(f"unknown preservation key {key!r}")
+        # data series encodings
+        self.series = {}
+        cur.itf8()  # size
+        for _ in range(cur.itf8()):
+            key = cur.take(2).decode("ascii")
+            codec_id = cur.itf8()
+            params = ByteCursor(cur.take(cur.itf8()))
+            self.series[key] = make_codec(codec_id, params)
+        # tag encodings
+        self.tags = {}
+        cur.itf8()  # size
+        for _ in range(cur.itf8()):
+            key = cur.itf8()
+            codec_id = cur.itf8()
+            params = ByteCursor(cur.take(cur.itf8()))
+            self.tags[key] = make_codec(codec_id, params)
+        self._subst_table()
+
+    def _subst_table(self):
+        """matrix[ref_base_index]['code'] -> substituted base.
+        For each reference base (order ACGTN) the SM byte assigns 2-bit
+        codes to the other four bases in ACGTN order."""
+        self.subst_to_base = []
+        sm = self.subst or b"\x1b" * 5  # arbitrary default if absent
+        bases = b"ACGTN"
+        for r in range(5):
+            cands = bytes(b for b in bases if b != bases[r])
+            by_code = [b"N"[0]] * 4
+            byte = sm[r]
+            for j in range(4):
+                code = (byte >> (6 - 2 * j)) & 3
+                by_code[code] = cands[j]
+            self.subst_to_base.append(bytes(by_code))
+
+
+_REF_INDEX = bytearray([4]) * 256
+for _i, _b in enumerate(b"ACGTN"):
+    _REF_INDEX[_b] = _i
+    _REF_INDEX[_b + 32] = _i  # lowercase
+
+
+# --------------------------------------------------------------- slices
+
+
+class SliceHeader:
+    def __init__(self, data: bytes):
+        cur = ByteCursor(data)
+        self.ref_id = cur.itf8()
+        self.start = cur.itf8()
+        self.span = cur.itf8()
+        self.n_records = cur.itf8()
+        self.record_counter = cur.ltf8()
+        self.n_blocks = cur.itf8()
+        self.content_ids = cur.itf8_array()
+        self.embedded_ref_id = cur.itf8()
+        self.ref_md5 = cur.take(16)
+
+
+class _SliceCtx:
+    """Decode context: the shared core bit cursor + per-content-id
+    external byte cursors of one slice."""
+
+    def __init__(self, core: BitReader, externals):
+        self.core = core
+        self._ext = externals
+
+    def ext(self, cid: int) -> ByteCursor:
+        try:
+            return self._ext[cid]
+        except KeyError:
+            raise CramError(f"record references missing external "
+                            f"block {cid}") from None
+
+
+# ----------------------------------------------------------- references
+
+
+class _RefStore:
+    """Lazy reference-FASTA access for reference-compressed CRAMs.
+    Sources, in order: JF_CRAM_REF env (fasta with all needed
+    sequences), then a local-file UR: field from @SQ."""
+
+    def __init__(self, sam_header_text: bytes):
+        self.names = []
+        self.ur = {}
+        for line in sam_header_text.split(b"\n"):
+            if not line.startswith(b"@SQ"):
+                continue
+            name = None
+            ur = None
+            for f in line.rstrip(b"\r").split(b"\t")[1:]:
+                if f.startswith(b"SN:"):
+                    name = f[3:].decode()
+                elif f.startswith(b"UR:"):
+                    ur = f[3:].decode()
+            if name is not None:
+                self.names.append(name)
+                if ur:
+                    self.ur[name] = ur
+        self._seqs = {}
+        self._env_loaded = False
+
+    @staticmethod
+    def _read_fasta(path: str):
+        seqs = {}
+        name = None
+        parts = []
+        with open(path, "rb") as fh:
+            for line in fh:
+                line = line.rstrip(b"\r\n")
+                if line.startswith(b">"):
+                    if name is not None:
+                        seqs[name] = b"".join(parts).upper()
+                    name = line[1:].split()[0].decode()
+                    parts = []
+                else:
+                    parts.append(line)
+        if name is not None:
+            seqs[name] = b"".join(parts).upper()
+        return seqs
+
+    def get(self, ref_id: int) -> bytes:
+        if not 0 <= ref_id < len(self.names):
+            raise CramError(f"CRAM record references @SQ index {ref_id} "
+                            "absent from the SAM header")
+        name = self.names[ref_id]
+        if name in self._seqs:
+            return self._seqs[name]
+        env = os.environ.get("JF_CRAM_REF")
+        if env and not self._env_loaded:
+            self._seqs.update(self._read_fasta(env))
+            self._env_loaded = True
+            if name in self._seqs:
+                return self._seqs[name]
+        ur = self.ur.get(name)
+        if ur:
+            path = ur[7:] if ur.startswith("file://") else ur
+            if os.path.exists(path):
+                self._seqs.update(self._read_fasta(path))
+                if name in self._seqs:
+                    return self._seqs[name]
+        raise CramError(
+            f"reference sequence {name!r} needed to decode this CRAM: "
+            "set JF_CRAM_REF=<fasta> (or provide a readable UR: path in "
+            "the @SQ header); slices with embedded references and "
+            "no_ref CRAMs decode without it")
+
+
+# -------------------------------------------------------------- records
+
+BAM_FUNMAP = 4
+CF_QUAL_ARRAY = 1
+CF_DETACHED = 2
+CF_MATE_DOWNSTREAM = 4
+CF_NO_SEQ = 8
+
+
+def _decode_slice(comp: CompressionHeader, sh: SliceHeader, core: BitReader,
+                  externals, refs: Optional[_RefStore],
+                  counter_base: int) -> Iterator[bytes]:
+    ctx = _SliceCtx(core, externals)
+    s = comp.series
+
+    def intv(key):
+        return s[key].read_int(ctx)
+
+    def bytev(key):
+        return s[key].read_byte(ctx)
+
+    def arrv(key):
+        return s[key].read_array(ctx)
+
+    embedded = None
+    if sh.embedded_ref_id >= 0:
+        emb = externals.get(sh.embedded_ref_id)
+        if emb is None:
+            raise CramError("embedded reference block missing")
+        embedded = emb.buf.upper()
+
+    def ref_fetch(ref_id: int, pos0: int, n: int) -> bytes:
+        """n reference bases at 0-based pos0; out-of-range pads 'N'."""
+        if n <= 0:
+            return b""
+        if not comp.rr:
+            # non-reference CRAM: every base of a mapped read is
+            # feature-covered; uncovered positions are unknowable
+            return b"N" * n
+        if embedded is not None:
+            off = pos0 - (sh.start - 1)
+            src = embedded
+        else:
+            off = pos0
+            src = refs.get(ref_id)
+        lo = max(off, 0)
+        body = src[lo:max(off + n, 0)]
+        return b"N" * (lo - off) + body + b"N" * (n - (lo - off) - len(body))
+
+    last_pos = sh.start
+    for rec_i in range(sh.n_records):
+        bf = intv("BF")
+        cf = intv("CF")
+        ref_id = intv("RI") if sh.ref_id == -2 else sh.ref_id
+        rl = intv("RL")
+        ap = intv("AP")
+        if comp.ap_delta:
+            pos = last_pos + ap
+            last_pos = pos
+        else:
+            pos = ap
+        intv("RG")
+        if comp.rn_preserved:
+            name = arrv("RN")
+        else:
+            name = b"jf." + str(counter_base + rec_i).encode()
+        if cf & CF_DETACHED:
+            intv("MF")
+            if not comp.rn_preserved:
+                name = arrv("RN")
+            intv("NS")
+            intv("NP")
+            intv("TS")
+        elif cf & CF_MATE_DOWNSTREAM:
+            intv("NF")
+        tl = intv("TL")
+        try:
+            tag_ids = comp.tag_dict[tl]
+        except IndexError:
+            raise CramError("record TL outside the TD dictionary") from None
+        for tag in tag_ids:
+            key = tag[0] << 16 | tag[1] << 8 | tag[2]
+            comp.tags[key].read_array(ctx)  # consumed, values unused
+
+        seq = bytearray(b"N" * rl)
+        qual = bytearray(b"\xff" * rl)
+        have_qual = False
+
+        if not bf & BAM_FUNMAP:
+            # mapped: reconstruct bases from reference + features
+            # (one sequential pass: each feature is FC, FP-delta, then
+            # its own payload series)
+            fn = intv("FN")
+            read_i = 0          # 0-based index into the read
+            ref_pos = pos - 1   # 0-based reference position
+            p = 0               # 1-based feature position accumulator
+            for _ in range(fn):
+                fc = bytev("FC")
+                p += intv("FP")
+                idx = p - 1
+                if idx > read_i:  # reference-match run up to the feature
+                    seq[read_i:idx] = ref_fetch(ref_id, ref_pos,
+                                                idx - read_i)
+                    ref_pos += idx - read_i
+                    read_i = idx
+                if fc == 0x42:  # 'B' read base + quality
+                    seq[read_i] = bytev("BA")
+                    qual[read_i] = bytev("QS")
+                    have_qual = True
+                    read_i += 1
+                    ref_pos += 1
+                elif fc == 0x58:  # 'X' substitution
+                    code = intv("BS")
+                    rb = ref_fetch(ref_id, ref_pos, 1)
+                    seq[read_i] = \
+                        comp.subst_to_base[_REF_INDEX[rb[0]]][code]
+                    read_i += 1
+                    ref_pos += 1
+                elif fc == 0x49:  # 'I' insertion
+                    ins = arrv("IN")
+                    seq[read_i:read_i + len(ins)] = ins
+                    read_i += len(ins)
+                elif fc == 0x69:  # 'i' single inserted base
+                    seq[read_i] = bytev("BA")
+                    read_i += 1
+                elif fc == 0x44:  # 'D' deletion
+                    ref_pos += intv("DL")
+                elif fc == 0x4E:  # 'N' reference skip
+                    ref_pos += intv("RS")
+                elif fc == 0x53:  # 'S' soft clip
+                    sc = arrv("SC")
+                    seq[read_i:read_i + len(sc)] = sc
+                    read_i += len(sc)
+                elif fc == 0x50:  # 'P' padding
+                    intv("PD")
+                elif fc == 0x48:  # 'H' hard clip
+                    intv("HC")
+                elif fc == 0x62:  # 'b' bases stretch
+                    bb = arrv("BB")
+                    seq[read_i:read_i + len(bb)] = bb
+                    read_i += len(bb)
+                    ref_pos += len(bb)
+                elif fc == 0x71:  # 'q' quality stretch (no seq advance)
+                    qq = arrv("QQ")
+                    qual[idx:idx + len(qq)] = qq
+                    have_qual = True
+                elif fc == 0x51:  # 'Q' single quality
+                    qual[idx] = bytev("QS")
+                    have_qual = True
+                else:
+                    raise CramError(f"unknown CRAM feature code {fc:#x}")
+            if read_i < rl:  # trailing reference-match run
+                seq[read_i:rl] = ref_fetch(ref_id, ref_pos, rl - read_i)
+            intv("MQ")
+            if cf & CF_QUAL_ARRAY:
+                qual = bytearray(s["QS"].read_bytes(ctx, rl))
+                have_qual = True
+        else:
+            if not cf & CF_NO_SEQ:
+                seq = bytearray(s["BA"].read_bytes(ctx, rl))
+            if cf & CF_QUAL_ARRAY:
+                qual = bytearray(s["QS"].read_bytes(ctx, rl))
+                have_qual = True
+        if cf & CF_NO_SEQ and bf & BAM_FUNMAP:
+            continue  # SEQ '*': nothing to count (parse.py skips those)
+        if have_qual:
+            # unset positions (0xff) become phred 0 like `samtools view`
+            qual = bytearray(0 if q == 0xFF else q for q in qual)
+        yield _emit(name, seq, qual if have_qual else None)
+
+
+def _emit(name: bytes, seq: bytes, qual) -> bytes:
+    if qual is None:
+        return b">" + name + b"\n" + bytes(seq) + b"\n"
+    q33 = bytes(min(q, 93) + 33 for q in qual)
+    return b"@" + name + b"\n" + bytes(seq) + b"\n+\n" + q33 + b"\n"
+
+
+# ------------------------------------------------------------ containers
+
+
+class StreamCursor(ByteCursor):
+    """ByteCursor facade over a file-like stream (container headers are
+    read field-by-field before the fixed-length body)."""
+
+    def __init__(self, stream):
+        self.stream = stream
+
+    def u8(self) -> int:
+        b = self.stream.read(1)
+        if not b:
+            raise CramError("truncated CRAM container header")
+        return b[0]
+
+    def take(self, n: int) -> bytes:
+        d = self.stream.read(n)
+        if len(d) != n:
+            raise CramError("truncated CRAM container header")
+        return d
+
+
+EOF_POSITION = 4542278  # the spec's end-of-file container sentinel
+
+
+class ContainerHeader:
+    __slots__ = ("length", "ref_id", "start", "span", "n_records",
+                 "record_counter", "n_blocks")
+
+    def __init__(self, first4: bytes, cur: StreamCursor):
+        (self.length,) = struct.unpack("<i", first4)
+        self.ref_id = cur.itf8()
+        self.start = cur.itf8()
+        self.span = cur.itf8()
+        self.n_records = cur.itf8()
+        self.record_counter = cur.ltf8()
+        cur.ltf8()  # bases
+        self.n_blocks = cur.itf8()
+        cur.itf8_array()  # landmarks (blocks are walked sequentially)
+        cur.take(4)  # container header CRC32
+
+    @property
+    def is_eof(self) -> bool:
+        return self.n_records == 0 and self.start == EOF_POSITION
+
+
+def cram_records_to_fastx(stream) -> Iterator[bytes]:
+    """Yield FASTA/FASTQ record bytes from a CRAM stream positioned
+    just after the 4-byte "CRAM" magic (how parse.py dispatches)."""
+    ver = stream.read(2)
+    if len(ver) != 2:
+        raise CramError("truncated CRAM file definition")
+    major, minor = ver
+    if major != 3:
+        raise CramError(
+            f"CRAM version {major}.{minor} not supported (3.x only; "
+            "re-encode with `samtools view -C --output-fmt-option "
+            "version=3.0`)")
+    stream.read(20)  # file id
+    refs: Optional[_RefStore] = None
+    scur = StreamCursor(stream)
+    while True:
+        first4 = stream.read(4)
+        if len(first4) == 0:
+            return  # EOF container is recommended, not required
+        if len(first4) != 4:
+            raise CramError("truncated CRAM container")
+        ch = ContainerHeader(first4, scur)
+        body = stream.read(ch.length)
+        if len(body) != ch.length:
+            raise CramError("truncated CRAM container body")
+        if ch.is_eof:
+            return
+        cur = ByteCursor(body)
+        first_block = Block(cur)
+        if first_block.ctype == CT_FILE_HEADER:
+            # SAM header text: int32 length + text
+            (text_len,) = struct.unpack_from("<i", first_block.data, 0)
+            refs = _RefStore(first_block.data[4:4 + text_len])
+            continue
+        if first_block.ctype != CT_COMPRESSION_HEADER:
+            raise CramError("container does not start with a "
+                            "compression header block")
+        comp = CompressionHeader(first_block.data)
+        counter = ch.record_counter
+        while not cur.eof():
+            sh_block = Block(cur)
+            if sh_block.ctype != CT_SLICE_HEADER:
+                raise CramError("expected a slice header block")
+            sh = SliceHeader(sh_block.data)
+            core = None
+            externals = {}
+            for _ in range(sh.n_blocks):
+                blk = Block(cur)
+                if blk.ctype == CT_CORE:
+                    core = BitReader(blk.data)
+                elif blk.ctype == CT_EXTERNAL:
+                    externals[blk.cid] = ByteCursor(blk.data)
+                else:
+                    raise CramError("unexpected block type inside slice")
+            if core is None:
+                core = BitReader(b"")
+            yield from _decode_slice(comp, sh, core, externals, refs,
+                                     counter)
+            counter += sh.n_records

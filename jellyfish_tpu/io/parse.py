@@ -183,18 +183,20 @@ def sam_records_to_fastx(stream) -> Iterator[bytes]:
     Text SAM: SEQ (col 10) / QUAL (col 11) of each alignment line become
     one record; records with SEQ '*' are skipped; QUAL '*' yields a FASTA
     record. BAM (behind open_stream's gzip layer) is parsed natively —
-    see _bam_records_to_fastx. CRAM needs reference-based codecs (htslib,
-    not in this build) — convert with `samtools view` (usable directly as
-    a -g generator command).
+    see _bam_records_to_fastx. CRAM 3.x is decoded natively too
+    (io/cram.py — containers, rANS, feature-coded reads); reference-
+    compressed CRAMs locate their reference FASTA via JF_CRAM_REF or a
+    local-file UR: header field.
     """
     first = stream.read(4)
     if first.startswith(b"BAM\x01"):
         yield from _bam_records_to_fastx(stream)
         return
     if first.startswith(b"CRAM"):
-        raise ValueError(
-            "CRAM input requires htslib; pipe through `samtools view`"
-        )
+        from jellyfish_tpu.io.cram import cram_records_to_fastx
+
+        yield from cram_records_to_fastx(stream)
+        return
     buf = first + stream.readline()
     while True:
         line = buf if buf is not None else stream.readline()

@@ -1,0 +1,398 @@
+"""CRAM 3.0 reader tests (jellyfish_tpu/io/cram.py + io/rans.py).
+
+The image has no htslib/samtools/pysam, so the reader is exercised
+against tests/cram_writer.py — an independent encoder written from the
+spec text — plus hand-written expected sequences for the feature-coded
+(mapped) reconstruction cases. Covers the reference's consumption
+surface (sam_format.hpp:22-57: sequences + qualities only).
+"""
+
+import io
+import os
+import random
+
+import pytest
+
+import cram_writer as cw
+from cram_writer import (Beta, ByteArrayStop, External, Gamma, Huffman,
+                         SubExp, ext_array, simple_cram)
+from jellyfish_tpu.io import rans
+from jellyfish_tpu.io.cram import CramError, cram_records_to_fastx
+from jellyfish_tpu.io.parse import sam_records_to_fastx
+
+
+def decode(blob: bytes):
+    stream = io.BytesIO(blob)
+    assert stream.read(4) == b"CRAM"
+    return list(cram_records_to_fastx(stream))
+
+
+def fastq(name, seq, qual):
+    return (b"@" + name + b"\n" + seq + b"\n+\n"
+            + bytes(min(q, 93) + 33 for q in qual) + b"\n")
+
+
+def fasta(name, seq):
+    return b">" + name + b"\n" + seq + b"\n"
+
+
+# ------------------------------------------------------------------ rANS
+
+
+def test_rans_roundtrip_fuzz():
+    rng = random.Random(31415)
+    cases = [b"", b"A", b"ACGT" * 64, bytes(range(256)) * 3,
+             bytes(rng.choices(b"ACGTN", weights=[9, 8, 7, 2, 1], k=40000)),
+             bytes(rng.randrange(256) for _ in range(5000))]
+    for order in (0, 1):
+        for raw in cases:
+            assert rans.decode(rans.encode(raw, order)) == raw
+
+
+def test_rans_rejects_bad_order():
+    import struct
+    with pytest.raises(ValueError, match="order"):
+        rans.decode(b"\x02" + struct.pack("<II", 1, 4) + b"x")
+
+
+# ------------------------------------------------- unmapped round trips
+
+
+RECORDS = [
+    {"name": b"r1", "seq": b"ACGTACGTACGTACGTACGT",
+     "qual": bytes([37] * 20)},
+    {"name": b"r2", "seq": b"GGGGCCCCNNTTTTAAAA", "qual": None},
+    {"name": b"r3", "seq": b"ACACACACACACACACACACACACAC",
+     "qual": bytes(range(26))},
+]
+
+EXPECT = [
+    fastq(b"r1", b"ACGTACGTACGTACGTACGT", bytes([37] * 20)),
+    fasta(b"r2", b"GGGGCCCCNNTTTTAAAA"),
+    fastq(b"r3", b"ACACACACACACACACACACACACAC", bytes(range(26))),
+]
+
+
+def test_unmapped_roundtrip_plain():
+    assert decode(simple_cram(RECORDS)) == EXPECT
+
+
+@pytest.mark.parametrize("method",
+                         ["gzip", "bzip2", "lzma", "rans0", "rans1"])
+def test_block_compression_methods(method):
+    # compress every block: externals, core, and the SAM/comp headers
+    methods = {cw.CORE: method, "slice_header": method}
+    for cid in range(1, 30):
+        methods[cid] = method
+    series = cw.default_series()
+    sl = cw.encode_slice(series, RECORDS, block_methods=methods)
+    comp = cw.compression_header(series)
+    blob = (cw.file_definition()
+            + cw.sam_header_container(b"@HD\tVN:1.6\n", method=method)
+            + cw.data_container(comp, sl, 1 + cw.count_blocks(sl),
+                                len(RECORDS), 0, comp_method=method)
+            + cw.eof_container())
+    assert decode(blob) == EXPECT
+
+
+def test_core_bit_codecs():
+    """HUFFMAN (real 2-symbol code), BETA, GAMMA, SUBEXP in the core
+    block; BYTE_ARRAY_STOP names; constant HUFFMAN for flags."""
+    series = cw.default_series()
+    series["BF"] = Huffman([4], [0])            # constant, 0 bits
+    series["CF"] = Huffman([1, 0], [1, 1])      # real 1-bit alphabet
+    series["RL"] = Beta(0, 6)                   # lengths < 64
+    series["AP"] = Gamma(1)                     # deltas >= 0
+    series["RG"] = SubExp(1, 2)                 # -1 -> 0
+    series["TL"] = Huffman([0], [0])
+    series["RN"] = ByteArrayStop(0x09, 31)
+    assert decode(simple_cram(RECORDS, series=series)) == EXPECT
+
+
+def test_detached_mate_fields_and_tags():
+    tag = (b"XAZ", b"hello-world\x00")
+    tag_key = (ord("X") << 16) | (ord("A") << 8) | ord("Z")
+    series = cw.default_series(detached=True)
+    series["TS"] = SubExp(0, 3)
+    blob = simple_cram(
+        RECORDS, series=series, detached=True,
+        tag_dict=[[], [b"XAZ"]], tags=[tag],
+        tag_encodings={tag_key: ext_array(40)})
+    assert decode(blob) == EXPECT
+
+
+def test_generated_names_when_rn_not_preserved():
+    blob = simple_cram([{"name": b"ignored", "seq": b"ACGT" * 3,
+                         "qual": None}], rn_preserved=False)
+    (rec,) = decode(blob)
+    assert rec == fasta(b"jf.0", b"ACGT" * 3)
+
+
+# ------------------------------------------------------- mapped records
+
+
+REF = b"ACGTACGTACGTACGTACGTTTTTGGGGCCCCAAAA"  # 36 bases, 1-based coords
+
+
+def _mapped_blob(records, rr=True, embedded=None, subst=b"\x1b" * 5,
+                 sam_text=b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\n",
+                 ap_delta=True):
+    return simple_cram(records, sam_text=sam_text, ref_id=0, start=1,
+                       span=36, rr=rr, embedded_ref=embedded,
+                       subst=subst, ap_delta=ap_delta)
+
+
+def test_mapped_identity_read_embedded_ref():
+    # read of length 12 at pos 3 with no features = ref[2:14]
+    rec = {"name": b"m1", "mapped": True, "pos": 3, "rlen": 12,
+           "features": [], "qual": None}
+    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    assert out == fasta(b"m1", REF[2:14])
+
+
+def test_mapped_feature_zoo_embedded_ref():
+    """Every feature code; expected sequence hand-derived below.
+
+    REF 0-based: 0..19 = "ACGTACGTACGTACGTACGT", 20..23 = "TTTT",
+    24..27 = "GGGG", 28..31 = "CCCC", 32..35 = "AAAA".
+    Read aligned at pos 5 (ref_pos starts 0-based 4), length 20.
+    """
+    features = [
+        (1, "S", b"TT"),
+        (5, "X", 1),
+        (6, "i", ord("G")),
+        (7, "B", (ord("T"), 11)),
+        (8, "I", b"AA"),
+        (10, "D", 2),
+        (10, "N", 3),
+        (14, "Q", 9),
+        (16, "b", b"CA"),
+        (18, "q", bytes([7, 8])),
+        (20, "H", 5),
+        (20, "P", 1),
+    ]
+    # hand walk (read positions 1-based, ref positions 0-based):
+    #  read 1-2:  S -> "TT"; ref stays 4
+    #  read 3-4:  match ref 4,5 = "AC"; ref -> 6
+    #  read 5:    X on ref 6 'G', code 1; G's candidates are A,C,T,N
+    #             so code 1 (identity SM 0x1b) -> 'C'; ref -> 7
+    #  read 6:    i -> 'G'; ref stays 7
+    #  read 7:    B -> 'T' qual 11; ref -> 8
+    #  read 8-9:  I -> "AA"; ref stays 8
+    #  D(2): ref 8,9 skipped -> 10;  N(3): ref 10,11,12 skipped -> 13
+    #  read 10-13: match ref 13..16 = "CGTA"; ref -> 17
+    #  (Q sets qual[13] = 9)
+    #  read 14-15: match ref 17,18 = "CG"; ref -> 19
+    #  read 16-17: b -> "CA"; ref 19,20 consumed -> 21
+    #  (q sets qual[17:19] = 7,8)
+    #  read 18-19: match ref 21,22 = "TT"; ref -> 23
+    #  (H, P consume nothing)
+    #  read 20:   match ref 23 = "T"
+    expected_seq = b"TT" + b"AC" + b"C" + b"G" + b"T" + b"AA" \
+        + b"CGTA" + b"CG" + b"CA" + b"TT" + b"T"
+    assert len(expected_seq) == 20
+    expected_qual = bytearray(20)
+    expected_qual[6] = 11      # 'B' qual
+    expected_qual[13] = 9      # 'Q'
+    expected_qual[17:19] = bytes([7, 8])  # 'q'
+    rec = {"name": b"zoo", "mapped": True, "pos": 5, "rlen": 20,
+           "features": features, "qual": None}
+    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    assert out == fastq(b"zoo", expected_seq, bytes(expected_qual))
+
+
+def test_substitution_matrix_nondefault():
+    # SM byte 0xE4 reverses the code->candidate order (code 3 -> first)
+    rec = {"name": b"s", "mapped": True, "pos": 1, "rlen": 4,
+           "features": [(2, "X", 3)], "qual": None}
+    # ref[0:4] = ACGT; pos 2 ref 'C' candidates A,G,T,N; with 0xE4 the
+    # codes are 3,2,1,0 so code 3 -> 'A'
+    (out,) = decode(_mapped_blob([rec], embedded=REF, subst=b"\xe4" * 5))
+    assert out == fasta(b"s", b"AAGT")
+
+
+def test_mapped_qual_array():
+    qual = bytes([20] * 8)
+    rec = {"name": b"q", "mapped": True, "pos": 1, "rlen": 8,
+           "features": [], "qual": qual}
+    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    assert out == fastq(b"q", REF[:8], qual)
+
+
+def test_mapped_external_ref_env(tmp_path, monkeypatch):
+    ref_fa = tmp_path / "ref.fa"
+    ref_fa.write_bytes(b">chr1 some description\n" + REF[:18] + b"\n"
+                       + REF[18:] + b"\n")
+    monkeypatch.setenv("JF_CRAM_REF", str(ref_fa))
+    rec = {"name": b"e", "mapped": True, "pos": 7, "rlen": 10,
+           "features": [], "qual": None}
+    (out,) = decode(_mapped_blob([rec]))
+    assert out == fasta(b"e", REF[6:16])
+
+
+def test_mapped_external_ref_ur_field(tmp_path, monkeypatch):
+    monkeypatch.delenv("JF_CRAM_REF", raising=False)
+    ref_fa = tmp_path / "ur.fa"
+    ref_fa.write_bytes(b">chr1\n" + REF + b"\n")
+    sam = (b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\tUR:file://"
+           + str(ref_fa).encode() + b"\n")
+    rec = {"name": b"u", "mapped": True, "pos": 1, "rlen": 36,
+           "features": [], "qual": None}
+    (out,) = decode(_mapped_blob([rec], sam_text=sam))
+    assert out == fasta(b"u", REF)
+
+
+def test_mapped_missing_ref_raises(monkeypatch):
+    monkeypatch.delenv("JF_CRAM_REF", raising=False)
+    rec = {"name": b"x", "mapped": True, "pos": 1, "rlen": 4,
+           "features": [], "qual": None}
+    with pytest.raises(CramError, match="JF_CRAM_REF"):
+        decode(_mapped_blob([rec]))
+
+
+def test_no_ref_cram_rr_false():
+    # non-reference CRAM: bases carried whole by 'b' features
+    rec = {"name": b"n", "mapped": True, "pos": 1, "rlen": 10,
+           "features": [(1, "b", b"TTTTGGGGCC")], "qual": None}
+    (out,) = decode(_mapped_blob([rec], rr=False))
+    assert out == fasta(b"n", b"TTTTGGGGCC")
+
+
+def test_ref_padding_past_end():
+    # read hangs off the reference end: padded with N
+    rec = {"name": b"p", "mapped": True, "pos": 33, "rlen": 8,
+           "features": [], "qual": None}
+    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    assert out == fasta(b"p", b"AAAA" + b"N" * 4)
+
+
+def test_ap_delta_and_absolute():
+    recs = [{"name": b"a", "mapped": True, "pos": 3, "rlen": 4,
+             "features": [], "qual": None},
+            {"name": b"b", "mapped": True, "pos": 9, "rlen": 4,
+             "features": [], "qual": None}]
+    for delta in (True, False):
+        out = decode(_mapped_blob(recs, embedded=REF, ap_delta=delta))
+        assert out == [fasta(b"a", REF[2:6]), fasta(b"b", REF[8:12])]
+
+
+def test_multiref_slice_uses_ri():
+    sam = b"@HD\tVN:1.6\n@SQ\tSN:c1\tLN:36\n@SQ\tSN:c2\tLN:12\n"
+    series = cw.default_series(multiref=True)
+    series["FN"] = External(15)
+    series["FC"] = External(16)
+    series["FP"] = External(17)
+    series["MQ"] = External(27)
+    recs = [{"name": b"r", "mapped": True, "pos": 1, "rlen": 6,
+             "features": [], "qual": None, "ref_id": 1}]
+    blob = simple_cram(recs, sam_text=sam, series=series, multiref=True,
+                       start=1, span=12)
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".fa", delete=False) as fh:
+        fh.write(b">c1\n" + REF + b"\n>c2\nTTGGCCAATTGG\n")
+        path = fh.name
+    try:
+        os.environ["JF_CRAM_REF"] = path
+        (out,) = decode(blob)
+    finally:
+        del os.environ["JF_CRAM_REF"]
+        os.unlink(path)
+    assert out == fasta(b"r", b"TTGGCC")
+
+
+def test_multi_slice_and_multi_container():
+    series_a = cw.default_series()
+    sl1 = cw.encode_slice(series_a, RECORDS[:2], record_counter=0)
+    sl2 = cw.encode_slice(series_a, RECORDS[2:], record_counter=2)
+    comp_a = cw.compression_header(series_a)
+    cont_a = cw.data_container(comp_a, sl1 + sl2,
+                               1 + cw.count_blocks(sl1 + sl2), 3, 0)
+    series_b = cw.default_series()
+    more = [{"name": b"r4", "seq": b"TTTT", "qual": None}]
+    sl3 = cw.encode_slice(series_b, more, record_counter=3)
+    cont_b = cw.data_container(cw.compression_header(series_b), sl3,
+                               1 + cw.count_blocks(sl3), 1, 3)
+    blob = (cw.file_definition() + cw.sam_header_container(b"@HD\n")
+            + cont_a + cont_b + cw.eof_container())
+    assert decode(blob) == EXPECT + [fasta(b"r4", b"TTTT")]
+
+
+def test_missing_eof_container_tolerated():
+    blob = simple_cram(RECORDS)
+    blob = blob[:-len(cw.eof_container())]
+    assert decode(blob) == EXPECT
+
+
+# ------------------------------------------------------------- failures
+
+
+def test_rejects_cram_v2():
+    blob = b"CRAM\x02\x01" + b"\x00" * 20
+    with pytest.raises(CramError, match="version 2.1"):
+        decode(blob)
+
+
+def test_rejects_corrupt_block_crc():
+    blob = bytearray(simple_cram(RECORDS))
+    # flip one byte inside the container body region (past headers)
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises((CramError, Exception)):
+        decode(bytes(blob))
+
+
+def test_rejects_unknown_codec():
+    series = cw.default_series()
+    series["RL"].codec = 2  # claim GOLOMB in the header
+    with pytest.raises(CramError, match="codec 2"):
+        decode(simple_cram(RECORDS, series=series))
+
+
+# ----------------------------------------------------------- parse + CLI
+
+
+def test_sam_adapter_dispatches_cram(tmp_path):
+    path = tmp_path / "reads.cram"
+    path.write_bytes(simple_cram(RECORDS))
+    from jellyfish_tpu.io.parse import open_stream
+    out = list(sam_records_to_fastx(open_stream(str(path))))
+    assert out == EXPECT
+
+
+def test_cli_count_cram_equals_fastq(tmp_path, capsys):
+    """`count --sam reads.cram` produces the same table as counting the
+    equivalent FASTQ."""
+    from test_cli import run_cli, _dump_dict
+
+    rng = random.Random(99)
+    recs = []
+    fq_lines = []
+    for i in range(40):
+        seq = bytes(rng.choices(b"ACGT", k=rng.randrange(25, 60)))
+        qual = bytes(rng.randrange(10, 40) for _ in seq)
+        recs.append({"name": f"r{i}".encode(), "seq": seq, "qual": qual})
+        fq_lines.append(b"@r%d\n%s\n+\n%s\n"
+                        % (i, seq, bytes(q + 33 for q in qual)))
+    cram_path = tmp_path / "reads.cram"
+    cram_path.write_bytes(simple_cram(recs, block_methods={
+        cw.CORE: "rans0", 8: "rans1", 9: "rans0", 6: "gzip"}))
+    fq_path = tmp_path / "reads.fq"
+    fq_path.write_bytes(b"".join(fq_lines))
+
+    db_c = tmp_path / "c.jf"
+    db_f = tmp_path / "f.jf"
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "--sam",
+             str(cram_path), "-o", str(db_c)])
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "-o", str(db_f),
+             str(fq_path)])
+    assert _dump_dict(capsys, str(db_c)) == _dump_dict(capsys, str(db_f))
+
+    # quality filtering flows through CRAM quals identically
+    db_cq = tmp_path / "cq.jf"
+    db_fq = tmp_path / "fq.jf"
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "-Q", "5", "--sam",
+             str(cram_path), "-o", str(db_cq)])
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "-Q", "5",
+             "-o", str(db_fq), str(fq_path)])
+    got_q = _dump_dict(capsys, str(db_cq))
+    assert got_q == _dump_dict(capsys, str(db_fq))
+    assert got_q  # the threshold keeps some mers
