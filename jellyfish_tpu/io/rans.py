@@ -351,11 +351,32 @@ def decode(data: bytes) -> bytes:
         raise ValueError("rANS block truncated")
     if raw_size == 0:
         return b""
+    out = _decode_native(data, raw_size)
+    if out is not None:
+        return out
     if order == 0:
         return _decode0(data, 9, raw_size)
     if order == 1:
         return _decode1(data, 9, raw_size)
     raise ValueError(f"rANS order {order} not supported (0|1)")
+
+
+def _decode_native(data: bytes, raw_size: int):
+    """native/chunker.cpp jf_rans_decode fast path; None -> fall back
+    to the pure-python reference path (which raises exact errors)."""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_rans_decode"):
+        return None
+    import ctypes
+    buf = ctypes.create_string_buffer(raw_size)
+    n = lib.jf_rans_decode(data, len(data), buf, raw_size)
+    if n != raw_size:
+        return None
+    return buf.raw
 
 
 def encode(raw: bytes, order: int = 0) -> bytes:

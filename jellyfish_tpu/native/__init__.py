@@ -67,6 +67,12 @@ def get_lib():
         lib.jf_pack_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p
         ]
+        if hasattr(lib, "jf_rans_decode"):
+            lib.jf_rans_decode.restype = ctypes.c_long
+            lib.jf_rans_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_void_p, ctypes.c_long,
+            ]
         _lib = lib
         return _lib
 

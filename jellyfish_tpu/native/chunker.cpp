@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <memory>
 #include <new>
 #include <vector>
 
@@ -288,3 +289,172 @@ void jf_pack_chunk(const uint8_t* chunk, long L, uint32_t* pwords,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// rANS 4x8 block decoder (CRAM compression method 4) — the hot inner
+// loop of native CRAM reading (io/rans.py holds the reference
+// implementation and fallback). Returns decoded length, or -1 on any
+// malformed input (caller falls back to python for exact errors).
+
+namespace {
+
+struct RansIn {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  uint8_t u8() {
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    return *p++;
+  }
+};
+
+constexpr uint32_t kRansL = 1u << 23;
+constexpr uint32_t kTotFreq = 1u << 12;
+
+struct RansTable {
+  // per 12-bit slot: symbol, its frequency and cumulative start
+  uint8_t sym[kTotFreq];
+  uint16_t freq[kTotFreq];
+  uint16_t cum[kTotFreq];
+};
+
+static bool read_freqs0(RansIn& in, uint32_t f[256]) {
+  std::memset(f, 0, 256 * sizeof(uint32_t));
+  int sym = in.u8();
+  int last = sym;
+  int rle = 0;
+  while (in.ok) {
+    uint32_t v = in.u8();
+    if (v >= 0x80) v = ((v & 0x7F) << 8) | in.u8();
+    if (sym > 255) return false;
+    f[sym] = v;
+    if (rle > 0) {
+      --rle;
+      ++sym;
+    } else {
+      sym = in.u8();
+      if (sym == last + 1) rle = in.u8();
+    }
+    last = sym;
+    if (sym == 0) break;
+  }
+  return in.ok;
+}
+
+static bool build_table(const uint32_t f[256], RansTable& t) {
+  uint32_t c = 0;
+  for (int s = 0; s < 256; ++s) {
+    if (!f[s]) continue;
+    if (c + f[s] > kTotFreq) return false;
+    for (uint32_t i = 0; i < f[s]; ++i) {
+      t.sym[c + i] = static_cast<uint8_t>(s);
+      t.freq[c + i] = static_cast<uint16_t>(f[s]);
+      t.cum[c + i] = static_cast<uint16_t>(c);
+    }
+    c += f[s];
+  }
+  return true;
+}
+
+static bool rans_u32x4(RansIn& in, uint32_t x[4]) {
+  for (int j = 0; j < 4; ++j) {
+    if (in.end - in.p < 4) return false;
+    x[j] = static_cast<uint32_t>(in.p[0]) | in.p[1] << 8 | in.p[2] << 16 |
+           static_cast<uint32_t>(in.p[3]) << 24;
+    in.p += 4;
+  }
+  return true;
+}
+
+static long rans_decode0(RansIn& in, uint8_t* out, long n) {
+  uint32_t f[256];
+  if (!read_freqs0(in, f)) return -1;
+  auto t = std::make_unique<RansTable>();
+  if (!build_table(f, *t)) return -1;
+  uint32_t x[4];
+  if (!rans_u32x4(in, x)) return -1;
+  for (long i = 0; i < n; ++i) {
+    uint32_t& s = x[i & 3];
+    uint32_t m = s & (kTotFreq - 1);
+    out[i] = t->sym[m];
+    s = t->freq[m] * (s >> 12) + m - t->cum[m];
+    while (s < kRansL) {
+      if (in.p >= in.end) return -1;
+      s = (s << 8) | *in.p++;
+    }
+  }
+  return n;
+}
+
+static long rans_decode1(RansIn& in, uint8_t* out, long n) {
+  std::vector<std::unique_ptr<RansTable>> tabs(256);
+  {
+    int ctx = in.u8();
+    int last = ctx;
+    int rle = 0;
+    while (in.ok) {
+      uint32_t f[256];
+      if (ctx > 255 || !read_freqs0(in, f)) return -1;
+      tabs[ctx] = std::make_unique<RansTable>();
+      if (!build_table(f, *tabs[ctx])) return -1;
+      if (rle > 0) {
+        --rle;
+        ++ctx;
+      } else {
+        ctx = in.u8();
+        if (ctx == last + 1) rle = in.u8();
+      }
+      last = ctx;
+      if (ctx == 0) break;
+    }
+    if (!in.ok) return -1;
+  }
+  uint32_t x[4];
+  if (!rans_u32x4(in, x)) return -1;
+  const long q = n >> 2;
+  long pos[4] = {0, q, 2 * q, 3 * q};
+  uint8_t ctxs[4] = {0, 0, 0, 0};
+  auto step = [&](int j, long at) -> bool {
+    RansTable* t = tabs[ctxs[j]].get();
+    if (!t) return false;
+    uint32_t& s = x[j];
+    uint32_t m = s & (kTotFreq - 1);
+    uint8_t sym = t->sym[m];
+    out[at] = sym;
+    s = t->freq[m] * (s >> 12) + m - t->cum[m];
+    while (s < kRansL) {
+      if (in.p >= in.end) return false;
+      s = (s << 8) | *in.p++;
+    }
+    ctxs[j] = sym;
+    return true;
+  };
+  for (long i = 0; i < q; ++i)
+    for (int j = 0; j < 4; ++j)
+      if (!step(j, pos[j] + i)) return -1;
+  for (long i = 4 * q; i < n; ++i)
+    if (!step(3, i)) return -1;
+  return n;
+}
+
+}  // namespace
+
+// data = full block: [order u8][comp_size u32le][raw_size u32le][payload]
+extern "C" long jf_rans_decode(const uint8_t* data, long len, uint8_t* out,
+                               long out_cap) {
+  if (len < 9) return -1;
+  const uint8_t order = data[0];
+  uint32_t comp_size, raw_size;
+  std::memcpy(&comp_size, data + 1, 4);
+  std::memcpy(&raw_size, data + 5, 4);
+  if (static_cast<long>(raw_size) > out_cap) return -1;
+  if (9 + static_cast<long>(comp_size) > len) return -1;
+  if (raw_size == 0) return 0;
+  RansIn in{data + 9, data + 9 + comp_size};
+  if (order == 0) return rans_decode0(in, out, raw_size);
+  if (order == 1) return rans_decode1(in, out, raw_size);
+  return -1;
+}
