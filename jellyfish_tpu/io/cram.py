@@ -392,6 +392,7 @@ class CompressionHeader:
         self.ap_delta = True
         self.rr = True
         self.subst = None
+        self.td_blob = b"\x00"
         self.tag_dict = [[]]
         cur.itf8()  # size in bytes
         for _ in range(cur.itf8()):
@@ -406,13 +407,16 @@ class CompressionHeader:
                 self.subst = cur.take(5)
             elif key == b"TD":
                 blob = cur.take(cur.itf8())
+                self.td_blob = blob
                 self.tag_dict = [
                     [line[i:i + 3] for i in range(0, len(line), 3)]
                     for line in blob.split(b"\x00")[:-1]
                 ] or [[]]
             else:
                 raise CramError(f"unknown preservation key {key!r}")
-        # data series encodings
+        # data series encodings (raw bytes retained for the native
+        # decoder, which re-parses them in C++)
+        start = cur.pos
         self.series = {}
         cur.itf8()  # size
         for _ in range(cur.itf8()):
@@ -420,7 +424,9 @@ class CompressionHeader:
             codec_id = cur.itf8()
             params = ByteCursor(cur.take(cur.itf8()))
             self.series[key] = make_codec(codec_id, params)
+        self.raw_series = data[start:cur.pos]
         # tag encodings
+        start = cur.pos
         self.tags = {}
         cur.itf8()  # size
         for _ in range(cur.itf8()):
@@ -428,6 +434,7 @@ class CompressionHeader:
             codec_id = cur.itf8()
             params = ByteCursor(cur.take(cur.itf8()))
             self.tags[key] = make_codec(codec_id, params)
+        self.raw_tags = data[start:cur.pos]
         self._subst_table()
 
     def _subst_table(self):
@@ -738,6 +745,74 @@ def _emit(name: bytes, seq: bytes, qual) -> bytes:
     return b"@" + name + b"\n" + bytes(seq) + b"\n+\n" + q33 + b"\n"
 
 
+# --------------------------------------------------- native slice decode
+
+
+def _decode_slice_native(comp: CompressionHeader, sh: SliceHeader,
+                         core_data: bytes, externals_raw,
+                         refs: Optional[_RefStore], counter_base: int):
+    """Decode a whole slice via native/chunker.cpp jf_cram_slice;
+    returns the concatenated FASTA/FASTQ record bytes, or None to fall
+    back to the python reference path (multi-ref slices, exotic input,
+    or native unavailable)."""
+    if sh.ref_id == -2:  # per-record RI: python path handles it
+        return None
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_cram_slice"):
+        return None
+    import ctypes
+
+    ref = b""
+    ref_off = 0
+    have_ref = False
+    if sh.embedded_ref_id >= 0:
+        emb = externals_raw.get(sh.embedded_ref_id)
+        if emb is None:
+            return None
+        ref = emb.upper()
+        ref_off = sh.start - 1
+        have_ref = True
+    elif comp.rr and sh.ref_id >= 0 and refs is not None:
+        try:
+            ref = refs.get(sh.ref_id)
+            have_ref = True
+        except CramError:
+            ref = b""  # a mapped record will fail -> python raises
+
+    cids = sorted(externals_raw)
+    n = len(cids)
+    ids = (ctypes.c_int * n)(*cids)
+    ptrs = (ctypes.c_char_p * n)(*[bytes(externals_raw[c]) for c in cids])
+    lens = (ctypes.c_long * n)(*[len(externals_raw[c]) for c in cids])
+    handle = lib.jf_cram_slice(
+        comp.raw_series, len(comp.raw_series),
+        comp.raw_tags, len(comp.raw_tags),
+        comp.td_blob, len(comp.td_blob),
+        int(comp.rn_preserved), int(comp.ap_delta), int(comp.rr),
+        comp.subst or b"\x1b" * 5,
+        core_data, len(core_data),
+        ctypes.cast(ids, ctypes.c_void_p),
+        ctypes.cast(ptrs, ctypes.c_void_p),
+        ctypes.cast(lens, ctypes.c_void_p), n,
+        ref if have_ref else None, len(ref) if have_ref else 0, ref_off,
+        sh.n_records, sh.start, counter_base)
+    if not handle:
+        return None
+    try:
+        out_len = lib.jf_cram_out_len(handle)
+        if out_len == 0:
+            return b""
+        buf = ctypes.create_string_buffer(out_len)
+        lib.jf_cram_out_copy(handle, buf)
+        return buf.raw
+    finally:
+        lib.jf_cram_out_free(handle)
+
+
 # ------------------------------------------------------------ containers
 
 
@@ -786,8 +861,10 @@ class ContainerHeader:
 
 
 def cram_records_to_fastx(stream) -> Iterator[bytes]:
-    """Yield FASTA/FASTQ record bytes from a CRAM stream positioned
-    just after the 4-byte "CRAM" magic (how parse.py dispatches)."""
+    """Yield chunks of FASTA/FASTQ record bytes from a CRAM stream
+    positioned just after the 4-byte "CRAM" magic (how parse.py
+    dispatches). Chunks split only at record boundaries: one chunk per
+    slice on the native path, one per record on the python path."""
     ver = stream.read(2)
     if len(ver) != 2:
         raise CramError("truncated CRAM file definition")
@@ -829,18 +906,24 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
             if sh_block.ctype != CT_SLICE_HEADER:
                 raise CramError("expected a slice header block")
             sh = SliceHeader(sh_block.data)
-            core = None
-            externals = {}
+            core_data = b""
+            externals_raw = {}
             for _ in range(sh.n_blocks):
                 blk = Block(cur)
                 if blk.ctype == CT_CORE:
-                    core = BitReader(blk.data)
+                    core_data = blk.data
                 elif blk.ctype == CT_EXTERNAL:
-                    externals[blk.cid] = ByteCursor(blk.data)
+                    externals_raw[blk.cid] = blk.data
                 else:
                     raise CramError("unexpected block type inside slice")
-            if core is None:
-                core = BitReader(b"")
-            yield from _decode_slice(comp, sh, core, externals, refs,
-                                     counter)
+            native = _decode_slice_native(comp, sh, core_data,
+                                          externals_raw, refs, counter)
+            if native is not None:
+                if native:
+                    yield native  # one blob per slice
+            else:
+                externals = {cid: ByteCursor(data)
+                             for cid, data in externals_raw.items()}
+                yield from _decode_slice(comp, sh, BitReader(core_data),
+                                         externals, refs, counter)
             counter += sh.n_records

@@ -73,6 +73,25 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_long,
             ]
+        if hasattr(lib, "jf_cram_slice"):
+            lib.jf_cram_slice.restype = ctypes.c_void_p
+            lib.jf_cram_slice.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,     # raw series map
+                ctypes.c_char_p, ctypes.c_long,     # raw tag map
+                ctypes.c_char_p, ctypes.c_long,     # TD blob
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,  # RN/AP/RR
+                ctypes.c_char_p,                    # substitution matrix
+                ctypes.c_char_p, ctypes.c_long,     # core block
+                ctypes.c_void_p, ctypes.c_void_p,   # ext ids, ptrs
+                ctypes.c_void_p, ctypes.c_int,      # ext lens, count
+                ctypes.c_char_p, ctypes.c_long, ctypes.c_long,  # reference
+                ctypes.c_long, ctypes.c_long, ctypes.c_longlong,
+            ]
+            lib.jf_cram_out_len.restype = ctypes.c_long
+            lib.jf_cram_out_len.argtypes = [ctypes.c_void_p]
+            lib.jf_cram_out_copy.argtypes = [ctypes.c_void_p,
+                                             ctypes.c_void_p]
+            lib.jf_cram_out_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 

@@ -16,11 +16,14 @@
 // C++ does all per-byte work and chunk assembly. Exposed via a C ABI for
 // ctypes (no pybind11 in this image).
 
+#include <algorithm>
+#include <cctype>
 #include <cstdint>
 #include <cstring>
 #include <deque>
 #include <memory>
 #include <new>
+#include <string>
 #include <vector>
 
 namespace {
@@ -457,4 +460,704 @@ extern "C" long jf_rans_decode(const uint8_t* data, long len, uint8_t* out,
   if (order == 0) return rans_decode0(in, out, raw_size);
   if (order == 1) return rans_decode1(in, out, raw_size);
   return -1;
+}
+
+// ---------------------------------------------------------------------
+// CRAM slice record decoder — the record-level hot loop of native CRAM
+// reading (the htslib role; io/cram.py keeps the reference python
+// implementation and is the fallback whenever this returns null).
+// Python parses containers / decompresses blocks and passes the raw
+// encoding maps straight from the file; everything per-record runs
+// here. Unsupported shapes (multi-ref slices, exotic codecs, malformed
+// data) return null and the python path decides/raises.
+
+namespace cram {
+
+struct Cur {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  uint8_t u8() {
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    return *p++;
+  }
+  int32_t itf8() {
+    uint32_t b0 = u8(), v;
+    if (b0 < 0x80) {
+      v = b0;
+    } else if (b0 < 0xC0) {
+      v = (b0 & 0x3F) << 8 | u8();
+    } else if (b0 < 0xE0) {
+      v = (b0 & 0x1F) << 16 | u8() << 8 | u8();
+    } else if (b0 < 0xF0) {
+      v = (b0 & 0x0F) << 24 | u8() << 16 | u8() << 8 | u8();
+    } else {
+      v = (b0 & 0x0F) << 28 | u8() << 20 | u8() << 12 | u8() << 4 |
+          (u8() & 0x0F);
+    }
+    return static_cast<int32_t>(v);
+  }
+};
+
+struct Bits {
+  const uint8_t* p;
+  const uint8_t* end;
+  int bit = 0;
+  bool ok = true;
+  int read_bit() {
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    int b = (*p >> (7 - bit)) & 1;
+    if (++bit == 8) {
+      bit = 0;
+      ++p;
+    }
+    return b;
+  }
+  uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = v << 1 | read_bit();
+    return v;
+  }
+};
+
+struct Ctx;
+
+struct Codec {
+  int kind = 0;  // codec ids as in the spec
+  int cid = -1;
+  uint8_t stop = 0;
+  int32_t offset = 0;
+  int nbits = 0;
+  int k = 0;
+  bool hconst = false;
+  int32_t hconst_val = 0;
+  int hmax = 0;
+  std::vector<uint32_t> hlen, hcode;
+  std::vector<int32_t> hsym;
+  std::unique_ptr<Codec> sub_len, sub_val;
+  bool valid = false;
+};
+
+struct Ctx {
+  Bits core;
+  std::vector<int> ext_ids;
+  std::vector<Cur> exts;
+  bool ok = true;
+  Cur* ext(int cid) {
+    for (size_t i = 0; i < ext_ids.size(); ++i)
+      if (ext_ids[i] == cid) return &exts[i];
+    ok = false;
+    return nullptr;
+  }
+};
+
+static bool parse_codec(Cur& c, Codec& out) {
+  int id = c.itf8();
+  int32_t plen = c.itf8();
+  if (!c.ok || plen < 0 || c.end - c.p < plen) return false;
+  Cur params{c.p, c.p + plen};
+  c.p += plen;
+  out.kind = id;
+  switch (id) {
+    case 1:  // EXTERNAL
+      out.cid = params.itf8();
+      break;
+    case 3: {  // HUFFMAN (canonical)
+      int32_t n = params.itf8();
+      if (n < 0 || n > 4096) return false;
+      std::vector<int32_t> syms(n);
+      for (auto& s : syms) s = params.itf8();
+      int32_t m = params.itf8();
+      if (m != n) return false;
+      std::vector<uint32_t> lens(n);
+      for (auto& l : lens) l = static_cast<uint32_t>(params.itf8());
+      if (!params.ok) return false;
+      if (n == 1 && lens[0] == 0) {
+        out.hconst = true;
+        out.hconst_val = syms[0];
+        break;
+      }
+      std::vector<size_t> order(n);
+      for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+      std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+        return lens[a] != lens[b] ? lens[a] < lens[b] : a < b;
+      });
+      uint32_t code = 0, prev = lens[order[0]];
+      if (prev == 0 || prev > 31) return false;
+      for (size_t oi = 0; oi < order.size(); ++oi) {
+        uint32_t ln = lens[order[oi]];
+        if (ln > 31) return false;
+        code <<= (ln - prev);
+        prev = ln;
+        out.hlen.push_back(ln);
+        out.hcode.push_back(code);
+        out.hsym.push_back(syms[order[oi]]);
+        out.hmax = static_cast<int>(ln);
+        ++code;
+      }
+      break;
+    }
+    case 4:  // BYTE_ARRAY_LEN
+      out.sub_len = std::make_unique<Codec>();
+      out.sub_val = std::make_unique<Codec>();
+      if (!parse_codec(params, *out.sub_len) ||
+          !parse_codec(params, *out.sub_val))
+        return false;
+      break;
+    case 5:  // BYTE_ARRAY_STOP
+      out.stop = params.u8();
+      out.cid = params.itf8();
+      break;
+    case 6:  // BETA
+      out.offset = params.itf8();
+      out.nbits = params.itf8();
+      if (out.nbits < 0 || out.nbits > 32) return false;
+      break;
+    case 7:  // SUBEXP
+      out.offset = params.itf8();
+      out.k = params.itf8();
+      if (out.k < 0 || out.k > 31) return false;
+      break;
+    case 9:  // GAMMA
+      out.offset = params.itf8();
+      break;
+    default:
+      return false;  // GOLOMB family etc. -> python
+  }
+  if (!params.ok) return false;
+  out.valid = true;
+  return true;
+}
+
+static int32_t read_int(const Codec& c, Ctx& x) {
+  switch (c.kind) {
+    case 1: {
+      Cur* e = x.ext(c.cid);
+      if (!e) return 0;
+      int32_t v = e->itf8();
+      if (!e->ok) x.ok = false;
+      return v;
+    }
+    case 3: {
+      if (c.hconst) return c.hconst_val;
+      uint32_t code = 0;
+      uint32_t ln = 0;
+      size_t i = 0;
+      while (ln <= static_cast<uint32_t>(c.hmax) && x.core.ok) {
+        code = code << 1 | x.core.read_bit();
+        ++ln;
+        while (i < c.hlen.size() && c.hlen[i] < ln) ++i;
+        for (size_t j = i; j < c.hlen.size() && c.hlen[j] == ln; ++j)
+          if (c.hcode[j] == code) return c.hsym[j];
+      }
+      x.ok = false;
+      return 0;
+    }
+    case 6: {
+      int32_t v =
+          static_cast<int32_t>(x.core.read_bits(c.nbits)) - c.offset;
+      if (!x.core.ok) x.ok = false;
+      return v;
+    }
+    case 7: {
+      int u = 0;
+      while (x.core.ok && x.core.read_bit() == 1) {
+        if (++u > 40) {
+          x.ok = false;
+          return 0;
+        }
+      }
+      uint32_t n;
+      if (u == 0) {
+        n = x.core.read_bits(c.k);
+      } else {
+        int b = u + c.k - 1;
+        if (b > 31) {
+          x.ok = false;
+          return 0;
+        }
+        n = (1u << b) | x.core.read_bits(b);
+      }
+      if (!x.core.ok) x.ok = false;
+      return static_cast<int32_t>(n) - c.offset;
+    }
+    case 9: {
+      int z = 0;
+      while (x.core.ok && x.core.read_bit() == 0) {
+        if (++z > 31) {
+          x.ok = false;
+          return 0;
+        }
+      }
+      uint32_t v = (1u << z) | x.core.read_bits(z);
+      if (!x.core.ok) x.ok = false;
+      return static_cast<int32_t>(v) - c.offset;
+    }
+    default:
+      x.ok = false;
+      return 0;
+  }
+}
+
+static uint8_t read_byte(const Codec& c, Ctx& x) {
+  if (c.kind == 1) {
+    Cur* e = x.ext(c.cid);
+    if (!e) return 0;
+    uint8_t v = e->u8();
+    if (!e->ok) x.ok = false;
+    return v;
+  }
+  return static_cast<uint8_t>(read_int(c, x));
+}
+
+// n bytes into dst (value-level reads of a byte series)
+static bool read_bytes(const Codec& c, Ctx& x, uint8_t* dst, long n) {
+  if (c.kind == 1) {
+    Cur* e = x.ext(c.cid);
+    if (!e || e->end - e->p < n) {
+      x.ok = false;
+      return false;
+    }
+    std::memcpy(dst, e->p, n);
+    e->p += n;
+    return true;
+  }
+  if (c.kind == 4) return read_bytes(*c.sub_val, x, dst, n);
+  for (long i = 0; i < n; ++i) dst[i] = read_byte(c, x);
+  return x.ok;
+}
+
+// variable-length byte array; appends to out, returns length or -1
+static long read_array(const Codec& c, Ctx& x, std::string& out) {
+  if (c.kind == 4) {
+    long n = read_int(*c.sub_len, x);
+    if (!x.ok || n < 0 || n > (1 << 28)) {
+      x.ok = false;
+      return -1;
+    }
+    size_t base = out.size();
+    out.resize(base + n);
+    if (!read_bytes(*c.sub_val, x, reinterpret_cast<uint8_t*>(&out[base]),
+                    n))
+      return -1;
+    return n;
+  }
+  if (c.kind == 5) {
+    Cur* e = x.ext(c.cid);
+    if (!e) return -1;
+    const uint8_t* q = static_cast<const uint8_t*>(
+        std::memchr(e->p, c.stop, e->end - e->p));
+    if (!q) {
+      x.ok = false;
+      return -1;
+    }
+    long n = q - e->p;
+    out.append(reinterpret_cast<const char*>(e->p), n);
+    e->p = q + 1;
+    return n;
+  }
+  x.ok = false;
+  return -1;
+}
+
+// series slots, indexed by a dense enum
+enum Series {
+  S_BF, S_CF, S_RI, S_RL, S_AP, S_RG, S_RN, S_MF, S_NS, S_NP, S_TS,
+  S_NF, S_TL, S_FN, S_FC, S_FP, S_BS, S_IN, S_DL, S_RS, S_SC, S_PD,
+  S_HC, S_BB, S_QQ, S_MQ, S_BA, S_QS, S_COUNT
+};
+
+static int series_slot(uint8_t a, uint8_t b) {
+  switch (a << 8 | b) {
+    case 'B' << 8 | 'F': return S_BF;
+    case 'C' << 8 | 'F': return S_CF;
+    case 'R' << 8 | 'I': return S_RI;
+    case 'R' << 8 | 'L': return S_RL;
+    case 'A' << 8 | 'P': return S_AP;
+    case 'R' << 8 | 'G': return S_RG;
+    case 'R' << 8 | 'N': return S_RN;
+    case 'M' << 8 | 'F': return S_MF;
+    case 'N' << 8 | 'S': return S_NS;
+    case 'N' << 8 | 'P': return S_NP;
+    case 'T' << 8 | 'S': return S_TS;
+    case 'N' << 8 | 'F': return S_NF;
+    case 'T' << 8 | 'L': return S_TL;
+    case 'F' << 8 | 'N': return S_FN;
+    case 'F' << 8 | 'C': return S_FC;
+    case 'F' << 8 | 'P': return S_FP;
+    case 'B' << 8 | 'S': return S_BS;
+    case 'I' << 8 | 'N': return S_IN;
+    case 'D' << 8 | 'L': return S_DL;
+    case 'R' << 8 | 'S': return S_RS;
+    case 'S' << 8 | 'C': return S_SC;
+    case 'P' << 8 | 'D': return S_PD;
+    case 'H' << 8 | 'C': return S_HC;
+    case 'B' << 8 | 'B': return S_BB;
+    case 'Q' << 8 | 'Q': return S_QQ;
+    case 'M' << 8 | 'Q': return S_MQ;
+    case 'B' << 8 | 'A': return S_BA;
+    case 'Q' << 8 | 'S': return S_QS;
+    default: return -1;
+  }
+}
+
+struct Decoder {
+  Codec series[S_COUNT];
+  std::vector<std::pair<uint32_t, Codec>> tags;
+  std::vector<std::vector<uint32_t>> td;
+  uint8_t subst[5][4];  // [ref base ACGTN][code] -> base
+  bool rn_preserved, ap_delta, rr;
+
+  const Codec* get(int slot) const {
+    return series[slot].valid ? &series[slot] : nullptr;
+  }
+  const Codec* tag_codec(uint32_t key) const {
+    for (auto& kv : tags)
+      if (kv.first == key) return &kv.second;
+    return nullptr;
+  }
+};
+
+struct RefIdxInit {
+  int8_t tbl[256];
+  RefIdxInit() {
+    std::memset(tbl, 4, sizeof(tbl));
+    tbl['A'] = 0; tbl['C'] = 1; tbl['G'] = 2; tbl['T'] = 3; tbl['N'] = 4;
+    tbl['a'] = 0; tbl['c'] = 1; tbl['g'] = 2; tbl['t'] = 3; tbl['n'] = 4;
+  }
+};
+static const RefIdxInit kRefIdxInit;
+
+struct SliceOut {
+  std::string buf;
+};
+
+}  // namespace cram
+
+extern "C" void* jf_cram_slice(
+    const uint8_t* series_map, long series_len, const uint8_t* tag_map,
+    long tag_len, const uint8_t* td_blob, long td_len, int rn_preserved,
+    int ap_delta, int rr, const uint8_t* subst5, const uint8_t* core_buf,
+    long core_len, const int* ext_ids, const uint8_t* const* ext_ptrs,
+    const long* ext_lens, int n_ext, const uint8_t* ref, long ref_len,
+    long ref_off, long n_records, long slice_start,
+    long long counter_base) {
+  using namespace cram;
+  Decoder d;
+  d.rn_preserved = rn_preserved;
+  d.ap_delta = ap_delta;
+  d.rr = rr;
+  // substitution table
+  static const char kBases[] = "ACGTN";
+  for (int r = 0; r < 5; ++r) {
+    char cands[4];
+    int ci = 0;
+    for (int b = 0; b < 5; ++b)
+      if (b != r) cands[ci++] = kBases[b];
+    uint8_t byte = subst5 ? subst5[r] : 0x1b;
+    for (int j = 0; j < 4; ++j)
+      d.subst[r][(byte >> (6 - 2 * j)) & 3] = cands[j];
+  }
+  // series encoding map (raw bytes from the compression header)
+  {
+    Cur c{series_map, series_map + series_len};
+    c.itf8();  // size
+    int32_t n = c.itf8();
+    if (!c.ok || n < 0 || n > 1024) return nullptr;
+    for (int i = 0; i < n; ++i) {
+      uint8_t a = c.u8(), b = c.u8();
+      int slot = series_slot(a, b);
+      Codec tmp;
+      if (!parse_codec(c, slot < 0 ? tmp : d.series[slot]))
+        return nullptr;  // unknown codec -> python decides
+      // unknown series key: codec parsed and skipped
+    }
+  }
+  // tag encoding map
+  {
+    Cur c{tag_map, tag_map + tag_len};
+    c.itf8();
+    int32_t n = c.itf8();
+    if (!c.ok || n < 0 || n > 4096) return nullptr;
+    for (int i = 0; i < n; ++i) {
+      uint32_t key = static_cast<uint32_t>(c.itf8());
+      Codec tc;
+      if (!parse_codec(c, tc)) return nullptr;
+      d.tags.emplace_back(key, std::move(tc));
+    }
+  }
+  // TD dictionary: NUL-terminated lines of 3-byte (name,name,type)
+  // entries; a line is committed by its NUL (content after the last
+  // NUL is ignored, like python's split(b"\\x00")[:-1])
+  {
+    std::vector<uint32_t> line;
+    long i = 0;
+    while (i < td_len) {
+      if (td_blob[i] == 0) {
+        d.td.push_back(line);
+        line.clear();
+        ++i;
+      } else if (i + 3 <= td_len) {
+        line.push_back(td_blob[i] << 16 | td_blob[i + 1] << 8 |
+                       td_blob[i + 2]);
+        i += 3;
+      } else {
+        return nullptr;
+      }
+    }
+    if (d.td.empty()) d.td.emplace_back();
+  }
+
+  Ctx x;
+  x.core = Bits{core_buf, core_buf + core_len};
+  for (int i = 0; i < n_ext; ++i) {
+    x.ext_ids.push_back(ext_ids[i]);
+    x.exts.push_back(Cur{ext_ptrs[i], ext_ptrs[i] + ext_lens[i]});
+  }
+
+  auto out = std::make_unique<SliceOut>();
+  std::string& o = out->buf;
+  std::string seq, qual, name, scratch;
+  long last_pos = slice_start;
+
+  auto iv = [&](int slot) -> int32_t {
+    const Codec* c = d.get(slot);
+    if (!c) {
+      x.ok = false;
+      return 0;
+    }
+    return read_int(*c, x);
+  };
+  auto bv = [&](int slot) -> uint8_t {
+    const Codec* c = d.get(slot);
+    if (!c) {
+      x.ok = false;
+      return 0;
+    }
+    return read_byte(*c, x);
+  };
+  auto av = [&](int slot, std::string& dst) -> long {
+    const Codec* c = d.get(slot);
+    if (!c) {
+      x.ok = false;
+      return -1;
+    }
+    return read_array(*c, x, dst);
+  };
+  auto ref_fill = [&](uint8_t* dst, long pos0, long n) {
+    for (long i = 0; i < n; ++i) {
+      long g = pos0 + i - ref_off;
+      dst[i] = (rr && ref && g >= 0 && g < ref_len)
+                   ? static_cast<uint8_t>(
+                         std::toupper(static_cast<unsigned char>(ref[g])))
+                   : 'N';
+    }
+  };
+
+  for (long rec = 0; rec < n_records && x.ok; ++rec) {
+    int32_t bf = iv(S_BF);
+    int32_t cf = iv(S_CF);
+    int32_t rl = iv(S_RL);
+    if (rl < 0 || rl > (1 << 28)) return nullptr;
+    int32_t ap = iv(S_AP);
+    long pos;
+    if (d.ap_delta) {
+      pos = last_pos + ap;
+      last_pos = pos;
+    } else {
+      pos = ap;
+    }
+    iv(S_RG);
+    name.clear();
+    if (d.rn_preserved) {
+      if (av(S_RN, name) < 0) return nullptr;
+    } else {
+      name = "jf." + std::to_string(counter_base + rec);
+    }
+    if (cf & 2) {  // detached
+      iv(S_MF);
+      if (!d.rn_preserved) {
+        name.clear();
+        if (av(S_RN, name) < 0) return nullptr;
+      }
+      iv(S_NS);
+      iv(S_NP);
+      iv(S_TS);
+    } else if (cf & 4) {
+      iv(S_NF);
+    }
+    int32_t tl = iv(S_TL);
+    if (tl < 0 || static_cast<size_t>(tl) >= d.td.size()) return nullptr;
+    for (uint32_t key : d.td[tl]) {
+      const Codec* tc = d.tag_codec(key);
+      if (!tc) return nullptr;
+      scratch.clear();
+      if (read_array(*tc, x, scratch) < 0) return nullptr;
+    }
+    if (!x.ok) return nullptr;
+
+    seq.assign(rl, 'N');
+    qual.assign(rl, '\xff');
+    bool have_qual = false;
+    uint8_t* sq = reinterpret_cast<uint8_t*>(&seq[0]);
+    uint8_t* qq = reinterpret_cast<uint8_t*>(&qual[0]);
+
+    if (!(bf & 4)) {  // mapped
+      if (rr && !ref) return nullptr;  // needs a reference -> python
+      int32_t fn = iv(S_FN);
+      if (fn < 0 || fn > rl + 64) return nullptr;
+      long read_i = 0, ref_pos = pos - 1, p = 0;
+      for (int32_t f = 0; f < fn && x.ok; ++f) {
+        uint8_t fc = bv(S_FC);
+        p += iv(S_FP);
+        long idx = p - 1;
+        if (idx < read_i || idx > rl) return nullptr;
+        if (idx > read_i) {
+          ref_fill(sq + read_i, ref_pos, idx - read_i);
+          ref_pos += idx - read_i;
+          read_i = idx;
+        }
+        switch (fc) {
+          case 'B':
+            if (read_i >= rl) return nullptr;
+            sq[read_i] = bv(S_BA);
+            qq[read_i] = bv(S_QS);
+            have_qual = true;
+            ++read_i;
+            ++ref_pos;
+            break;
+          case 'X': {
+            if (read_i >= rl) return nullptr;
+            int32_t code = iv(S_BS);
+            if (code < 0 || code > 3) return nullptr;
+            uint8_t rb;
+            ref_fill(&rb, ref_pos, 1);
+            sq[read_i] = d.subst[kRefIdxInit.tbl[rb]][code];
+            ++read_i;
+            ++ref_pos;
+            break;
+          }
+          case 'I': {
+            scratch.clear();
+            long n = av(S_IN, scratch);
+            if (n < 0 || read_i + n > rl) return nullptr;
+            std::memcpy(sq + read_i, scratch.data(), n);
+            read_i += n;
+            break;
+          }
+          case 'i':
+            if (read_i >= rl) return nullptr;
+            sq[read_i] = bv(S_BA);
+            ++read_i;
+            break;
+          case 'D':
+            ref_pos += iv(S_DL);
+            break;
+          case 'N':
+            ref_pos += iv(S_RS);
+            break;
+          case 'S': {
+            scratch.clear();
+            long n = av(S_SC, scratch);
+            if (n < 0 || read_i + n > rl) return nullptr;
+            std::memcpy(sq + read_i, scratch.data(), n);
+            read_i += n;
+            break;
+          }
+          case 'P':
+            iv(S_PD);
+            break;
+          case 'H':
+            iv(S_HC);
+            break;
+          case 'b': {
+            scratch.clear();
+            long n = av(S_BB, scratch);
+            if (n < 0 || read_i + n > rl) return nullptr;
+            std::memcpy(sq + read_i, scratch.data(), n);
+            read_i += n;
+            ref_pos += n;
+            break;
+          }
+          case 'q': {
+            scratch.clear();
+            long n = av(S_QQ, scratch);
+            if (n < 0 || idx + n > rl) return nullptr;
+            std::memcpy(qq + idx, scratch.data(), n);
+            have_qual = true;
+            break;
+          }
+          case 'Q':
+            if (idx >= rl) return nullptr;
+            qq[idx] = bv(S_QS);
+            have_qual = true;
+            break;
+          default:
+            return nullptr;
+        }
+      }
+      if (!x.ok) return nullptr;
+      if (read_i < rl) ref_fill(sq + read_i, ref_pos, rl - read_i);
+      iv(S_MQ);
+      if (cf & 1) {
+        const Codec* c = d.get(S_QS);
+        if (!c || !read_bytes(*c, x, qq, rl)) return nullptr;
+        have_qual = true;
+      }
+    } else {  // unmapped
+      if (!(cf & 8)) {
+        const Codec* c = d.get(S_BA);
+        if (!c || !read_bytes(*c, x, sq, rl)) return nullptr;
+      }
+      if (cf & 1) {
+        const Codec* c = d.get(S_QS);
+        if (!c || !read_bytes(*c, x, qq, rl)) return nullptr;
+        have_qual = true;
+      }
+      if (cf & 8) continue;  // SEQ '*': nothing to count
+    }
+    if (!x.ok) return nullptr;
+
+    if (have_qual) {
+      o += '@';
+      o += name;
+      o += '\n';
+      o += seq;
+      o += "\n+\n";
+      size_t base = o.size();
+      o.resize(base + rl + 1);
+      for (int32_t i = 0; i < rl; ++i) {
+        uint8_t q = qq[i] == 0xFF ? 0 : qq[i];
+        o[base + i] = static_cast<char>((q > 93 ? 93 : q) + 33);
+      }
+      o[base + rl] = '\n';
+    } else {
+      o += '>';
+      o += name;
+      o += '\n';
+      o += seq;
+      o += '\n';
+    }
+  }
+  if (!x.ok) return nullptr;
+  return out.release();
+}
+
+extern "C" long jf_cram_out_len(void* h) {
+  return static_cast<cram::SliceOut*>(h)->buf.size();
+}
+
+extern "C" void jf_cram_out_copy(void* h, uint8_t* dst) {
+  auto* s = static_cast<cram::SliceOut*>(h);
+  std::memcpy(dst, s->buf.data(), s->buf.size());
+}
+
+extern "C" void jf_cram_out_free(void* h) {
+  delete static_cast<cram::SliceOut*>(h);
 }

@@ -21,10 +21,12 @@ from jellyfish_tpu.io.cram import CramError, cram_records_to_fastx
 from jellyfish_tpu.io.parse import sam_records_to_fastx
 
 
-def decode(blob: bytes):
+def decode(blob: bytes) -> bytes:
+    """Concatenated FASTA/FASTQ bytes (chunk boundaries are an
+    implementation detail: per-slice native, per-record python)."""
     stream = io.BytesIO(blob)
     assert stream.read(4) == b"CRAM"
-    return list(cram_records_to_fastx(stream))
+    return b"".join(cram_records_to_fastx(stream))
 
 
 def fastq(name, seq, qual):
@@ -74,7 +76,7 @@ EXPECT = [
 
 
 def test_unmapped_roundtrip_plain():
-    assert decode(simple_cram(RECORDS)) == EXPECT
+    assert decode(simple_cram(RECORDS)) == b"".join(EXPECT)
 
 
 @pytest.mark.parametrize("method",
@@ -92,7 +94,7 @@ def test_block_compression_methods(method):
             + cw.data_container(comp, sl, 1 + cw.count_blocks(sl),
                                 len(RECORDS), 0, comp_method=method)
             + cw.eof_container())
-    assert decode(blob) == EXPECT
+    assert decode(blob) == b"".join(EXPECT)
 
 
 def test_core_bit_codecs():
@@ -106,7 +108,7 @@ def test_core_bit_codecs():
     series["RG"] = SubExp(1, 2)                 # -1 -> 0
     series["TL"] = Huffman([0], [0])
     series["RN"] = ByteArrayStop(0x09, 31)
-    assert decode(simple_cram(RECORDS, series=series)) == EXPECT
+    assert decode(simple_cram(RECORDS, series=series)) == b"".join(EXPECT)
 
 
 def test_detached_mate_fields_and_tags():
@@ -118,13 +120,13 @@ def test_detached_mate_fields_and_tags():
         RECORDS, series=series, detached=True,
         tag_dict=[[], [b"XAZ"]], tags=[tag],
         tag_encodings={tag_key: ext_array(40)})
-    assert decode(blob) == EXPECT
+    assert decode(blob) == b"".join(EXPECT)
 
 
 def test_generated_names_when_rn_not_preserved():
     blob = simple_cram([{"name": b"ignored", "seq": b"ACGT" * 3,
                          "qual": None}], rn_preserved=False)
-    (rec,) = decode(blob)
+    rec = decode(blob)
     assert rec == fasta(b"jf.0", b"ACGT" * 3)
 
 
@@ -146,7 +148,7 @@ def test_mapped_identity_read_embedded_ref():
     # read of length 12 at pos 3 with no features = ref[2:14]
     rec = {"name": b"m1", "mapped": True, "pos": 3, "rlen": 12,
            "features": [], "qual": None}
-    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    out = decode(_mapped_blob([rec], embedded=REF))
     assert out == fasta(b"m1", REF[2:14])
 
 
@@ -197,7 +199,7 @@ def test_mapped_feature_zoo_embedded_ref():
     expected_qual[17:19] = bytes([7, 8])  # 'q'
     rec = {"name": b"zoo", "mapped": True, "pos": 5, "rlen": 20,
            "features": features, "qual": None}
-    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    out = decode(_mapped_blob([rec], embedded=REF))
     assert out == fastq(b"zoo", expected_seq, bytes(expected_qual))
 
 
@@ -207,7 +209,7 @@ def test_substitution_matrix_nondefault():
            "features": [(2, "X", 3)], "qual": None}
     # ref[0:4] = ACGT; pos 2 ref 'C' candidates A,G,T,N; with 0xE4 the
     # codes are 3,2,1,0 so code 3 -> 'A'
-    (out,) = decode(_mapped_blob([rec], embedded=REF, subst=b"\xe4" * 5))
+    out = decode(_mapped_blob([rec], embedded=REF, subst=b"\xe4" * 5))
     assert out == fasta(b"s", b"AAGT")
 
 
@@ -215,7 +217,7 @@ def test_mapped_qual_array():
     qual = bytes([20] * 8)
     rec = {"name": b"q", "mapped": True, "pos": 1, "rlen": 8,
            "features": [], "qual": qual}
-    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    out = decode(_mapped_blob([rec], embedded=REF))
     assert out == fastq(b"q", REF[:8], qual)
 
 
@@ -226,7 +228,7 @@ def test_mapped_external_ref_env(tmp_path, monkeypatch):
     monkeypatch.setenv("JF_CRAM_REF", str(ref_fa))
     rec = {"name": b"e", "mapped": True, "pos": 7, "rlen": 10,
            "features": [], "qual": None}
-    (out,) = decode(_mapped_blob([rec]))
+    out = decode(_mapped_blob([rec]))
     assert out == fasta(b"e", REF[6:16])
 
 
@@ -238,7 +240,7 @@ def test_mapped_external_ref_ur_field(tmp_path, monkeypatch):
            + str(ref_fa).encode() + b"\n")
     rec = {"name": b"u", "mapped": True, "pos": 1, "rlen": 36,
            "features": [], "qual": None}
-    (out,) = decode(_mapped_blob([rec], sam_text=sam))
+    out = decode(_mapped_blob([rec], sam_text=sam))
     assert out == fasta(b"u", REF)
 
 
@@ -254,7 +256,7 @@ def test_no_ref_cram_rr_false():
     # non-reference CRAM: bases carried whole by 'b' features
     rec = {"name": b"n", "mapped": True, "pos": 1, "rlen": 10,
            "features": [(1, "b", b"TTTTGGGGCC")], "qual": None}
-    (out,) = decode(_mapped_blob([rec], rr=False))
+    out = decode(_mapped_blob([rec], rr=False))
     assert out == fasta(b"n", b"TTTTGGGGCC")
 
 
@@ -262,7 +264,7 @@ def test_ref_padding_past_end():
     # read hangs off the reference end: padded with N
     rec = {"name": b"p", "mapped": True, "pos": 33, "rlen": 8,
            "features": [], "qual": None}
-    (out,) = decode(_mapped_blob([rec], embedded=REF))
+    out = decode(_mapped_blob([rec], embedded=REF))
     assert out == fasta(b"p", b"AAAA" + b"N" * 4)
 
 
@@ -273,7 +275,7 @@ def test_ap_delta_and_absolute():
              "features": [], "qual": None}]
     for delta in (True, False):
         out = decode(_mapped_blob(recs, embedded=REF, ap_delta=delta))
-        assert out == [fasta(b"a", REF[2:6]), fasta(b"b", REF[8:12])]
+        assert out == fasta(b"a", REF[2:6]) + fasta(b"b", REF[8:12])
 
 
 def test_multiref_slice_uses_ri():
@@ -293,7 +295,7 @@ def test_multiref_slice_uses_ri():
         path = fh.name
     try:
         os.environ["JF_CRAM_REF"] = path
-        (out,) = decode(blob)
+        out = decode(blob)
     finally:
         del os.environ["JF_CRAM_REF"]
         os.unlink(path)
@@ -314,13 +316,13 @@ def test_multi_slice_and_multi_container():
                                1 + cw.count_blocks(sl3), 1, 3)
     blob = (cw.file_definition() + cw.sam_header_container(b"@HD\n")
             + cont_a + cont_b + cw.eof_container())
-    assert decode(blob) == EXPECT + [fasta(b"r4", b"TTTT")]
+    assert decode(blob) == b"".join(EXPECT) + fasta(b"r4", b"TTTT")
 
 
 def test_missing_eof_container_tolerated():
     blob = simple_cram(RECORDS)
     blob = blob[:-len(cw.eof_container())]
-    assert decode(blob) == EXPECT
+    assert decode(blob) == b"".join(EXPECT)
 
 
 # ------------------------------------------------------------- failures
@@ -347,6 +349,20 @@ def test_rejects_unknown_codec():
         decode(simple_cram(RECORDS, series=series))
 
 
+def test_native_and_python_paths_agree(monkeypatch):
+    """The C++ slice decoder (native/chunker.cpp jf_cram_slice) and the
+    python reference path must produce identical bytes."""
+    rec_m = {"name": b"m", "mapped": True, "pos": 2, "rlen": 15,
+             "features": [(3, "X", 2), (5, "I", b"GG"), (9, "D", 1),
+                          (12, "S", b"TTTT")], "qual": bytes(range(15))}
+    blob = _mapped_blob([rec_m] + RECORDS[:2], embedded=REF)
+    native = decode(blob)
+    monkeypatch.setenv("JF_NO_NATIVE", "1")
+    python = decode(blob)
+    assert native == python
+    assert native.count(b"\n") >= 8
+
+
 # ----------------------------------------------------------- parse + CLI
 
 
@@ -354,8 +370,8 @@ def test_sam_adapter_dispatches_cram(tmp_path):
     path = tmp_path / "reads.cram"
     path.write_bytes(simple_cram(RECORDS))
     from jellyfish_tpu.io.parse import open_stream
-    out = list(sam_records_to_fastx(open_stream(str(path))))
-    assert out == EXPECT
+    out = b"".join(sam_records_to_fastx(open_stream(str(path))))
+    assert out == b"".join(EXPECT)
 
 
 def test_cli_count_cram_equals_fastq(tmp_path, capsys):
