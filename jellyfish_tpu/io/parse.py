@@ -146,6 +146,67 @@ def _bam_records_to_fastx(stream) -> Iterator[bytes]:
     for _ in range(n_ref):
         (l_name,) = struct.unpack("<i", take(4))
         take(l_name + 4)  # name + l_ref
+
+    # native window parser (chunker.cpp jf_bam_records): parse complete
+    # records per 4 MB window, carry the partial tail; fall back to the
+    # python per-record loop below on malformed input or no native lib
+    pending = b""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        lib = None
+    if lib is not None and hasattr(lib, "jf_bam_records"):
+        import ctypes
+        bad = False
+        while True:
+            block = stream.read(1 << 22)
+            data = pending + block
+            if not data:
+                return
+            consumed = ctypes.c_long(0)
+            h = lib.jf_bam_records(data, len(data),
+                                   ctypes.byref(consumed))
+            if not h:
+                bad = True
+                break
+            try:
+                n = lib.jf_cram_out_len(h)
+                if n:
+                    buf = ctypes.create_string_buffer(n)
+                    lib.jf_cram_out_copy(h, buf)
+                    yield buf.raw
+            finally:
+                lib.jf_cram_out_free(h)
+            pending = data[consumed.value:]
+            if not block:
+                if pending:
+                    raise ValueError("truncated BAM record")
+                return
+        if not bad:
+            return
+
+    class _Prepend:
+        def __init__(self, head, tail):
+            self.head = head
+            self.tail = tail
+
+        def read(self, n):
+            if self.head:
+                part, self.head = self.head[:n], self.head[n:]
+                if len(part) < n:
+                    part += self.tail.read(n - len(part))
+                return part
+            return self.tail.read(n)
+
+    stream = _Prepend(pending, stream)
+
+    def take(n):  # rebound over the chained stream  # noqa: F811
+        data = stream.read(n)
+        if len(data) != n:
+            raise ValueError("truncated BAM file")
+        return data
+
     while True:
         head = stream.read(4)
         if len(head) == 0:

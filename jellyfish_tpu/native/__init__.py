@@ -92,6 +92,12 @@ def get_lib():
             lib.jf_cram_out_copy.argtypes = [ctypes.c_void_p,
                                              ctypes.c_void_p]
             lib.jf_cram_out_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "jf_bam_records"):
+            lib.jf_bam_records.restype = ctypes.c_void_p
+            lib.jf_bam_records.argtypes = [
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long),
+            ]
         _lib = lib
         return _lib
 

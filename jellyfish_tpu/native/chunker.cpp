@@ -1149,6 +1149,81 @@ extern "C" void* jf_cram_slice(
   return out.release();
 }
 
+// ---------------------------------------------------------------------
+// BAM record parser: takes a window of the decompressed BAM stream
+// (positioned at a record boundary, after the header/ref sections) and
+// emits FASTA/FASTQ bytes for every COMPLETE record in the window.
+// *consumed reports how many input bytes those records spanned; the
+// caller carries the remainder into the next window. Returns null on a
+// malformed record (python falls back and raises the precise error).
+
+extern "C" void* jf_bam_records(const uint8_t* buf, long len,
+                                long* consumed) {
+  static uint8_t nib_lut[16];
+  static bool init = false;
+  if (!init) {
+    std::memset(nib_lut, 'N', sizeof(nib_lut));
+    nib_lut[1] = 'A';
+    nib_lut[2] = 'C';
+    nib_lut[4] = 'G';
+    nib_lut[8] = 'T';
+    init = true;
+  }
+  auto out = std::make_unique<cram::SliceOut>();
+  std::string& o = out->buf;
+  long pos = 0;
+  *consumed = 0;
+  while (pos + 4 <= len) {
+    int32_t block_size;
+    std::memcpy(&block_size, buf + pos, 4);
+    if (block_size < 32) return nullptr;
+    if (pos + 4 + block_size > len) break;  // partial record
+    const uint8_t* rec = buf + pos + 4;
+    uint8_t l_read_name = rec[8];
+    uint16_t n_cigar;
+    std::memcpy(&n_cigar, rec + 12, 2);
+    int32_t l_seq;
+    std::memcpy(&l_seq, rec + 16, 4);
+    long off = 32;
+    if (l_read_name < 1 || l_seq < 0 ||
+        off + l_read_name + 4L * n_cigar + (l_seq + 1) / 2 + l_seq >
+            block_size)
+      return nullptr;
+    const uint8_t* name = rec + off;
+    long name_len = l_read_name - 1;  // trailing NUL dropped
+    off += l_read_name + 4L * n_cigar;
+    if (l_seq > 0) {
+      const uint8_t* packed = rec + off;
+      off += (l_seq + 1) / 2;
+      const uint8_t* qual = rec + off;
+      bool has_qual = qual[0] != 0xFF;
+      o += has_qual ? '@' : '>';
+      o.append(reinterpret_cast<const char*>(name), name_len);
+      o += '\n';
+      size_t base = o.size();
+      o.resize(base + l_seq);
+      for (int32_t i = 0; i < l_seq; ++i) {
+        uint8_t nb = (i & 1) ? (packed[i >> 1] & 0x0F)
+                             : (packed[i >> 1] >> 4);
+        o[base + i] = static_cast<char>(nib_lut[nb]);
+      }
+      if (has_qual) {
+        o += "\n+\n";
+        base = o.size();
+        o.resize(base + l_seq);
+        for (int32_t i = 0; i < l_seq; ++i) {
+          uint8_t q = qual[i] > 93 ? 93 : qual[i];
+          o[base + i] = static_cast<char>(q + 33);
+        }
+      }
+      o += '\n';
+    }
+    pos += 4 + block_size;
+    *consumed = pos;
+  }
+  return out.release();
+}
+
 extern "C" long jf_cram_out_len(void* h) {
   return static_cast<cram::SliceOut*>(h)->buf.size();
 }

@@ -118,10 +118,36 @@ def test_bam_quality_masking(tmp_path, rng):
     )
 
 
-def test_cram_rejected_with_hint(tmp_path):
+def test_cram_unsupported_version_hint(tmp_path):
+    # CRAM 3.x is decoded natively (tests/test_cram.py); other versions
+    # get a clear re-encode hint
     from jellyfish_tpu.io.parse import sam_records_to_fastx
 
     p = tmp_path / "x.cram"
     p.write_bytes(b"CRAM" + b"\x00" * 32)
-    with pytest.raises(ValueError, match="samtools view"):
+    with pytest.raises(ValueError, match="version 0.0 not supported"):
         list(sam_records_to_fastx(open(p, "rb")))
+
+
+def test_bam_native_matches_python(tmp_path, rng):
+    """jf_bam_records (native window parser) and the python per-record
+    loop emit identical bytes, mixed FASTA/FASTQ records."""
+    import os
+
+    from jellyfish_tpu.io.parse import open_stream, sam_records_to_fastx
+
+    seqs = [random_dna(rng, int(n), with_n=True)
+            for n in rng.integers(10, 300, 25)]
+    quals = [None if i % 3 == 0 else
+             [int(x) for x in rng.integers(0, 90, len(s))]
+             for i, s in enumerate(seqs)]
+    bam = str(tmp_path / "mix.bam")
+    _write_bam(bam, seqs, quals)
+    native = b"".join(sam_records_to_fastx(open_stream(bam)))
+    os.environ["JF_NO_NATIVE"] = "1"
+    try:
+        python = b"".join(sam_records_to_fastx(open_stream(bam)))
+    finally:
+        del os.environ["JF_NO_NATIVE"]
+    assert native == python
+    assert native.count(b"\n") >= len(seqs) * 2
