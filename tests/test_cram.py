@@ -366,6 +366,42 @@ def test_native_and_python_paths_agree(monkeypatch):
 # ----------------------------------------------------------- parse + CLI
 
 
+def test_gzipped_cram_through_open_stream(tmp_path):
+    """x.cram.gz: open_stream's gzip sniffing layers transparently over
+    the CRAM container stream."""
+    import gzip
+
+    from jellyfish_tpu.io.parse import open_stream
+
+    path = tmp_path / "reads.cram.gz"
+    path.write_bytes(gzip.compress(simple_cram(RECORDS)))
+    out = b"".join(sam_records_to_fastx(open_stream(str(path))))
+    assert out == b"".join(EXPECT)
+
+
+def test_mixed_formats_concurrent_files(tmp_path):
+    """-F over a FASTQ + a BAM-free mix incl. CRAM matches serial."""
+    from jellyfish_tpu.io.parse import SequenceChunker
+    from jellyfish_tpu.mer import string_mers
+
+    fq = tmp_path / "a.fq"
+    fq.write_bytes(b"@x\nACGTACGTACGTACG\n+\n" + b"I" * 15 + b"\n")
+    cram = tmp_path / "b.cram"
+    cram.write_bytes(simple_cram(RECORDS))
+
+    def counts(nb_files):
+        ch = SequenceChunker([str(fq)], 11, 512,
+                             sam_paths=[str(cram)], nb_files=nb_files)
+        got = {}
+        for chunk in ch.chunks():
+            for m in string_mers(chunk.tobytes().decode(), 11):
+                got[m] = got.get(m, 0) + 1
+        return got
+
+    serial = counts(1)
+    assert serial and counts(2) == serial
+
+
 def test_sam_adapter_dispatches_cram(tmp_path):
     path = tmp_path / "reads.cram"
     path.write_bytes(simple_cram(RECORDS))
