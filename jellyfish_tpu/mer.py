@@ -235,12 +235,17 @@ class MerDNA:
         return MerDNA(self.k, self.bits)
 
 
-def string_mers(s: str, k: int):
+def string_mers(s: str, k: int | None = None):
     """Yield every k-mer of a string, skipping windows with invalid bases.
 
     Mirrors swig/string_mers.i semantics (windows containing non-ACGT
-    characters are skipped, scanning restarts after the bad base).
+    characters are skipped, scanning restarts after the bad base). Like
+    the SWIG binding, `k` defaults to the global `MerDNA.k()`.
     """
+    if k is None:
+        k = _default_k[0]
+        if k is None:
+            raise ValueError("MerDNA.k(<int>) has not been set")
     n = len(s)
     i = 0
     filled = 0
@@ -257,7 +262,7 @@ def string_mers(s: str, k: int):
             yield m.dup()
 
 
-def string_canonicals(s: str, k: int):
+def string_canonicals(s: str, k: int | None = None):
     for m in string_mers(s, k):
         yield m.get_canonical()
 

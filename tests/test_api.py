@@ -91,3 +91,16 @@ def test_string_mers_api(rng):
     assert len(mers) == len(cans)
     for m, c in zip(mers, cans):
         assert m.get_canonical() == c
+
+
+def test_string_mers_global_k_default(rng):
+    """SWIG parity: string_mers(str) with no k uses the global
+    MerDNA.k() (swig/string_mers.i)."""
+    import jellyfish_tpu as jellyfish
+
+    s = random_dna(rng, 100)
+    jellyfish.MerDNA.k(17)
+    assert (list(jellyfish.string_mers(s))
+            == list(jellyfish.string_mers(s, 17)))
+    assert (list(jellyfish.string_canonicals(s))
+            == list(jellyfish.string_canonicals(s, 17)))
