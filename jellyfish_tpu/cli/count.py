@@ -169,8 +169,8 @@ def run(args, argv):
             make_mesh,
         )
 
-        if filt is not None or args.if_files:
-            die("count: --bc/--bf-size/--if are not yet supported with "
+        if filt is not None:
+            die("count: --bc/--bf-size are not yet supported with "
                 "--devices > 1")
         import jax
 

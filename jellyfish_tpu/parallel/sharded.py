@@ -510,6 +510,7 @@ class ShardedMerCounter:
         self._packed_steps: dict = {}
         self._overflow_flags: list = []
         self.store = _ShardedStore(self.W, key_bits=c)
+        self._restrict_store: _ShardedStore | None = None
         self._run_sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
 
     # -- ingestion ------------------------------------------------------------
@@ -557,18 +558,60 @@ class ShardedMerCounter:
         self._overflow_flags.append(overflow)
         self._insert_step(keys, weights, max_weight=L)
 
-    def _insert_step(self, keys, weights, max_weight: int) -> None:
+    def _insert_step(self, keys, weights, max_weight: int,
+                     store: "_ShardedStore | None" = None) -> None:
         """Route one step's routed output into the store. Compact exchange:
         the [P, P*capp] receive is P concatenated sender segments, each a
         DEDUPLICATED (key, count) run — insert per-sender runs so they
         take merge_many's bounded log-scan. Masked exchange: raw {0,1}
         rows, segment-length kernel."""
+        store = self.store if store is None else store
         if self.compact_exchange and self.n_shards > 1:
-            self.store.insert_dedup(
+            store.insert_dedup(
                 keys, weights, max_weight=max_weight, dups=self.n_shards
             )
         else:
-            self.store.insert_raw(keys, weights, max_weight=max_weight)
+            store.insert_raw(keys, weights, max_weight=max_weight)
+
+    def restrict_to(self, chunks_iter) -> None:
+        """--if mode for the sharded counter (count_main.cc:288-295
+        PRIME/UPDATE semantics): the allowed mers are ingested through
+        the SAME routed pipeline into a second sharded store, so every
+        allowed key lands on the shard that owns it in the main table;
+        finalize intersects the two per-shard sorted runs. Allowed-but-
+        unseen mers dump with count 0, everything else is dropped."""
+        self._restrict_store = _ShardedStore(self.W, key_bits=2 * self.k)
+        rows = self._local_rows if self.multiprocess else self.n_shards
+        sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
+        batch: list = []
+
+        def flush():
+            if not batch:
+                return
+            L = len(batch[0])
+            while len(batch) < rows:
+                batch.append(np.full(L, ord("N"), dtype=np.uint8))
+            dev = self._put(np.stack(batch), np.uint8, sharding)
+            keys, weights, overflow = self._step(dev, self._A)
+            self._overflow_flags.append(overflow)
+            self._insert_step(keys, weights, max_weight=rows * L,
+                              store=self._restrict_store)
+            batch.clear()
+
+        L_seen = None
+        for chunk in chunks_iter:
+            chunk = np.asarray(chunk, dtype=np.uint8)
+            if len(chunk) < self.k:
+                continue
+            if L_seen is None:
+                L_seen = len(chunk)
+            if len(chunk) != L_seen:
+                flush()
+                L_seen = len(chunk)
+            batch.append(chunk)
+            if len(batch) == rows:
+                flush()
+        flush()
 
     def _put(self, arr, dtype, sharding):
         """Stage host chunks onto the mesh. Multi-process: each host
@@ -588,6 +631,31 @@ class ShardedMerCounter:
 
     # -- extraction -----------------------------------------------------------
 
+    def _finalize_parts(self, store, with_keys: bool = False):
+        """{shard_id: (keys [n, W] | None, mers [n, W], counts [n] u64)}
+        for this process's non-empty shards."""
+        res = store.finalize()
+        if res is None:
+            return {}
+        keys, lo, hi, ns = res
+        mers_dev = self._recover_batched(keys)
+        ns_rows = _addressable_rows(ns)
+        m_rows = _addressable_rows(mers_dev)
+        lo_rows = _addressable_rows(lo)
+        hi_rows = _addressable_rows(hi)
+        k_rows = _addressable_rows(keys) if with_keys else None
+        parts = {}
+        for p in sorted(ns_rows):
+            n = int(ns_rows[p])
+            if n == 0:
+                continue
+            cnt = lo_rows[p][:n].astype(np.uint64) | (
+                hi_rows[p][:n].astype(np.uint64) << np.uint64(32)
+            )
+            parts[p] = (k_rows[p][:n] if with_keys else None,
+                        m_rows[p][:n], cnt)
+        return parts
+
     def finalize_local_np(self):
         """Per-process dump segments: [(shard_id, mer limbs [n, W] u32,
         counts [n] u64), ...] for THIS process's shards, ascending
@@ -596,24 +664,30 @@ class ShardedMerCounter:
         its segment file, cat in rank order" (no cross-DCN table motion;
         replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
         self._check_overflow()
-        res = self.store.finalize()
-        if res is None:
-            return []
-        keys, lo, hi, ns = res
-        mers_dev = self._recover_batched(keys)
-        ns_rows = _addressable_rows(ns)
-        m_rows = _addressable_rows(mers_dev)
-        lo_rows = _addressable_rows(lo)
-        hi_rows = _addressable_rows(hi)
+        if self._restrict_store is None:
+            parts = self._finalize_parts(self.store)
+            return [(p, m, c) for p, (_, m, c) in sorted(parts.items())]
+        # --if: per shard, the PRIMED set in hash order with counted
+        # values (0 when unseen); both runs are shard-local sorted under
+        # the same matrix, so one vectorized binary search each
+        from jellyfish_tpu.counter import _sortkey_order_view
+
+        parts = self._finalize_parts(self.store, with_keys=True)
+        aparts = self._finalize_parts(self._restrict_store, with_keys=True)
         out = []
-        for p in sorted(ns_rows):
-            n = int(ns_rows[p])
-            if n == 0:
+        for p, (akeys, amers, _) in sorted(aparts.items()):
+            main = parts.get(p)
+            if main is None:
+                out.append((p, amers,
+                            np.zeros(len(amers), dtype=np.uint64)))
                 continue
-            cnt = lo_rows[p][:n].astype(np.uint64) | (
-                hi_rows[p][:n].astype(np.uint64) << np.uint64(32)
-            )
-            out.append((p, m_rows[p][:n], cnt))
+            keys_np, _, counts = main
+            kv = _sortkey_order_view(keys_np)
+            av = _sortkey_order_view(akeys)
+            pos = np.minimum(np.searchsorted(kv, av), len(kv) - 1)
+            match = kv[pos] == av
+            out.append((p, amers,
+                        np.where(match, counts[pos], np.uint64(0))))
         return out
 
     def finalize_np(self):

@@ -183,6 +183,127 @@ def test_cli_count_devices(tmp_path, monkeypatch):
     )
 
 
+def test_cli_count_devices_if_restriction(tmp_path):
+    """`count -d 8 --if allow.fa` matches the single-chip --if run
+    byte-for-byte (incl. primed-but-unseen mers at count 0)."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(5)
+    fa = tmp_path / "in.fa"
+    seqs = [random_dna(rng, 400, with_n=True) for _ in range(8)]
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+    allow = tmp_path / "allow.fa"
+    # overlaps the input plus some unseen mers (must dump at 0)
+    allow.write_text(f">a0\n{seqs[0][:80]}\n>a1\n{random_dna(rng, 60)}\n")
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    def run_count(out, devices):
+        r = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "15",
+             "-s", "16k", "-C", "-d", devices, "--if", str(allow),
+             "-o", str(out), str(fa)],
+            env=env, capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        d = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "dump", "-c", str(out)],
+            env=env, capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert d.returncode == 0, d.stderr
+        return sorted(d.stdout.splitlines())
+
+    got8 = run_count(tmp_path / "i8.jf", "8")
+    got1 = run_count(tmp_path / "i1.jf", "1")
+    assert got8 == got1
+    assert any(line.endswith(" 0") for line in got8)  # primed-unseen
+    assert any(not line.endswith(" 0") for line in got8)
+
+
+def test_cli_count_devices_disk_spill(tmp_path):
+    """`count -d 8 --disk` with a tiny -s (forcing spills + merge)
+    matches the single-chip in-memory run."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(9)
+    fa = tmp_path / "in.fa"
+    seqs = [random_dna(rng, 600) for _ in range(10)]
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    def run(out, extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "15",
+             "-C", "-o", str(out)] + extra + [str(fa)],
+            env=env, capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        d = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "dump", "-c", str(out)],
+            env=env, capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert d.returncode == 0, d.stderr
+        return sorted(d.stdout.splitlines())
+
+    spill = run(tmp_path / "d8.jf", ["-d", "8", "--disk", "-s", "1k"])
+    plain = run(tmp_path / "d1.jf", ["-d", "1", "-s", "64k"])
+    assert spill == plain and len(spill) > 1000
+
+
+def test_sharded_restrict_matches_oracle(rng):
+    """ShardedMerCounter.restrict_to vs a dict oracle on an 8-device
+    CPU mesh: output = primed set with counted values / zeros."""
+    import jax
+
+    from jellyfish_tpu.mer import string_canonicals
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P = len(jax.devices())
+    k = 13
+    seq = random_dna(rng, 3000, with_n=True)
+    allowed_seq = seq[100:220] + random_dna(rng, 50)
+
+    counter = ShardedMerCounter(
+        k, size=1 << 12, mesh=make_mesh(P), canonical=True,
+        rng=np.random.default_rng(11),
+    )
+    L = 512
+    chunks = []
+    for off in range(0, len(seq), L - (k - 1)):
+        part = seq[off:off + L]
+        if len(part) < k:
+            break
+        chunks.append(np.frombuffer(
+            part.ljust(L, "N").encode(), dtype=np.uint8))
+    for i in range(0, len(chunks), P):
+        batch = chunks[i:i + P]
+        while len(batch) < P:
+            batch.append(np.full(L, ord("N"), dtype=np.uint8))
+        counter.add_chunks(np.stack(batch))
+    counter.restrict_to([np.frombuffer(allowed_seq.encode(),
+                                       dtype=np.uint8)])
+    mers, counts = counter.finalize()
+
+    full = {}
+    for m in string_canonicals(seq, k):
+        full[str(m)] = full.get(str(m), 0) + 1
+    want = {m: full.get(m, 0)
+            for m in {str(x) for x in string_canonicals(allowed_seq, k)}}
+    from jellyfish_tpu.mer import MerDNA
+    got = {str(MerDNA(k, int(m))): int(c) for m, c in zip(mers, counts)}
+    assert got == want
+    assert 0 in got.values() and any(v > 0 for v in got.values())
+
+
 def test_compact_exchange_matches_masked(rng):
     """The compact (sorted segments + tiled all-to-all) exchange and the
     capacity-free masked exchange produce identical tables, and the
