@@ -169,9 +169,6 @@ def run(args, argv):
             make_mesh,
         )
 
-        if filt is not None:
-            die("count: --bc/--bf-size are not yet supported with "
-                "--devices > 1")
         import jax
 
         avail = len(jax.devices())
@@ -181,6 +178,7 @@ def run(args, argv):
         counter = ShardedMerCounter(
             k, size=args.size, mesh=make_mesh(n_devices),
             canonical=args.canonical, rng=np.random.default_rng(),
+            mer_filter=filt,
         )
     else:
         counter = MerCounter(

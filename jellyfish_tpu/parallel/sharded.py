@@ -464,6 +464,7 @@ class ShardedMerCounter:
         matrix: GF2Matrix | None = None,
         rng: np.random.Generator | None = None,
         compact_exchange: bool = True,
+        mer_filter=None,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = int(self.mesh.devices.size)
@@ -511,6 +512,15 @@ class ShardedMerCounter:
         self._overflow_flags: list = []
         self.store = _ShardedStore(self.W, key_bits=c)
         self._restrict_store: _ShardedStore | None = None
+        # bloom-mode filter f(mers, counts) -> counts, applied ONCE per
+        # shard at finalize. Output-equivalent to the single-chip
+        # per-chunk application: --bc passes a mer in full or not at all
+        # (stateless), and --bf's "first occurrence consumed" reduces to
+        # counts-1 per distinct mer when every occurrence is already
+        # aggregated (finalize-mode is the false-positive-free ideal).
+        # The bloom modes' INGEST-memory reduction applies single-chip
+        # only for now (the sharded store counts everything, then drops).
+        self.mer_filter = mer_filter
         self._run_sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
 
     # -- ingestion ------------------------------------------------------------
@@ -666,7 +676,16 @@ class ShardedMerCounter:
         self._check_overflow()
         if self._restrict_store is None:
             parts = self._finalize_parts(self.store)
-            return [(p, m, c) for p, (_, m, c) in sorted(parts.items())]
+            out = []
+            for p, (_, m, c) in sorted(parts.items()):
+                if self.mer_filter is not None:
+                    c = self.mer_filter(m, c)
+                    keep = c > 0
+                    m, c = m[keep], c[keep]
+                    if len(c) == 0:
+                        continue
+                out.append((p, m, c))
+            return out
         # --if: per shard, the PRIMED set in hash order with counted
         # values (0 when unseen); both runs are shard-local sorted under
         # the same matrix, so one vectorized binary search each
@@ -681,7 +700,9 @@ class ShardedMerCounter:
                 out.append((p, amers,
                             np.zeros(len(amers), dtype=np.uint64)))
                 continue
-            keys_np, _, counts = main
+            keys_np, main_mers, counts = main
+            if self.mer_filter is not None:
+                counts = self.mer_filter(main_mers, counts)
             kv = _sortkey_order_view(keys_np)
             av = _sortkey_order_view(akeys)
             pos = np.minimum(np.searchsorted(kv, av), len(kv) - 1)

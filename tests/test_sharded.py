@@ -259,6 +259,67 @@ def test_cli_count_devices_disk_spill(tmp_path):
     assert spill == plain and len(spill) > 1000
 
 
+def _run_jf(args, env, cwd="/root/repo"):
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "jellyfish_tpu"] + args,
+                       env=env, capture_output=True, text=True, cwd=cwd)
+    assert r.returncode == 0, r.stderr
+    return r.stdout
+
+
+def test_cli_count_devices_bloom_modes(tmp_path):
+    """`count -d 8 --bc` matches single-chip byte-for-byte (same
+    prebuilt bloom counter file => identical stateless filter); `-d 8
+    --bf-size` satisfies the one-pass mode's guarantees vs the exact
+    oracle (counts c or c-1; every multi-occurrence mer present)."""
+    import os
+
+    from tests.conftest import oracle_counts
+
+    rng = np.random.default_rng(31)
+    fa = tmp_path / "in.fa"
+    uniq = [random_dna(rng, 700) for _ in range(4)]
+    seqs = uniq + uniq[:2]  # repeated reads -> mers with count >= 2
+    fa.write_text("".join(f">r{i}\n{s}\n" for i, s in enumerate(seqs)))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    bcf = tmp_path / "f.bc"
+    _run_jf(["bc", "-m", "15", "-s", "10k", "-C", "-o", str(bcf),
+             str(fa)], env)
+
+    def dump(out):
+        return sorted(_run_jf(["dump", "-c", str(out)], env).splitlines())
+
+    for d in ("8", "1"):
+        _run_jf(["count", "-m", "15", "-s", "16k", "-C", "-d", d,
+                 "--bc", str(bcf), "-o", str(tmp_path / f"bc{d}.jf"),
+                 str(fa)], env)
+    got8 = dump(tmp_path / "bc8.jf")
+    assert got8 == dump(tmp_path / "bc1.jf")
+    assert got8  # the bc pass kept the repeated mers
+
+    _run_jf(["count", "-m", "15", "-s", "16k", "-C", "-d", "8",
+             "--bf-size", "10k", "--bf-fp", "0.001",
+             "-o", str(tmp_path / "bf8.jf"), str(fa)], env)
+    from jellyfish_tpu.mer import MerDNA
+
+    full = {str(MerDNA(15, bits)): c
+            for bits, c in oracle_counts(seqs, 15, True).items()}
+    got = dict(line.rsplit(" ", 1)
+               for line in dump(tmp_path / "bf8.jf"))
+    got = {m: int(c) for m, c in got.items()}
+    for m, c in full.items():
+        if c >= 2:  # must be present, first occurrence maybe consumed
+            assert got.get(m) in (c, c - 1), m
+    for m, c in got.items():
+        assert c in (full[m], full[m] - 1) and c > 0
+
+
 def test_sharded_restrict_matches_oracle(rng):
     """ShardedMerCounter.restrict_to vs a dict oracle on an 8-device
     CPU mesh: output = primed set with counted values / zeros."""
