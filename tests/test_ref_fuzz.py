@@ -154,3 +154,43 @@ def test_fuzz_quality_filter_matches_reference(ref_oracle, tmp_path,
     assert _our_counts(capsys, our_db) == _ref_counts(ref_oracle, ref_db), (
         f"trial={trial} k={k} min_q={min_q}"
     )
+
+
+@pytest.mark.parametrize("trial", range(max(N_TRIALS // 2, 3)))
+def test_fuzz_merge_ops_match_reference(ref_oracle, tmp_path, capsys,
+                                        trial):
+    """Randomized --disk partials merged by BOTH implementations under
+    every merge op (merge_files.cc:44-102): sum/min/max record-for-
+    record equality in hash order."""
+    rng = np.random.default_rng(990_000 + trial)
+    k = int(rng.choice([9, 21, 33]))
+    reads = [_rand_read(rng, 400) for _ in range(int(rng.integers(8, 30)))]
+    reads = [r for r in reads if r] or ["ACGTACGTACGT"]
+    fa = tmp_path / "m.fa"
+    _write_fasta(fa, reads, rng)
+
+    pre = tmp_path / "part.jf"
+    run_cli(["count", "-m", str(k), "-s", "1k", "-C", "--disk",
+             "--no-merge", "--no-unlink", "-o", str(pre), str(fa)])
+    import glob
+
+    partials = sorted(glob.glob(str(pre) + "[0-9]*"))
+    if len(partials) < 2:
+        pytest.skip("input too small to spill twice")
+
+    # ref_oracle's merge harness drives merge_files with bounds [0, max],
+    # so give our CLI -L 0 for min (the CLIs themselves both default a
+    # min-merge to -L 1, merge_main.cc:31 == cli/dbtools.py run_merge)
+    for op, flags in (("sum", []), ("min", ["-m", "-L", "0"]),
+                      ("max", ["-M"])):
+        ref_merged = tmp_path / f"ref_{op}.jf"
+        subprocess.run(
+            [ref_oracle, "merge", str(ref_merged), op] + partials,
+            check=True, capture_output=True,
+        )
+        our_merged = tmp_path / f"our_{op}.jf"
+        run_cli(["merge", "-o", str(our_merged)] + flags + partials)
+        ours = _our_counts(capsys, our_merged)
+        assert ours == _ref_counts(ref_oracle, ref_merged), (
+            f"trial={trial} k={k} op={op} partials={len(partials)}"
+        )
