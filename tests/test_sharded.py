@@ -223,6 +223,21 @@ def test_cli_count_devices_if_restriction(tmp_path):
     assert any(line.endswith(" 0") for line in got8)  # primed-unseen
     assert any(not line.endswith(" 0") for line in got8)
 
+    # --if + --disk + -d: spills re-finalize the sharded restrict store
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "15",
+         "-s", "1k", "-C", "-d", "8", "--disk", "--if", str(allow),
+         "-o", str(tmp_path / "id8.jf"), str(fa)],
+        env=env, capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    d = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "dump", "-c",
+         str(tmp_path / "id8.jf")],
+        env=env, capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert sorted(d.stdout.splitlines()) == got8
+
 
 def test_cli_count_devices_disk_spill(tmp_path):
     """`count -d 8 --disk` with a tiny -s (forcing spills + merge)
