@@ -349,6 +349,55 @@ def test_rejects_unknown_codec():
         decode(simple_cram(RECORDS, series=series))
 
 
+def test_kitchen_sink_interactions(monkeypatch):
+    """All core codecs live in ONE slice (constant + real HUFFMAN, BETA,
+    GAMMA, SUBEXP, BYTE_ARRAY_STOP, BYTE_ARRAY_LEN) alongside mapped
+    feature records and mixed block compression — native and python
+    paths byte-agree and match the expected reconstruction."""
+    series = cw.default_series(with_features=True)
+    series["BF"] = Huffman([4, 0], [1, 1])      # unmapped + mapped mix
+    series["CF"] = Huffman([1, 0], [1, 1])      # qual-array flag varies
+    series["RL"] = Beta(0, 7)
+    series["AP"] = Gamma(3)                      # deltas go down to -2
+    series["RG"] = SubExp(1, 2)
+    series["TL"] = Huffman([0], [0])
+    series["RN"] = ByteArrayStop(0x00, 31)
+    series["FN"] = Gamma(1)
+    series["FP"] = Beta(0, 7)
+    series["MQ"] = Huffman([30], [0])
+    series["BS"] = Huffman([0, 1, 2, 3], [2, 2, 2, 2])
+    recs = [
+        {"name": b"u1", "seq": b"ACGTNACGT" * 3, "qual": None},
+        {"name": b"m1", "mapped": True, "pos": 4, "rlen": 10,
+         "features": [(2, "X", 3), (5, "S", b"GG"), (8, "D", 2)],
+         "qual": bytes(range(10))},
+        {"name": b"m2", "mapped": True, "pos": 2, "rlen": 6,
+         "features": [], "qual": None},   # AP delta -2
+        {"name": b"u2", "seq": b"T" * 40, "qual": bytes([5] * 40)},
+    ]
+    blob = simple_cram(
+        recs, ref_id=0, start=1, span=36, embedded_ref=REF,
+        series=series,
+        sam_text=b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\n",
+        block_methods={cw.CORE: "rans0", 8: "gzip", 9: "rans1",
+                       31: "bzip2", 22: "lzma"})
+    native = decode(blob)
+    monkeypatch.setenv("JF_NO_NATIVE", "1")
+    python = decode(blob)
+    monkeypatch.delenv("JF_NO_NATIVE")
+    assert native == python
+    # m1 at pos 4 (ref_pos 0-based 3 = 'T'): read 1 match 'T' (ref->4),
+    # read 2 X on ref[4]='A' code 3 -> 'N' (A's candidates C,G,T,N;
+    # ref->5), read 3-4 match ref[5:7]='CG' (ref->7), read 5-6 S 'GG'
+    # (ref stays 7), read 7 match ref[7]='T' (ref->8), D(2) skips
+    # ref[8:10]='AC' (ref->10), read 8-10 match ref[10:13]='GTA'
+    m1_seq = b"T" + b"N" + b"CG" + b"GG" + b"T" + b"GTA"
+    assert fastq(b"m1", m1_seq, bytes(range(10))) in native
+    # m2 at pos 2: ref 0-based 1..6 = CGTACG
+    assert fasta(b"m2", b"CGTACG") in native
+    assert fasta(b"u1", b"ACGTNACGT" * 3) in native
+
+
 def test_native_and_python_paths_agree(monkeypatch):
     """The C++ slice decoder (native/chunker.cpp jf_cram_slice) and the
     python reference path must produce identical bytes."""
