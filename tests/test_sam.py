@@ -90,10 +90,11 @@ def _write_bam(path, seqs, quals=None):
         ) + name + bytes(packed) + q
         body += struct.pack("<i", len(rec)) + rec
     with open(path, "wb") as f:
-        # two blocks to exercise multi-member gzip + EOF marker
-        half = len(body) // 2
-        f.write(_bgzf_block(body[:half]))
-        f.write(_bgzf_block(body[half:]))
+        # BGZF members are capped at 64 KiB (BSIZE is u16); chunk like
+        # htslib does — also exercises multi-member gzip + EOF marker
+        step = max(len(body) // 2 + 1, 1) if len(body) < 60000 else 60000
+        for off in range(0, len(body), step):
+            f.write(_bgzf_block(body[off:off + step]))
         f.write(_BGZF_EOF)
 
 
@@ -127,6 +128,29 @@ def test_cram_unsupported_version_hint(tmp_path):
     p.write_bytes(b"CRAM" + b"\x00" * 32)
     with pytest.raises(ValueError, match="version 0.0 not supported"):
         list(sam_records_to_fastx(open(p, "rb")))
+
+
+def test_bam_window_carry_over_4mb(tmp_path, rng):
+    """The native BAM parser processes 4 MB windows and carries partial
+    records between them — a >4 MB BAM with record boundaries straddling
+    window edges must decode identically to the python loop."""
+    import os
+
+    from jellyfish_tpu.io.parse import open_stream, sam_records_to_fastx
+
+    # ~6 MB decompressed: 12k records of ~500 B (odd lengths so
+    # boundaries drift across the 1<<22 window edge)
+    seqs = [random_dna(rng, int(n)) for n in rng.integers(301, 500, 12000)]
+    bam = str(tmp_path / "big.bam")
+    _write_bam(bam, seqs)
+    native = b"".join(sam_records_to_fastx(open_stream(bam)))
+    os.environ["JF_NO_NATIVE"] = "1"
+    try:
+        python = b"".join(sam_records_to_fastx(open_stream(bam)))
+    finally:
+        del os.environ["JF_NO_NATIVE"]
+    assert native == python
+    assert native.count(b">") == len(seqs)
 
 
 def test_bam_native_matches_python(tmp_path, rng):
