@@ -91,6 +91,32 @@ def test_query_agrees_with_dump(data, capsys):
     assert int(val) == d.get("A" * 13, 0)
 
 
+def test_query_interactive_stdin(data, capsys):
+    """query -i: one bare count per stdin line, flushed (query_main.cc
+    query_from_stdin), invalid mers reported to stderr."""
+    import os
+    import subprocess
+    import sys
+
+    db = str(data["dir"] / "oq.jf")
+    run_cli(["count", "-m", "13", "-s", "16k", "-C", "-o", db,
+             data["fa"]])
+    d = _dump_dict(capsys, db)
+    some = list(d.items())[:5]
+    stdin = "\n".join(m for m, _ in some) + "\nNOTAMER\n" + "A" * 13 + "\n"
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "query", "-i", db],
+        input=stdin, env=env, capture_output=True, text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    vals = [int(x) for x in r.stdout.split()]
+    assert vals == [c for _, c in some] + [d.get("A" * 13, 0)]
+    assert "Invalid mer 'NOTAMER'" in r.stderr
+
+
 def test_disk_spill_equals_memory(data, capsys):
     mem_db = str(data["dir"] / "mem.jf")
     disk_db = str(data["dir"] / "disk.jf")
