@@ -249,7 +249,11 @@ def run_query(args, argv):
         check = db.check_int
     elif header.format == FileHeader.FORMAT_BINARY:
         db = BinaryQuery(args.file)
-        if args.load and not args.no_load:
+        # preload on -l, and automatically for bulk queries (sequence
+        # files or >100 mers) unless -L, like query_main.cc:109-111
+        if not args.no_load and (
+            args.load or args.sequence or len(args.mers) > 100
+        ):
             db.preload()
         check = db.check
     else:
