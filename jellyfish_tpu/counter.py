@@ -21,11 +21,7 @@ import numpy as np
 
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import (
-    consolidate_premasked,
-    merge_many,
-    sort_unique,
-)
+from jellyfish_tpu.ops.count import consolidate_premasked, sort_unique
 from jellyfish_tpu.ops.hashing import (
     inverse_masks_of_matrix,
     masks_of_matrix,

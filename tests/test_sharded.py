@@ -136,8 +136,6 @@ def test_sharded_dump_byte_identical_to_single_chip(rng, tmp_path):
         recs_1 = list(r)
     assert recs_s == recs_1
     # record payload past the (provenance-bearing) headers is byte-equal
-    import json
-
     def body(p):
         with open(p, "rb") as f:
             hlen = int(f.read(9))
