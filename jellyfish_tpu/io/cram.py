@@ -333,6 +333,10 @@ METHOD_GZIP = 1
 METHOD_BZIP2 = 2
 METHOD_LZMA = 3
 METHOD_RANS = 4
+METHOD_RANSNX16 = 5
+METHOD_ARITH = 6
+METHOD_FQZ = 7
+METHOD_TOK3 = 8
 
 CT_FILE_HEADER = 0
 CT_COMPRESSION_HEADER = 1
@@ -355,9 +359,21 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         out = lzma.decompress(data)
     elif method == METHOD_RANS:
         out = rans.decode(data)
+    elif method == METHOD_RANSNX16:
+        from jellyfish_tpu.io import rans16
+        out = rans16.decode(data, raw_size)
+    elif method == METHOD_ARITH:
+        from jellyfish_tpu.io import arith
+        out = arith.decode(data, raw_size)
+    elif method == METHOD_FQZ:
+        from jellyfish_tpu.io import fqzcomp
+        out = fqzcomp.decode(data, raw_size)
+    elif method == METHOD_TOK3:
+        from jellyfish_tpu.io import tok3
+        out = tok3.decode(data, raw_size)
     else:
         raise CramError(f"CRAM block compression method {method} not "
-                        "supported (CRAM 3.1 codecs need --version 3.0)")
+                        "supported")
     if len(out) != raw_size:
         raise CramError("CRAM block raw size mismatch")
     return out

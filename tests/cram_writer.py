@@ -218,7 +218,14 @@ def ext_array(cid: int) -> ByteArrayLen:
 # ---------------------------------------------------------------- blocks
 
 METHODS = {"raw": 0, "gzip": 1, "bzip2": 2, "lzma": 3,
-           "rans0": 4, "rans1": 4}
+           "rans0": 4, "rans1": 4,
+           "rans16": 5, "rans16-o1": 5, "rans16-x32": 5,
+           "rans16-o1x32": 5, "rans16-cat": 5, "rans16-rle": 5,
+           "rans16-pack": 5, "rans16-packrle": 5, "rans16-stripe": 5,
+           "arith": 6, "arith-o1": 6, "arith-rle": 6, "arith-o1rle": 6,
+           "arith-pack": 6, "arith-ext": 6, "arith-cat": 6,
+           "arith-stripe": 6,
+           "tok3": 8, "tok3-arith": 8}
 
 
 def _compress(method: str, data: bytes) -> bytes:
@@ -237,10 +244,48 @@ def _compress(method: str, data: bytes) -> bytes:
         return rans.encode(data, 0)
     if method == "rans1":
         return rans.encode(data, 1)
+    if method.startswith("rans16"):
+        from jellyfish_tpu.io import rans16 as r16
+        flags = {"rans16": 0, "rans16-o1": r16.F_ORDER1,
+                 "rans16-x32": r16.F_N32,
+                 "rans16-o1x32": r16.F_ORDER1 | r16.F_N32,
+                 "rans16-cat": r16.F_CAT, "rans16-rle": r16.F_RLE,
+                 "rans16-pack": r16.F_PACK,
+                 "rans16-packrle": r16.F_PACK | r16.F_RLE,
+                 "rans16-stripe": r16.F_STRIPE}[method]
+        return r16.encode(data, flags)
+    if method.startswith("arith"):
+        from jellyfish_tpu.io import arith as ar
+        flags = {"arith": 0, "arith-o1": ar.F_ORDER1,
+                 "arith-rle": ar.F_RLE,
+                 "arith-o1rle": ar.F_ORDER1 | ar.F_RLE,
+                 "arith-pack": ar.F_PACK, "arith-ext": ar.F_EXT,
+                 "arith-cat": ar.F_CAT, "arith-stripe": ar.F_STRIPE}[method]
+        return ar.encode(data, flags)
+    if method.startswith("tok3"):
+        from jellyfish_tpu.io import tok3
+        return tok3.encode(data, use_arith=method == "tok3-arith")
     raise ValueError(method)
 
 
-def block(ctype: int, cid: int, data: bytes, method: str = "raw") -> bytes:
+def fqz_method(lens, **kw):
+    """A `block_methods` value for QS blocks: closes over the record
+    lengths the fqzcomp model needs (method id 7)."""
+    def _m(data: bytes):
+        from jellyfish_tpu.io import fqzcomp
+        return 7, fqzcomp.encode(list(lens), data, **kw)
+    return _m
+
+
+def block(ctype: int, cid: int, data: bytes, method="raw") -> bytes:
+    if callable(method):
+        method_id, comp = method(data)
+        head = bytearray([method_id, ctype])
+        write_itf8(head, cid)
+        write_itf8(head, len(comp))
+        write_itf8(head, len(data))
+        payload = bytes(head) + comp
+        return payload + struct.pack("<I", zlib.crc32(payload))
     comp = _compress(method, data)
     head = bytearray([METHODS[method], ctype])
     write_itf8(head, cid)
@@ -321,9 +366,10 @@ def slice_header(ref_id, start, span, n_records, record_counter,
     return bytes(out)
 
 
-def file_definition(file_id=b"jellyfish-tpu-test\x00\x00") -> bytes:
+def file_definition(file_id=b"jellyfish-tpu-test\x00\x00",
+                    version=(3, 0)) -> bytes:
     assert len(file_id) == 20
-    return b"CRAM\x03\x00" + file_id
+    return b"CRAM" + bytes(version) + file_id
 
 
 def sam_header_container(text: bytes, method="raw") -> bytes:
@@ -492,7 +538,7 @@ def count_blocks(slices_bytes: bytes) -> int:
 
 
 def simple_cram(records, sam_text=b"@HD\tVN:1.6\n", series=None,
-                block_methods=None, **kw) -> bytes:
+                block_methods=None, version=(3, 0), **kw) -> bytes:
     """One-container CRAM holding `records` (see encode_slice)."""
     series = series or default_series(
         multiref=kw.get("multiref", False),
@@ -508,6 +554,7 @@ def simple_cram(records, sam_text=b"@HD\tVN:1.6\n", series=None,
         tag_encodings=kw.get("tag_encodings"))
     sl = encode_slice(series, records, block_methods=block_methods, **kw)
     n_blocks = 1 + count_blocks(sl)
-    return (file_definition() + sam_header_container(sam_text)
+    return (file_definition(version=version)
+            + sam_header_container(sam_text)
             + data_container(comp, sl, n_blocks, len(records), 0)
             + eof_container())

@@ -1,0 +1,451 @@
+"""CRAM 3.1 codec tests (io/rans16.py, io/arith.py, io/tok3.py,
+io/fqzcomp.py) and whole-file CRAM 3.1 reads.
+
+Validation strategy mirrors the 3.0 suite (tests/test_cram.py): the
+image has no htslib/samtools/pysam, so decoders are exercised against
+this repo's independent spec-written encoders, golden byte vectors
+pinning the serialized formats, mutation fuzz for robustness, and
+whole-file reads through `cram_records_to_fastx`.  Confidence note:
+the 3.1 codec formats (hts-specs CRAMcodecs) were implemented from
+the spec without a second implementation to cross-check in this image;
+the container/block framing is shared with the 3.0 path, which IS
+cross-validated against the reference's consumption surface
+(`sam_format.hpp:22-57`).
+"""
+
+import io
+import random
+import struct
+
+import pytest
+
+import cram_writer as cw
+from cram_writer import simple_cram, fqz_method, ByteArrayStop
+from jellyfish_tpu.io import arith, fqzcomp, rans16, tok3
+from jellyfish_tpu.io.cram import cram_records_to_fastx
+from jellyfish_tpu.io.rans16 import _Cur, write_uint7
+
+
+def decode_cram(blob: bytes) -> bytes:
+    stream = io.BytesIO(blob)
+    assert stream.read(4) == b"CRAM"
+    return b"".join(cram_records_to_fastx(stream))
+
+
+def fastq(name, seq, qual):
+    return (b"@" + name + b"\n" + seq + b"\n+\n"
+            + bytes(min(q, 93) + 33 for q in qual) + b"\n")
+
+
+def _corpus(rng):
+    return [
+        b"",
+        b"A",
+        b"ACGT" * 300,
+        bytes([7]) * 999,
+        bytes(range(256)),
+        bytes(rng.choices(b"ACGTN", weights=[9, 8, 7, 2, 1], k=20000)),
+        bytes(rng.choices(b"!#%+5?I", k=5000)),
+        bytes(rng.randrange(256) for _ in range(4097)),
+    ]
+
+
+# ------------------------------------------------------------ uint7
+
+
+def test_uint7_roundtrip_and_golden():
+    for v, want in [(0, b"\x00"), (127, b"\x7f"), (128, b"\x81\x00"),
+                    (16383, b"\xff\x7f"), (16384, b"\x81\x80\x00"),
+                    (1 << 28, b"\x81\x80\x80\x80\x00")]:
+        out = bytearray()
+        write_uint7(out, v)
+        assert bytes(out) == want, v
+        assert _Cur(bytes(out)).uint7() == v
+
+
+# ------------------------------------------------------- rANS Nx16
+
+
+RANS16_FLAGSETS = [
+    0, rans16.F_ORDER1, rans16.F_N32, rans16.F_ORDER1 | rans16.F_N32,
+    rans16.F_CAT, rans16.F_RLE, rans16.F_PACK,
+    rans16.F_PACK | rans16.F_RLE,
+    rans16.F_PACK | rans16.F_RLE | rans16.F_ORDER1,
+    rans16.F_STRIPE, rans16.F_NOSZ, rans16.F_ORDER1 | rans16.F_NOSZ,
+]
+
+
+def test_rans16_roundtrip_matrix():
+    rng = random.Random(1234)
+    for raw in _corpus(rng):
+        for flags in RANS16_FLAGSETS:
+            try:
+                blob = rans16.encode(raw, flags)
+            except ValueError:
+                continue  # unsatisfiable (PACK>16 syms, tiny ORDER1)
+            assert rans16.decode(blob, len(raw)) == raw, (len(raw), flags)
+
+
+def test_rans16_compresses():
+    rng = random.Random(77)
+    raw = bytes(rng.choices(b"ACGT", k=65536))
+    assert len(rans16.encode(raw, 0)) < len(raw) // 3
+
+
+def test_rans16_golden_order0():
+    # 12 'A's, alphabet {65}: freq table b"A\x00" + uint7(4096) =
+    # 41 00 a0 00; all-one-symbol keeps the 4 states at 2^15 and emits
+    # no stream bytes.
+    blob = rans16.encode(b"A" * 12, 0)
+    assert blob == (b"\x00\x0c"            # flags, uint7 len
+                    b"\x41\x00\xa0\x00"    # alphabet + freq 4096
+                    + struct.pack("<4I", 1 << 15, 1 << 15, 1 << 15,
+                                  1 << 15))
+    assert rans16.decode(blob, 12) == b"A" * 12
+
+
+def test_rans16_golden_pack_meta():
+    # PACK of 8 bytes over alphabet {A,C}: 1 bit/symbol, low bit first.
+    blob = rans16.encode(b"ACCAACCA", rans16.F_PACK | rans16.F_CAT)
+    # flags, len=8, nsym=2, map A,C, packed len=1, then CAT payload:
+    # bits 0,1,1,0,0,1,1,0 low-first = 0b01100110 = 0x66
+    assert blob == b"\xa0\x08\x02\x41\x43\x01\x66"
+    assert rans16.decode(blob, 8) == b"ACCAACCA"
+
+
+def test_rans16_mutation_fuzz():
+    rng = random.Random(99)
+    raw = bytes(rng.choices(b"ACGTN", k=3000))
+    for flags in (0, rans16.F_ORDER1, rans16.F_PACK | rans16.F_RLE):
+        blob = bytearray(rans16.encode(raw, flags))
+        for _ in range(150):
+            mut = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                del mut[rng.randrange(len(mut)):]
+            else:
+                mut += bytes([rng.randrange(256)])
+            try:
+                out = rans16.decode(bytes(mut), len(raw))
+                assert len(out) == len(raw)
+            except (ValueError, IndexError, struct.error, KeyError):
+                pass  # rejected cleanly — never hangs or crashes
+
+
+# ------------------------------------------------- adaptive arithmetic
+
+
+ARITH_FLAGSETS = [
+    0, arith.F_ORDER1, arith.F_RLE, arith.F_ORDER1 | arith.F_RLE,
+    arith.F_CAT, arith.F_EXT, arith.F_PACK,
+    arith.F_PACK | arith.F_ORDER1 | arith.F_RLE,
+    arith.F_STRIPE, arith.F_NOSZ,
+]
+
+
+def test_arith_roundtrip_matrix():
+    rng = random.Random(4321)
+    for raw in _corpus(rng):
+        if len(raw) > 6000:
+            raw = raw[:6000]  # adaptive coder is O(n*nsym) in python
+        for flags in ARITH_FLAGSETS:
+            try:
+                blob = arith.encode(raw, flags)
+            except ValueError:
+                continue
+            assert arith.decode(blob, len(raw)) == raw, (len(raw), flags)
+
+
+def test_arith_compresses():
+    rng = random.Random(7)
+    raw = bytes(rng.choices(b"ACGT", k=20000))
+    assert len(arith.encode(raw, arith.F_ORDER1)) < len(raw) // 3
+
+
+def test_arith_range_coder_boundary():
+    # drive the coder through many renormalisations with a skewed
+    # adaptive model; exercises the 2^32-straddle truncation path
+    rng = random.Random(0)
+    raw = bytes(rng.choices(bytes([0, 255]), weights=[999, 1], k=30000))
+    blob = arith.encode(raw, 0)
+    assert arith.decode(blob, len(raw)) == raw
+
+
+def test_arith_mutation_fuzz():
+    rng = random.Random(199)
+    raw = bytes(rng.choices(b"!#%+5?I", k=2000))
+    for flags in (0, arith.F_ORDER1 | arith.F_RLE):
+        blob = bytearray(arith.encode(raw, flags))
+        for _ in range(100):
+            mut = bytearray(blob)
+            op = rng.randrange(3)
+            if op == 0:
+                mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+            elif op == 1:
+                del mut[rng.randrange(len(mut)):]
+            else:
+                mut += bytes([rng.randrange(256)])
+            try:
+                out = arith.decode(bytes(mut), len(raw))
+                assert len(out) == len(raw)
+            except (ValueError, IndexError, struct.error, KeyError,
+                    ZeroDivisionError, OSError, EOFError):
+                pass
+
+
+# ------------------------------------------------------ name tokenizer
+
+
+def _names_blob(names):
+    return b"".join(n + b"\x00" for n in names)
+
+
+def test_tok3_roundtrip():
+    rng = random.Random(5)
+    cases = [
+        [b"SRR1234.%d HWI-ST100:7:1101:%d:%d/1" % (i, 1000 + i, 2000 + 3 * i)
+         for i in range(400)],
+        [b"read%06d" % i for i in range(200)],
+        [b"same"] * 40,
+        [b""],
+        [b"m64011_190830_220126/%d/ccs" % (i * 7) for i in range(100)],
+        [bytes(rng.choices(b"AZaz09:/_-#", k=rng.randrange(1, 40)))
+         for _ in range(150)],
+        [],
+    ]
+    for use_arith in (False, True):
+        for names in cases:
+            raw = _names_blob(names)
+            blob = tok3.encode(raw, use_arith)
+            assert tok3.decode(blob, len(raw)) == raw
+
+
+def test_tok3_compresses_structured_names():
+    names = [b"SRR0001.%d length=100" % i for i in range(1000)]
+    raw = _names_blob(names)
+    assert len(tok3.encode(raw, False)) < len(raw) // 10
+
+
+def test_tok3_header_golden():
+    raw = _names_blob([b"r1", b"r2"])
+    blob = tok3.encode(raw, False)
+    ulen, nnames = struct.unpack_from("<II", blob, 0)
+    assert (ulen, nnames, blob[8]) == (len(raw), 2, 0)
+    # first stream starts position 0 (0x80 bit) and is the TYPE stream
+    assert blob[9] & 0x80 and blob[9] & 0x3F == tok3.T_TYPE
+
+
+def test_tok3_mutation_fuzz():
+    rng = random.Random(23)
+    raw = _names_blob([b"q%04d/x" % i for i in range(120)])
+    blob = bytearray(tok3.encode(raw, False))
+    for _ in range(150):
+        mut = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            del mut[rng.randrange(len(mut)):]
+        else:
+            mut += bytes([rng.randrange(256)])
+        try:
+            out = tok3.decode(bytes(mut), len(raw))
+            assert len(out) == len(raw)
+        except (ValueError, IndexError, struct.error, KeyError,
+                ZeroDivisionError, OverflowError, MemoryError):
+            pass
+
+
+# ------------------------------------------------------------ fqzcomp
+
+
+def _mkquals(rng, nrec, lo=30, hi=41, ln=(60, 100)):
+    lens, parts = [], []
+    for _ in range(nrec):
+        n = rng.randrange(*ln)
+        lens.append(n)
+        cur = rng.randrange(lo, hi)
+        s = bytearray()
+        for _ in range(n):
+            cur = min(hi - 1, max(lo, cur + rng.choice([-1, 0, 0, 1])))
+            s.append(cur + 33)
+        parts.append(bytes(s))
+    return lens, b"".join(parts)
+
+
+def test_fqz_roundtrip_paramspace():
+    rng = random.Random(55)
+    lens, quals = _mkquals(rng, 50)
+    P = fqzcomp
+    cases = [
+        dict(),
+        dict(pflags=P.P_DO_LEN | P.P_HAVE_QMAP),
+        dict(pflags=(P.P_DO_LEN | P.P_HAVE_QMAP | P.P_HAVE_PTAB
+                     | P.P_HAVE_DTAB | P.P_HAVE_QTAB)),
+        dict(nparam=3),
+        dict(do_rev=[i % 3 == 0 for i in range(50)]),
+        dict(pflags=P.P_DO_LEN | P.P_DO_DEDUP),
+    ]
+    for kw in cases:
+        blob = P.encode(lens, quals, **kw)
+        assert P.decode(blob, len(quals)) == quals, kw
+
+
+def test_fqz_fixed_len_and_dedup():
+    rng = random.Random(56)
+    _, quals = _mkquals(rng, 1, ln=(3000, 3001))
+    lens = [100] * 30
+    blob = fqzcomp.encode(lens, quals, pflags=0)
+    assert fqzcomp.decode(blob, len(quals)) == quals
+    q3 = bytes([73]) * 50 * 10
+    blob = fqzcomp.encode([50] * 10, q3,
+                          pflags=fqzcomp.P_DO_LEN | fqzcomp.P_DO_DEDUP)
+    assert fqzcomp.decode(blob, len(q3)) == q3
+
+
+def test_fqz_compresses_correlated_quals():
+    rng = random.Random(57)
+    lens, quals = _mkquals(rng, 80)
+    blob = fqzcomp.encode(lens, quals)
+    assert len(blob) < len(quals) // 2
+
+
+def test_fqz_header_golden():
+    blob = fqzcomp.encode([4], b"IIII")
+    assert blob[0] == 5 and blob[1] == 0  # vers, gflags single-param
+
+
+def test_fqz_mutation_fuzz():
+    rng = random.Random(58)
+    lens, quals = _mkquals(rng, 20)
+    blob = bytearray(fqzcomp.encode(lens, quals))
+    for _ in range(100):
+        mut = bytearray(blob)
+        op = rng.randrange(3)
+        if op == 0:
+            mut[rng.randrange(len(mut))] ^= 1 << rng.randrange(8)
+        elif op == 1:
+            del mut[rng.randrange(len(mut)):]
+        else:
+            mut += bytes([rng.randrange(256)])
+        try:
+            out = fqzcomp.decode(bytes(mut), len(quals))
+            assert len(out) == len(quals)
+        except (ValueError, IndexError, struct.error, KeyError,
+                ZeroDivisionError, OverflowError, MemoryError):
+            pass
+
+
+# --------------------------------------------------- whole-file CRAM 3.1
+
+
+def _records(rng, n=24):
+    recs = []
+    for i in range(n):
+        seq = bytes(rng.choices(b"ACGT", k=rng.randrange(40, 90)))
+        qual = bytes(min(93, max(0, 38 + rng.randrange(-5, 3)))
+                     for _ in seq)
+        recs.append({"name": b"read%05d.%d" % (i, i * 3), "seq": seq,
+                     "qual": qual})
+    return recs
+
+
+def _expected(recs):
+    return b"".join(fastq(r["name"], r["seq"], r["qual"]) for r in recs)
+
+
+def test_cram31_all_new_methods_end_to_end():
+    """A CRAM 3.1 file whose blocks use every new method: sequences
+    rANS Nx16 order-1, qualities fqzcomp, names tok3, the rest of the
+    series arithmetic-coded."""
+    rng = random.Random(314)
+    recs = _records(rng)
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    methods = {cid: "arith" for cid in range(1, 8)}
+    methods[6] = "tok3"               # RN: NUL-separated names
+    methods[8] = "rans16-o1"          # BA: sequence bases
+    methods[9] = fqz_method([len(r["qual"]) for r in recs])  # QS
+    methods["slice_header"] = "rans16"
+    blob = simple_cram(recs, series=series, block_methods=methods,
+                       version=(3, 1))
+    assert decode_cram(blob) == _expected(recs)
+
+
+@pytest.mark.parametrize("method", [
+    "rans16", "rans16-o1", "rans16-x32", "rans16-o1x32", "rans16-cat",
+    "rans16-rle", "rans16-pack", "rans16-packrle", "rans16-stripe",
+    "arith", "arith-o1", "arith-rle", "arith-o1rle", "arith-pack",
+    "arith-ext", "arith-cat", "arith-stripe",
+])
+def test_cram31_method_matrix_on_sequences(method):
+    rng = random.Random(hash(method) & 0xFFFF)
+    recs = _records(rng, n=10)
+    methods = {8: method, 9: method}
+    blob = simple_cram(recs, block_methods=methods, version=(3, 1))
+    assert decode_cram(blob) == _expected(recs)
+
+
+def test_cram31_tok3_arith_names():
+    rng = random.Random(555)
+    recs = _records(rng, n=12)
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    blob = simple_cram(recs, series=series,
+                       block_methods={6: "tok3-arith"}, version=(3, 1))
+    assert decode_cram(blob) == _expected(recs)
+
+
+def test_cram31_fqz_multiparam_and_rev():
+    rng = random.Random(556)
+    recs = _records(rng, n=15)
+    lens = [len(r["qual"]) for r in recs]
+    methods = {9: fqz_method(lens, nparam=2,
+                             do_rev=[i % 2 == 0 for i in range(15)])}
+    blob = simple_cram(recs, block_methods=methods, version=(3, 1))
+    assert decode_cram(blob) == _expected(recs)
+
+
+def test_cram31_gzip_outer_layer(tmp_path):
+    import gzip
+
+    from jellyfish_tpu.io.parse import open_stream, sam_records_to_fastx
+
+    rng = random.Random(557)
+    recs = _records(rng, n=8)
+    blob = simple_cram(recs, block_methods={8: "rans16-o1"},
+                       version=(3, 1))
+    path = tmp_path / "r.cram.gz"
+    path.write_bytes(gzip.compress(blob))
+    out = b"".join(sam_records_to_fastx(open_stream(str(path))))
+    assert out == _expected(recs)
+
+
+def test_cram31_count_cli_equivalence(tmp_path, capsys):
+    """`count` on a CRAM 3.1 file == `count` on the same reads as
+    FASTQ (the reference consumption parity check, through the full
+    CLI: sam_format.hpp role)."""
+    from test_cli import run_cli, _dump_dict
+
+    rng = random.Random(558)
+    recs = _records(rng, n=20)
+    lens = [len(r["qual"]) for r in recs]
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    methods = {6: "tok3", 8: "rans16-o1", 9: fqz_method(lens)}
+    cram_path = tmp_path / "r.cram"
+    cram_path.write_bytes(simple_cram(recs, series=series,
+                                      block_methods=methods,
+                                      version=(3, 1)))
+    fq_path = tmp_path / "r.fastq"
+    fq_path.write_bytes(_expected(recs))
+    out_c = tmp_path / "c.jf"
+    out_f = tmp_path / "f.jf"
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "--sam",
+             str(cram_path), "-o", str(out_c)])
+    run_cli(["count", "-m", "15", "-s", "16k", "-C",
+             "-o", str(out_f), str(fq_path)])
+    got = _dump_dict(capsys, str(out_c))
+    assert got == _dump_dict(capsys, str(out_f)) and got
