@@ -1,10 +1,12 @@
-"""CRAM 3.0 reader — native sequence/quality extraction, no htslib.
+"""CRAM 3.0/3.1 reader — native sequence/quality extraction, no htslib.
 
 The reference consumes CRAM through htslib behind `sam_format.hpp:22-57`
 (only next()/seq_len()/base(i)/qual(i) — sequences and qualities, no
 alignment semantics). This module implements exactly that consumption
 natively: container/slice walking, block codecs (raw, gzip, bzip2,
-lzma, rANS 4x8), the CRAM bit/byte codecs (EXTERNAL, HUFFMAN, BETA,
+lzma, rANS 4x8, and the CRAM 3.1 set: rANS Nx16, adaptive arithmetic,
+fqzcomp, name tokenizer — io/rans16.py, io/arith.py, io/fqzcomp.py,
+io/tok3.py), the CRAM bit/byte codecs (EXTERNAL, HUFFMAN, BETA,
 GAMMA, SUBEXP, BYTE_ARRAY_LEN, BYTE_ARRAY_STOP), and read
 reconstruction from reference + substitution/insert/clip features.
 
