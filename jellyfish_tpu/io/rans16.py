@@ -605,10 +605,33 @@ def decode(data: bytes, raw_size) -> bytes:
     """Decompress one rANS Nx16 block. `raw_size` is the block
     header's uncompressed size (used when the NOSZ flag omits it);
     None trusts the embedded size (nested-stream use)."""
+    if raw_size is not None:
+        out = _decode_native(data, raw_size)
+        if out is not None:
+            return out
     out = _decode(_Cur(data), raw_size)
     if raw_size is not None and len(out) != raw_size:
         raise ValueError("rANS Nx16 raw size mismatch")
     return out
+
+
+def _decode_native(data: bytes, raw_size: int):
+    """native/chunker.cpp jf_rans16_decode fast path; None -> fall
+    back to the pure-python reference path (which raises exact
+    errors)."""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_rans16_decode"):
+        return None
+    import ctypes
+    buf = ctypes.create_string_buffer(raw_size) if raw_size else None
+    n = lib.jf_rans16_decode(data, len(data), buf, raw_size)
+    if n != raw_size:
+        return None
+    return buf.raw if raw_size else b""
 
 
 def encode(raw: bytes, flags: int = 0) -> bytes:

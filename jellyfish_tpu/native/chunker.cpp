@@ -17,6 +17,7 @@
 // ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <array>
 #include <cctype>
 #include <cstdint>
 #include <cstring>
@@ -460,6 +461,419 @@ extern "C" long jf_rans_decode(const uint8_t* data, long len, uint8_t* out,
   if (order == 0) return rans_decode0(in, out, raw_size);
   if (order == 1) return rans_decode1(in, out, raw_size);
   return -1;
+}
+
+// ---------------------------------------------------------------------
+// rANS Nx16 block decoder (CRAM 3.1 compression method 5) — the bulk
+// sequence codec of 3.1 files (io/rans16.py holds the reference
+// implementation and fallback). Returns decoded length, or -1 on any
+// malformed input (caller falls back to python for exact errors).
+// Covers the full format: order-0/1, 4/32-way interleave, PACK, RLE,
+// CAT, NOSZ, recursive STRIPE, order-0-compressed order-1 frequency
+// tables and RLE metadata. The frequency normalisation mirrors
+// io/rans16.py:_normalise byte-for-byte (both sides of the format
+// normalise, so the arithmetic must match exactly).
+
+namespace r16 {
+
+constexpr uint32_t kL = 1u << 15;
+constexpr int kShiftO0 = 12;
+
+constexpr uint8_t F_ORDER1 = 0x01, F_N32 = 0x04, F_STRIPE = 0x08,
+                  F_NOSZ = 0x10, F_CAT = 0x20, F_RLE = 0x40, F_PACK = 0x80;
+
+struct In {
+  const uint8_t* p;
+  const uint8_t* end;
+  bool ok = true;
+  uint8_t u8() {
+    if (p >= end) {
+      ok = false;
+      return 0;
+    }
+    return *p++;
+  }
+  uint16_t u16() {
+    if (end - p < 2) {
+      ok = false;
+      return 0;
+    }
+    uint16_t v = static_cast<uint16_t>(p[0] | p[1] << 8);
+    p += 2;
+    return v;
+  }
+  uint32_t u32() {
+    if (end - p < 4) {
+      ok = false;
+      return 0;
+    }
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    p += 4;
+    return v;
+  }
+  uint64_t uint7() {
+    uint64_t v = 0;
+    for (int i = 0; i < 10 && ok; ++i) {
+      uint8_t b = u8();
+      v = (v << 7) | (b & 0x7F);
+      if (!(b & 0x80)) return v;
+    }
+    ok = false;
+    return 0;
+  }
+  bool take(long n, const uint8_t** out) {
+    if (end - p < n) return false;
+    *out = p;
+    p += n;
+    return true;
+  }
+};
+
+static bool read_alphabet(In& in, std::vector<int>& syms) {
+  int sym = in.u8();
+  int last = sym;
+  int rle = 0;
+  while (in.ok) {
+    if (sym > 255) return false;
+    syms.push_back(sym);
+    if (rle > 0) {
+      --rle;
+      ++sym;
+    } else {
+      sym = in.u8();
+      if (sym == last + 1) rle = in.u8();
+    }
+    last = sym;
+    if (sym == 0) break;
+  }
+  return in.ok && !syms.empty();
+}
+
+// mirror of io/rans16.py:_normalise — deterministic on both sides
+static bool normalise(uint64_t f[256], int bits) {
+  uint64_t t = 0;
+  for (int s = 0; s < 256; ++s) t += f[s];
+  const uint64_t tot = 1ull << bits;
+  if (t == 0 || t == tot) return true;
+  int m = 0;
+  for (int s = 1; s < 256; ++s)
+    if (f[s] > f[m]) m = s;  // first max, like python's max()
+  uint64_t fsum = 0;
+  for (int s = 0; s < 256; ++s) {
+    if (!f[s]) continue;
+    uint64_t v = f[s] * tot / t;
+    f[s] = v < 1 ? 1 : v;
+    fsum += f[s];
+  }
+  int64_t drift = static_cast<int64_t>(tot) - static_cast<int64_t>(fsum);
+  if (static_cast<int64_t>(f[m]) + drift < 1) {
+    std::vector<int> order;
+    for (int s = 0; s < 256; ++s)
+      if (f[s]) order.push_back(s);
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return f[a] > f[b]; });
+    size_t i = 0;
+    long guard = 0;
+    while (drift < 0) {
+      int s = order[i % order.size()];
+      if (f[s] > 1) {
+        --f[s];
+        ++drift;
+      }
+      ++i;
+      if (++guard > (1 << 22)) return false;
+    }
+  } else {
+    f[m] = static_cast<uint64_t>(static_cast<int64_t>(f[m]) + drift);
+  }
+  return true;
+}
+
+struct Table {
+  // per slot of the (1<<shift)-entry range: symbol, freq, cum
+  std::vector<uint8_t> sym;
+  std::vector<uint16_t> freq;
+  std::vector<uint16_t> cum;
+  bool build(const uint64_t f[256], int bits) {
+    const uint32_t tot = 1u << bits;
+    sym.resize(tot);
+    freq.resize(tot);
+    cum.resize(tot);
+    uint32_t c = 0;
+    for (int s = 0; s < 256; ++s) {
+      if (!f[s]) continue;
+      if (c + f[s] > tot) return false;
+      for (uint32_t i = 0; i < f[s]; ++i) {
+        sym[c + i] = static_cast<uint8_t>(s);
+        freq[c + i] = static_cast<uint16_t>(f[s]);
+        cum[c + i] = static_cast<uint16_t>(c);
+      }
+      c += f[s];
+    }
+    return true;
+  }
+};
+
+static long decode(In& in, uint8_t* out, long out_len);  // fwd (STRIPE)
+
+static bool read_freqs0(In& in, uint64_t f[256]) {
+  std::memset(f, 0, 256 * sizeof(uint64_t));
+  std::vector<int> syms;
+  if (!read_alphabet(in, syms)) return false;
+  for (int s : syms) {
+    uint64_t v = in.uint7();
+    if (v > (1ull << 32)) return false;
+    f[s] = v;
+  }
+  return in.ok && normalise(f, kShiftO0);
+}
+
+static long decode_rans0(In& in, uint8_t* out, long n, int N) {
+  uint64_t f[256];
+  if (!read_freqs0(in, f)) return -1;
+  Table t;
+  if (!t.build(f, kShiftO0)) return -1;
+  uint32_t x[32];
+  for (int j = 0; j < N; ++j) x[j] = in.u32();
+  if (!in.ok) return -1;
+  const uint32_t mask = (1u << kShiftO0) - 1;
+  for (long i = 0; i < n; ++i) {
+    uint32_t& s = x[i % N];
+    uint32_t m = s & mask;
+    out[i] = t.sym[m];
+    s = t.freq[m] * (s >> kShiftO0) + m - t.cum[m];
+    int guard = 0;
+    while (s < kL) {
+      s = (s << 16) | in.u16();
+      if (!in.ok || ++guard > 2) return -1;
+    }
+  }
+  return n;
+}
+
+static long decode_rans1(In& in, uint8_t* out, long n, int N) {
+  uint8_t comp = in.u8();
+  int shift = comp >> 4;
+  if (!in.ok || shift < 1 || shift > 15) return -1;
+  std::vector<uint8_t> tbl_buf;
+  In tbl = in;
+  bool inline_tbl = true;
+  if (comp & 1) {
+    uint64_t u_size = in.uint7();
+    uint64_t c_size = in.uint7();
+    const uint8_t* cp;
+    if (!in.ok || u_size > (1u << 26) || !in.take(c_size, &cp)) return -1;
+    tbl_buf.resize(u_size);
+    In sub{cp, cp + c_size};
+    if (decode_rans0(sub, tbl_buf.data(), u_size, 4) != (long)u_size)
+      return -1;
+    tbl = In{tbl_buf.data(), tbl_buf.data() + u_size};
+    inline_tbl = false;
+  }
+  std::vector<int> syms;
+  if (!read_alphabet(tbl, syms)) return -1;
+  std::vector<std::unique_ptr<Table>> tabs(256);
+  std::vector<std::array<uint64_t, 256>> rows(syms.size());
+  for (size_t a = 0; a < syms.size(); ++a) {
+    uint64_t* f = rows[a].data();
+    std::memset(f, 0, 256 * sizeof(uint64_t));
+    for (int j : syms) {
+      uint64_t v = tbl.uint7();
+      if (v > (1ull << 32)) return -1;
+      f[j] = v;
+    }
+    if (!tbl.ok || !normalise(f, shift)) return -1;
+    tabs[syms[a]] = std::make_unique<Table>();
+    if (!tabs[syms[a]]->build(f, shift)) return -1;
+  }
+  if (inline_tbl) in = tbl;  // table was consumed from the main stream
+  uint32_t x[32];
+  for (int j = 0; j < N; ++j) x[j] = in.u32();
+  if (!in.ok) return -1;
+  const long q = n / N;
+  const uint32_t mask = (1u << shift) - 1;
+  std::vector<long> pos(N);
+  for (int j = 0; j < N; ++j) pos[j] = j * q;
+  std::vector<uint8_t> ctxs(N, 0);
+  auto step = [&](int j, long at) -> bool {
+    Table* t = tabs[ctxs[j]].get();
+    if (!t) return false;
+    uint32_t& s = x[j];
+    uint32_t m = s & mask;
+    uint8_t sym = t->sym[m];
+    out[at] = sym;
+    s = t->freq[m] * (s >> shift) + m - t->cum[m];
+    int guard = 0;
+    while (s < kL) {
+      s = (s << 16) | in.u16();
+      if (!in.ok || ++guard > 2) return false;
+    }
+    ctxs[j] = sym;
+    return true;
+  };
+  for (long i = 0; i < q; ++i)
+    for (int j = 0; j < N; ++j)
+      if (!step(j, pos[j] + i)) return -1;
+  for (long i = static_cast<long>(N) * q; i < n; ++i)
+    if (!step(N - 1, i)) return -1;
+  return n;
+}
+
+static long decode_stripe(In& in, uint8_t* out, long out_len) {
+  int N = in.u8();
+  if (!in.ok || N <= 0) return -1;
+  std::vector<uint64_t> clens(N);
+  for (int j = 0; j < N; ++j) clens[j] = in.uint7();
+  if (!in.ok) return -1;
+  std::vector<std::vector<uint8_t>> lanes(N);
+  for (int j = 0; j < N; ++j) {
+    long ulen = out_len / N + ((out_len % N) > j ? 1 : 0);
+    const uint8_t* cp;
+    if (!in.take(clens[j], &cp)) return -1;
+    lanes[j].resize(ulen);
+    In sub{cp, cp + clens[j]};
+    if (decode(sub, lanes[j].data(), ulen) != ulen) return -1;
+  }
+  for (int j = 0; j < N; ++j)
+    for (long i = 0, m = j; m < out_len; ++i, m += N) out[m] = lanes[j][i];
+  return out_len;
+}
+
+static long decode(In& in, uint8_t* out, long out_len) {
+  uint8_t flags = in.u8();
+  if (!in.ok) return -1;
+  if (!(flags & F_NOSZ)) {
+    uint64_t v = in.uint7();
+    if (!in.ok || static_cast<long>(v) != out_len) return -1;
+  } else if (out_len < 0) {
+    return -1;
+  }
+  if (out_len == 0) return 0;
+  if (flags & F_STRIPE) return decode_stripe(in, out, out_len);
+  const int N = (flags & F_N32) ? 32 : 4;
+
+  // PACK metadata
+  bool do_pack = flags & F_PACK;
+  uint8_t pmap[16];
+  int nsym = 0;
+  long pack_len = 0;
+  long cur_len = out_len;
+  if (do_pack) {
+    pack_len = cur_len;
+    nsym = in.u8();
+    if (!in.ok || nsym > 16) return -1;
+    for (int i = 0; i < nsym; ++i) pmap[i] = in.u8();
+    uint64_t plen = in.uint7();
+    if (!in.ok || plen > (1ull << 40)) return -1;
+    cur_len = static_cast<long>(plen);
+  }
+  // RLE metadata
+  bool do_rle = flags & F_RLE;
+  std::vector<uint8_t> rle_meta;
+  long rle_len = 0;
+  if (do_rle) {
+    rle_len = cur_len;
+    uint64_t meta_len2 = in.uint7();
+    uint64_t lit_len = in.uint7();
+    if (!in.ok) return -1;
+    long meta_len = static_cast<long>(meta_len2 >> 1);
+    if (meta_len2 & 1) {
+      const uint8_t* cp;
+      if (!in.take(meta_len, &cp)) return -1;
+      rle_meta.assign(cp, cp + meta_len);
+    } else {
+      uint64_t comp_len = in.uint7();
+      const uint8_t* cp;
+      if (!in.ok || !in.take(comp_len, &cp)) return -1;
+      rle_meta.resize(meta_len);
+      In sub{cp, cp + comp_len};
+      if (decode_rans0(sub, rle_meta.data(), meta_len, 4) != meta_len)
+        return -1;
+    }
+    cur_len = static_cast<long>(lit_len);
+  }
+  if (cur_len < 0 || cur_len > (1l << 40)) return -1;
+
+  // payload: CAT or rANS, into a scratch buffer when transforms follow
+  std::vector<uint8_t> buf;
+  uint8_t* dst = out;
+  if (do_pack || do_rle) {
+    buf.resize(cur_len);
+    dst = buf.data();
+  }
+  if (cur_len == 0) {
+    // nothing coded
+  } else if (flags & F_CAT) {
+    const uint8_t* cp;
+    if (!in.take(cur_len, &cp)) return -1;
+    std::memcpy(dst, cp, cur_len);
+  } else if (flags & F_ORDER1) {
+    if (decode_rans1(in, dst, cur_len, N) != cur_len) return -1;
+  } else {
+    if (decode_rans0(in, dst, cur_len, N) != cur_len) return -1;
+  }
+
+  // undo RLE
+  if (do_rle) {
+    In meta{rle_meta.data(), rle_meta.data() + rle_meta.size()};
+    int n_rle = meta.u8();
+    if (n_rle == 0) n_rle = 256;
+    bool in_rle[256] = {false};
+    for (int i = 0; i < n_rle; ++i) in_rle[meta.u8()] = true;
+    if (!meta.ok) return -1;
+    std::vector<uint8_t> expanded;
+    uint8_t* rdst = do_pack ? nullptr : out;
+    if (do_pack) {
+      expanded.resize(rle_len);
+      rdst = expanded.data();
+    }
+    long j = 0;
+    for (long i = 0; i < cur_len; ++i) {
+      uint8_t b = buf[i];
+      if (j >= rle_len) return -1;
+      rdst[j++] = b;
+      if (in_rle[b]) {
+        uint64_t run = meta.uint7();
+        if (!meta.ok || j + static_cast<long>(run) > rle_len) return -1;
+        std::memset(rdst + j, b, run);
+        j += run;
+      }
+    }
+    if (j != rle_len) return -1;
+    if (do_pack) buf.swap(expanded);
+    cur_len = rle_len;
+  }
+
+  // undo PACK
+  if (do_pack) {
+    const uint8_t* src = buf.data();
+    if (nsym <= 1) {
+      if (nsym == 0) return -1;
+      std::memset(out, pmap[0], pack_len);
+    } else {
+      int bits = nsym <= 2 ? 1 : nsym <= 4 ? 2 : 4;
+      int per = 8 / bits;
+      uint32_t vmask = (1u << bits) - 1;
+      if ((pack_len + per - 1) / per > cur_len) return -1;
+      for (long i = 0; i < pack_len; ++i) {
+        uint32_t v = (src[i / per] >> (bits * (i % per))) & vmask;
+        if (static_cast<int>(v) >= nsym) return -1;
+        out[i] = pmap[v];
+      }
+    }
+  }
+  return out_len;
+}
+
+}  // namespace r16
+
+// data = one method-5 block; out_cap = the block header's raw size.
+extern "C" long jf_rans16_decode(const uint8_t* data, long len, uint8_t* out,
+                                 long out_cap) {
+  if (len < 1 || out_cap < 0) return -1;
+  r16::In in{data, data + len};
+  return r16::decode(in, out, out_cap);
 }
 
 // ---------------------------------------------------------------------

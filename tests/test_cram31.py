@@ -113,6 +113,28 @@ def test_rans16_golden_pack_meta():
     assert rans16.decode(blob, 8) == b"ACCAACCA"
 
 
+def test_rans16_native_matches_python():
+    """native/chunker.cpp jf_rans16_decode == the pure-python
+    reference implementation across the flag matrix (same convention
+    as tests/test_native.py: python is authoritative)."""
+    from jellyfish_tpu.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "jf_rans16_decode"):
+        pytest.skip("native library unavailable")
+    import ctypes
+    lib = get_lib()
+    rng = random.Random(888)
+    for raw in _corpus(rng):
+        for flags in RANS16_FLAGSETS:
+            try:
+                blob = rans16.encode(raw, flags)
+            except ValueError:
+                continue
+            buf = ctypes.create_string_buffer(max(1, len(raw)))
+            n = lib.jf_rans16_decode(blob, len(blob), buf, len(raw))
+            assert n == len(raw), (len(raw), flags)
+            assert buf.raw[:len(raw)] == raw, (len(raw), flags)
+
+
 def test_rans16_mutation_fuzz():
     rng = random.Random(99)
     raw = bytes(rng.choices(b"ACGTN", k=3000))
