@@ -124,8 +124,25 @@ def bench_rans():
         out(f"rans{order}_decode_native", len(raw) / 1e6, t1 - t0)
 
 
+def bench_rans16():
+    from jellyfish_tpu.io import rans16
+
+    rng = random.Random(5)
+    raw = bytes(rng.choices(b"ACGT", weights=[40, 30, 20, 10],
+                            k=int(MB * 1e6 / 6)))
+    for flags, name in ((0, "o0x4"), (rans16.F_ORDER1, "o1x4"),
+                        (rans16.F_ORDER1 | rans16.F_N32, "o1x32")):
+        blob = rans16.encode(raw, flags)
+        t0 = time.perf_counter()
+        got = rans16.decode(blob, len(raw))
+        t1 = time.perf_counter()
+        assert got == raw
+        out(f"rans16_{name}_decode_native", len(raw) / 1e6, t1 - t0)
+
+
 if __name__ == "__main__":
     bench_chunker()
     bench_bam()
     bench_cram()
     bench_rans()
+    bench_rans16()
