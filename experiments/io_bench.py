@@ -140,9 +140,38 @@ def bench_rans16():
         out(f"rans16_{name}_decode_native", len(raw) / 1e6, t1 - t0)
 
 
+def bench_adaptive():
+    from jellyfish_tpu.io import arith, fqzcomp
+
+    rng = random.Random(6)
+    raw = bytes(rng.choices(b"!#%+5?I", k=int(MB * 1e6 / 30)))
+    blob = arith.encode(raw, arith.F_ORDER1)
+    t0 = time.perf_counter()
+    got = arith.decode(blob, len(raw))
+    t1 = time.perf_counter()
+    assert got == raw
+    out("arith_o1_decode_native", len(raw) / 1e6, t1 - t0)
+
+    nrec = int(MB * 1e6 / 30 / 100)
+    lens = [100] * nrec
+    quals = bytearray()
+    cur = 35
+    for _ in range(nrec * 100):
+        cur = min(40, max(30, cur + rng.choice([-1, 0, 0, 1])))
+        quals.append(cur + 33)
+    quals = bytes(quals)
+    blob = fqzcomp.encode(lens, quals)
+    t0 = time.perf_counter()
+    got = fqzcomp.decode(blob, len(quals))
+    t1 = time.perf_counter()
+    assert got == quals
+    out("fqz_decode_native", len(quals) / 1e6, t1 - t0)
+
+
 if __name__ == "__main__":
     bench_chunker()
     bench_bam()
     bench_cram()
     bench_rans()
     bench_rans16()
+    bench_adaptive()

@@ -302,10 +302,32 @@ def decode(data: bytes, raw_size) -> bytes:
     """Decompress one adaptive-arithmetic block.  `raw_size` is the
     CRAM block header's uncompressed size (used under NOSZ); None
     trusts the embedded size (nested-stream use)."""
+    if raw_size is not None:
+        out = _decode_native(data, raw_size)
+        if out is not None:
+            return out
     out = _decode(_Cur(data), raw_size)
     if raw_size is not None and len(out) != raw_size:
         raise ValueError("arith raw size mismatch")
     return out
+
+
+def _decode_native(data: bytes, raw_size: int):
+    """native/chunker.cpp jf_arith_decode fast path; None -> fall back
+    to the pure-python reference path (exact errors, EXT/bzip2)."""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_arith_decode"):
+        return None
+    import ctypes
+    buf = ctypes.create_string_buffer(raw_size) if raw_size else None
+    n = lib.jf_arith_decode(data, len(data), buf, raw_size)
+    if n != raw_size:
+        return None
+    return buf.raw if raw_size else b""
 
 
 def encode(raw: bytes, flags: int = 0) -> bytes:

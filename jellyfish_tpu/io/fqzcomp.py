@@ -208,6 +208,31 @@ def _read_header(cur: _Cur):
 
 
 def decode(data: bytes, raw_size: int) -> bytes:
+    out = _decode_native(data, raw_size)
+    if out is not None:
+        return out
+    return _decode_python(data, raw_size)
+
+
+def _decode_native(data: bytes, raw_size: int):
+    """native/chunker.cpp jf_fqz_decode fast path; None -> fall back
+    to the pure-python reference path (which raises exact errors)."""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_fqz_decode"):
+        return None
+    import ctypes
+    buf = ctypes.create_string_buffer(raw_size) if raw_size else None
+    n = lib.jf_fqz_decode(data, len(data), buf, raw_size)
+    if n != raw_size:
+        return None
+    return buf.raw if raw_size else b""
+
+
+def _decode_python(data: bytes, raw_size: int) -> bytes:
     cur = _Cur(data)
     gflags, max_sel, stab, params = _read_header(cur)
     max_sym = max(p.max_sym for p in params)

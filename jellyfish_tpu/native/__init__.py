@@ -73,12 +73,14 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_long,
             ]
-        if hasattr(lib, "jf_rans16_decode"):
-            lib.jf_rans16_decode.restype = ctypes.c_long
-            lib.jf_rans16_decode.argtypes = [
-                ctypes.c_char_p, ctypes.c_long,
-                ctypes.c_void_p, ctypes.c_long,
-            ]
+        for fn in ("jf_rans16_decode", "jf_arith_decode", "jf_fqz_decode"):
+            if hasattr(lib, fn):
+                f = getattr(lib, fn)
+                f.restype = ctypes.c_long
+                f.argtypes = [
+                    ctypes.c_char_p, ctypes.c_long,
+                    ctypes.c_void_p, ctypes.c_long,
+                ]
         if hasattr(lib, "jf_cram_slice"):
             lib.jf_cram_slice.restype = ctypes.c_void_p
             lib.jf_cram_slice.argtypes = [

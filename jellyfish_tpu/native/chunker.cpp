@@ -877,6 +877,448 @@ extern "C" long jf_rans16_decode(const uint8_t* data, long len, uint8_t* out,
 }
 
 // ---------------------------------------------------------------------
+// Adaptive arithmetic decoder (CRAM 3.1 method 6) and fqzcomp quality
+// decoder (method 7) — io/arith.py and io/fqzcomp.py hold the
+// reference implementations and fallbacks. Any deviation from the
+// python arithmetic would silently desync an adaptive coder, so every
+// constant (STEP=16, MAX_FREQ=2^16-32, TOP=2^24, the carryless
+// truncation) mirrors the python byte-for-byte; parity is asserted
+// across the full flag/parameter matrix in tests/test_cram31.py.
+// EXT (bzip2) payloads return -1 (python handles them).
+
+namespace ar {
+
+using r16::In;
+
+constexpr uint32_t kTop = 1u << 24;
+constexpr uint64_t kW40 = (1ull << 40) - 1;
+constexpr int kStep = 16;
+constexpr uint32_t kMaxFreq = (1u << 16) - 32;
+
+constexpr uint8_t F_ORDER1 = 0x01, F_EXT = 0x04, F_STRIPE = 0x08,
+                  F_NOSZ = 0x10, F_CAT = 0x20, F_RLE = 0x40, F_PACK = 0x80;
+
+struct RangeDecoder {
+  In* in;
+  uint64_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+  uint32_t code = 0;
+  uint32_t r_ = 0;
+  explicit RangeDecoder(In* i) : in(i) {
+    uint64_t c = 0;
+    for (int k = 0; k < 5; ++k) c = (c << 8) | in->u8();
+    code = static_cast<uint32_t>(c);
+  }
+  uint32_t get_freq(uint32_t tot) {
+    r_ = range / tot;
+    uint32_t f = code / r_;
+    return f >= tot ? tot - 1 : f;
+  }
+  bool decode(uint32_t cum, uint32_t freq) {
+    uint64_t d = static_cast<uint64_t>(cum) * r_;
+    low += d;
+    code -= static_cast<uint32_t>(d);
+    range = r_ * freq;
+    while (range < kTop) {
+      if (((low ^ (low + range)) >> 32) & 0xFF) {
+        uint32_t low32 = static_cast<uint32_t>(low);
+        range = (low32 | (kTop - 1)) + 1 - low32;
+      }
+      low = (low << 8) & kW40;
+      code = (code << 8) | in->u8();
+      range <<= 8;
+      if (!in->ok) return false;
+    }
+    return true;
+  }
+};
+
+struct SimpleModel {
+  std::vector<uint32_t> freqs;
+  std::vector<uint16_t> syms;
+  uint32_t total;
+  explicit SimpleModel(int nsym)
+      : freqs(nsym, 1), syms(nsym), total(nsym) {
+    for (int i = 0; i < nsym; ++i) syms[i] = static_cast<uint16_t>(i);
+  }
+  void bump(size_t i) {
+    freqs[i] += kStep;
+    total += kStep;
+    if (i > 0 && freqs[i] > freqs[i - 1]) {
+      std::swap(freqs[i], freqs[i - 1]);
+      std::swap(syms[i], syms[i - 1]);
+    }
+    if (total > kMaxFreq) {
+      total = 0;
+      for (size_t k = 0; k < freqs.size(); ++k) {
+        freqs[k] -= freqs[k] >> 1;
+        total += freqs[k];
+      }
+    }
+  }
+  int decode(RangeDecoder& rc) {
+    uint32_t f = rc.get_freq(total);
+    uint32_t acc = 0;
+    size_t i = 0;
+    while (i < freqs.size() && acc + freqs[i] <= f) {
+      acc += freqs[i];
+      ++i;
+    }
+    if (i >= freqs.size()) return -1;
+    if (!rc.decode(acc, freqs[i])) return -1;
+    int sym = syms[i];
+    bump(i);
+    return sym;
+  }
+};
+
+static long decode(In& in, uint8_t* out, long out_len);  // fwd
+
+static long decode_run(RangeDecoder& rc,
+                       std::vector<std::unique_ptr<SimpleModel>>& run_m,
+                       int first_ctx) {
+  long run = 0;
+  int ctx = first_ctx;
+  for (;;) {
+    if (!run_m[ctx]) run_m[ctx] = std::make_unique<SimpleModel>(256);
+    int r = run_m[ctx]->decode(rc);
+    if (r < 0) return -1;
+    run += r;
+    if (r != 255) return run;
+    ctx = 256;
+  }
+}
+
+static long decode_stream(In& in, uint8_t* out, long n, bool order1,
+                          bool rle) {
+  int max_sym = in.u8();
+  if (!in.ok) return -1;
+  if (max_sym == 0) max_sym = 256;
+  std::vector<std::unique_ptr<SimpleModel>> lit(order1 ? 256 : 1);
+  std::vector<std::unique_ptr<SimpleModel>> run_m(rle ? 257 : 0);
+  RangeDecoder rc(&in);
+  if (!in.ok) return -1;
+  int ctx = 0;
+  long i = 0;
+  while (i < n) {
+    if (!lit[ctx]) lit[ctx] = std::make_unique<SimpleModel>(max_sym);
+    int b = lit[ctx]->decode(rc);
+    if (b < 0 || b > 255) return -1;
+    out[i++] = static_cast<uint8_t>(b);
+    if (rle) {
+      if (!run_m[256]) run_m[256] = std::make_unique<SimpleModel>(256);
+      long run = decode_run(rc, run_m, b);
+      if (run < 0 || i + run > n) return -1;
+      std::memset(out + i, b, run);
+      i += run;
+    }
+    if (order1) ctx = b;
+  }
+  return n;
+}
+
+static long decode_stripe(In& in, uint8_t* out, long out_len) {
+  int N = in.u8();
+  if (!in.ok || N <= 0) return -1;
+  std::vector<uint64_t> clens(N);
+  for (int j = 0; j < N; ++j) clens[j] = in.uint7();
+  if (!in.ok) return -1;
+  std::vector<std::vector<uint8_t>> lanes(N);
+  for (int j = 0; j < N; ++j) {
+    long ulen = out_len / N + ((out_len % N) > j ? 1 : 0);
+    const uint8_t* cp;
+    if (!in.take(clens[j], &cp)) return -1;
+    lanes[j].resize(ulen);
+    In sub{cp, cp + clens[j]};
+    if (ar::decode(sub, lanes[j].data(), ulen) != ulen) return -1;
+  }
+  for (int j = 0; j < N; ++j)
+    for (long i = 0, m = j; m < out_len; ++i, m += N) out[m] = lanes[j][i];
+  return out_len;
+}
+
+static long decode(In& in, uint8_t* out, long out_len) {
+  uint8_t flags = in.u8();
+  if (!in.ok) return -1;
+  if (!(flags & F_NOSZ)) {
+    uint64_t v = in.uint7();
+    if (!in.ok || static_cast<long>(v) != out_len) return -1;
+  } else if (out_len < 0) {
+    return -1;
+  }
+  if (out_len == 0) return 0;
+  if (flags & F_STRIPE) return ar::decode_stripe(in, out, out_len);
+  if (flags & F_EXT) return -1;  // bzip2: python handles it
+
+  bool do_pack = flags & F_PACK;
+  uint8_t pmap[16];
+  int nsym = 0;
+  long pack_len = 0;
+  long cur_len = out_len;
+  if (do_pack) {
+    pack_len = cur_len;
+    nsym = in.u8();
+    if (!in.ok || nsym > 16) return -1;
+    for (int i = 0; i < nsym; ++i) pmap[i] = in.u8();
+    uint64_t plen = in.uint7();
+    if (!in.ok || plen > (1ull << 40)) return -1;
+    cur_len = static_cast<long>(plen);
+  }
+  std::vector<uint8_t> buf;
+  uint8_t* dst = out;
+  if (do_pack) {
+    buf.resize(cur_len);
+    dst = buf.data();
+  }
+  if (cur_len == 0) {
+    // nothing coded
+  } else if (flags & F_CAT) {
+    const uint8_t* cp;
+    if (!in.take(cur_len, &cp)) return -1;
+    std::memcpy(dst, cp, cur_len);
+  } else {
+    if (decode_stream(in, dst, cur_len, flags & F_ORDER1,
+                      flags & F_RLE) != cur_len)
+      return -1;
+  }
+  if (do_pack) {
+    const uint8_t* src = buf.data();
+    if (nsym <= 1) {
+      if (nsym == 0) return -1;
+      std::memset(out, pmap[0], pack_len);
+    } else {
+      int bits = nsym <= 2 ? 1 : nsym <= 4 ? 2 : 4;
+      int per = 8 / bits;
+      uint32_t vmask = (1u << bits) - 1;
+      if ((pack_len + per - 1) / per > cur_len) return -1;
+      for (long i = 0; i < pack_len; ++i) {
+        uint32_t v = (src[i / per] >> (bits * (i % per))) & vmask;
+        if (static_cast<int>(v) >= nsym) return -1;
+        out[i] = pmap[v];
+      }
+    }
+  }
+  return out_len;
+}
+
+}  // namespace ar
+
+extern "C" long jf_arith_decode(const uint8_t* data, long len, uint8_t* out,
+                                long out_cap) {
+  if (len < 1 || out_cap < 0) return -1;
+  ar::In in{data, data + len};
+  return ar::decode(in, out, out_cap);
+}
+
+// fqzcomp (method 7) — mirrors io/fqzcomp.py
+namespace fqz {
+
+using ar::RangeDecoder;
+using ar::SimpleModel;
+using r16::In;
+
+constexpr uint8_t G_MULTI = 0x01, G_STAB = 0x02, G_REV = 0x04;
+constexpr uint8_t P_DEDUP = 0x02, P_LEN = 0x04, P_SEL = 0x08,
+                  P_QMAP = 0x10, P_PTAB = 0x20, P_DTAB = 0x40,
+                  P_QTAB = 0x80;
+
+static bool read_array(In& in, uint32_t* arr, int size) {
+  int z = 0;
+  uint32_t val = 0;
+  long last = -1;
+  while (z < size) {
+    uint64_t run = 0;
+    for (;;) {
+      uint8_t b = in.u8();
+      if (!in.ok) return false;
+      run += b;
+      if (b != 255) break;
+    }
+    int end = static_cast<int>(std::min<long>(z + run, size));
+    for (int i = z; i < end; ++i) arr[i] = val;
+    z += static_cast<int>(run);
+    ++val;
+    if (static_cast<long>(run) == last) {
+      int copy = in.u8();
+      if (!in.ok) return false;
+      for (int c = 0; c < copy; ++c) {
+        end = static_cast<int>(std::min<long>(z + run, size));
+        for (int i = z; i < end; ++i) arr[i] = val;
+        z += static_cast<int>(run);
+        ++val;
+      }
+      last = -1;
+    } else {
+      last = static_cast<long>(run);
+    }
+  }
+  return true;
+}
+
+struct Param {
+  uint16_t context;
+  uint8_t pflags;
+  int max_sym;
+  int qbits, qshift, qloc, sloc, ploc, dloc;
+  uint8_t qmap[256];
+  bool have_qmap;
+  uint32_t qtab[256], ptab[1024], dtab[256];
+  bool read(In& in) {
+    if (in.end - in.p < 2) return false;
+    context = static_cast<uint16_t>(in.p[0] | in.p[1] << 8);
+    in.p += 2;
+    pflags = in.u8();
+    max_sym = in.u8();
+    if (max_sym == 0) max_sym = 256;
+    uint8_t b = in.u8();
+    qbits = b >> 4;
+    qshift = b & 15;
+    b = in.u8();
+    qloc = b >> 4;
+    sloc = b & 15;
+    b = in.u8();
+    ploc = b >> 4;
+    dloc = b & 15;
+    have_qmap = pflags & P_QMAP;
+    if (have_qmap)
+      for (int i = 0; i < max_sym; ++i) qmap[i] = in.u8();
+    if (pflags & P_QTAB) {
+      if (!read_array(in, qtab, 256)) return false;
+    } else {
+      for (int i = 0; i < 256; ++i) qtab[i] = i;
+    }
+    if (pflags & P_PTAB) {
+      if (!read_array(in, ptab, 1024)) return false;
+    } else {
+      std::memset(ptab, 0, sizeof(ptab));
+    }
+    if (pflags & P_DTAB) {
+      if (!read_array(in, dtab, 256)) return false;
+    } else {
+      std::memset(dtab, 0, sizeof(dtab));
+    }
+    return in.ok;
+  }
+};
+
+static long decode(In& in, uint8_t* out, long out_len) {
+  if (in.u8() != 5) return -1;
+  uint8_t gflags = in.u8();
+  if (!in.ok) return -1;
+  int nparam = (gflags & G_MULTI) ? in.u8() : 1;
+  if (nparam <= 0 || nparam > 255) return -1;
+  int max_sel;
+  uint32_t stab[256];
+  if (gflags & G_STAB) {
+    max_sel = in.u8();
+    if (!read_array(in, stab, 256)) return -1;
+  } else {
+    max_sel = nparam - 1;
+    for (int i = 0; i < 256; ++i)
+      stab[i] = static_cast<uint32_t>(std::min(i, nparam - 1));
+  }
+  std::vector<Param> params(nparam);
+  int max_sym = 0;
+  for (int x = 0; x < nparam; ++x) {
+    if (!params[x].read(in)) return -1;
+    max_sym = std::max(max_sym, params[x].max_sym);
+  }
+
+  std::vector<std::unique_ptr<SimpleModel>> qual(1u << 16);
+  SimpleModel len_m[4] = {SimpleModel(256), SimpleModel(256),
+                          SimpleModel(256), SimpleModel(256)};
+  SimpleModel rev_m(2), dup_m(2);
+  std::unique_ptr<SimpleModel> sel_m;
+  if (max_sel > 0) sel_m = std::make_unique<SimpleModel>(max_sel + 1);
+  RangeDecoder rc(&in);
+  if (!in.ok) return -1;
+
+  struct Rec {
+    long start, len;
+    bool rev;
+  };
+  std::vector<Rec> recs;
+  long i = 0;
+  long rec = 0;
+  long last_len = 0;
+  while (i < out_len) {
+    int sel = 0;
+    if (sel_m) {
+      sel = sel_m->decode(rc);
+      if (sel < 0) return -1;
+    }
+    uint32_t x = stab[std::min(sel, 255)];
+    if (x >= static_cast<uint32_t>(nparam)) return -1;
+    const Param& p = params[x];
+    long ln;
+    if ((p.pflags & P_LEN) || rec == 0) {
+      long b0 = len_m[0].decode(rc), b1 = len_m[1].decode(rc);
+      long b2 = len_m[2].decode(rc), b3 = len_m[3].decode(rc);
+      if (b0 < 0 || b1 < 0 || b2 < 0 || b3 < 0) return -1;
+      ln = b0 | (b1 << 8) | (b2 << 16) | (b3 << 24);
+      last_len = ln;
+    } else {
+      ln = last_len;
+    }
+    if (ln <= 0 || i + ln > out_len) return -1;
+    bool is_rev = false;
+    if (gflags & G_REV) {
+      int r = rev_m.decode(rc);
+      if (r < 0) return -1;
+      is_rev = r != 0;
+    }
+    if (p.pflags & P_DEDUP) {
+      int d = dup_m.decode(rc);
+      if (d < 0) return -1;
+      if (d) {
+        if (rec == 0 || recs.back().len != ln) return -1;
+        std::memcpy(out + i, out + recs.back().start, ln);
+        recs.push_back({i, ln, is_rev});
+        i += ln;
+        ++rec;
+        continue;
+      }
+    }
+    const uint32_t qmask = (1u << p.qbits) - 1;
+    uint32_t qlast = 0;
+    long delta = 0;
+    int prevq = 0;
+    uint32_t ctx = p.context;
+    for (long j = 0; j < ln; ++j) {
+      if (!qual[ctx])
+        qual[ctx] = std::make_unique<SimpleModel>(max_sym);
+      int q = qual[ctx]->decode(rc);
+      if (q < 0) return -1;
+      out[i + j] = p.have_qmap ? p.qmap[q] : static_cast<uint8_t>(q);
+      qlast = ((qlast << p.qshift) + p.qtab[q]) & qmask;
+      ctx = p.context;
+      ctx += qlast << p.qloc;
+      ctx += p.ptab[std::min<long>(j + 1, 1023)] << p.ploc;
+      ctx += p.dtab[std::min<long>(delta, 255)] << p.dloc;
+      if (p.pflags & P_SEL) ctx += static_cast<uint32_t>(sel) << p.sloc;
+      ctx &= 0xFFFF;
+      if (prevq != q) ++delta;
+      prevq = q;
+    }
+    recs.push_back({i, ln, is_rev});
+    i += ln;
+    ++rec;
+  }
+  for (const Rec& r : recs)
+    if (r.rev) std::reverse(out + r.start, out + r.start + r.len);
+  return out_len;
+}
+
+}  // namespace fqz
+
+extern "C" long jf_fqz_decode(const uint8_t* data, long len, uint8_t* out,
+                              long out_cap) {
+  if (len < 1 || out_cap < 0) return -1;
+  fqz::In in{data, data + len};
+  return fqz::decode(in, out, out_cap);
+}
+
+// ---------------------------------------------------------------------
 // CRAM slice record decoder — the record-level hot loop of native CRAM
 // reading (the htslib role; io/cram.py keeps the reference python
 // implementation and is the fallback whenever this returns null).

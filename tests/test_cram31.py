@@ -195,6 +195,32 @@ def test_arith_range_coder_boundary():
     assert arith.decode(blob, len(raw)) == raw
 
 
+def test_arith_native_matches_python():
+    """native/chunker.cpp jf_arith_decode == the pure-python reference
+    implementation (python stays authoritative; EXT falls back)."""
+    from jellyfish_tpu.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "jf_arith_decode"):
+        pytest.skip("native library unavailable")
+    import ctypes
+    lib = get_lib()
+    rng = random.Random(777)
+    for raw in _corpus(rng):
+        if len(raw) > 6000:
+            raw = raw[:6000]
+        for flags in ARITH_FLAGSETS:
+            try:
+                blob = arith.encode(raw, flags)
+            except ValueError:
+                continue
+            buf = ctypes.create_string_buffer(max(1, len(raw)))
+            n = lib.jf_arith_decode(blob, len(blob), buf, len(raw))
+            if flags & arith.F_EXT and len(raw):
+                assert n == -1  # bzip2 payloads stay on the python path
+                continue
+            assert n == len(raw), (len(raw), flags)
+            assert buf.raw[:len(raw)] == raw, (len(raw), flags)
+
+
 def test_arith_mutation_fuzz():
     rng = random.Random(199)
     raw = bytes(rng.choices(b"!#%+5?I", k=2000))
@@ -337,6 +363,34 @@ def test_fqz_compresses_correlated_quals():
 def test_fqz_header_golden():
     blob = fqzcomp.encode([4], b"IIII")
     assert blob[0] == 5 and blob[1] == 0  # vers, gflags single-param
+
+
+def test_fqz_native_matches_python():
+    """native/chunker.cpp jf_fqz_decode == the pure-python reference
+    implementation across the parameter space."""
+    from jellyfish_tpu.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "jf_fqz_decode"):
+        pytest.skip("native library unavailable")
+    import ctypes
+    lib = get_lib()
+    rng = random.Random(666)
+    lens, quals = _mkquals(rng, 40)
+    P = fqzcomp
+    cases = [
+        dict(),
+        dict(pflags=P.P_DO_LEN | P.P_HAVE_QMAP),
+        dict(pflags=(P.P_DO_LEN | P.P_HAVE_QMAP | P.P_HAVE_PTAB
+                     | P.P_HAVE_DTAB | P.P_HAVE_QTAB)),
+        dict(nparam=3),
+        dict(do_rev=[i % 3 == 0 for i in range(40)]),
+        dict(pflags=P.P_DO_LEN | P.P_DO_DEDUP),
+    ]
+    for kw in cases:
+        blob = P.encode(lens, quals, **kw)
+        buf = ctypes.create_string_buffer(len(quals))
+        n = lib.jf_fqz_decode(blob, len(blob), buf, len(quals))
+        assert n == len(quals), kw
+        assert buf.raw == quals, kw
 
 
 def test_fqz_mutation_fuzz():
