@@ -75,7 +75,38 @@ def count_valid_mers(chunks: np.ndarray, k: int) -> int:
     return total
 
 
+def probe_device(timeout_s: float) -> None:
+    """Fail fast when the device is unreachable (the axon tunnel has
+    gone down for hours at a time; a hung tiny-op would otherwise eat
+    the driver's whole bench budget). Runs a 1 KB jit op on a watchdog:
+    on timeout, reports to stderr and exits 3 without a JSON line."""
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def _probe():
+        import jax
+        import jax.numpy as jnp
+
+        x = jax.jit(lambda a: (a * 2 + 1).sum())(jnp.arange(256))
+        np.asarray(x)  # fetch-forced sync (block_until_ready unreliable)
+        done.set()
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    if not done.wait(timeout_s):
+        print(
+            f"bench: device unreachable (tiny-op probe exceeded "
+            f"{timeout_s:.0f}s; tunnel down?) — no measurement taken",
+            file=sys.stderr,
+        )
+        os._exit(3)
+
+
 def main():
+    probe_device(float(os.environ.get("JF_BENCH_PROBE_TIMEOUT", 120)))
+
     import jax
     import jax.numpy as jnp
 
