@@ -62,12 +62,27 @@ T_END = 12
 N_TYPES = 13
 
 
+def _peek_size(blob: bytes):
+    """The embedded uncompressed length of a rans16/arith sub-stream
+    (None under NOSZ): peeking it lets decode() take the native path,
+    which requires a known output size."""
+    try:
+        cur = _Cur(blob)
+        flags = cur.u8()
+        if flags & 0x10:  # NOSZ (same bit in both codecs)
+            return None
+        return cur.uint7()
+    except IndexError:
+        return None
+
+
 def _sub_decode(blob: bytes, use_arith: bool) -> bytes:
+    size = _peek_size(blob)
     if use_arith:
         from jellyfish_tpu.io import arith
-        return arith.decode(blob, None)
+        return arith.decode(blob, size)
     from jellyfish_tpu.io import rans16
-    return rans16.decode(blob, None)
+    return rans16.decode(blob, size)
 
 
 def _sub_encode(raw: bytes, use_arith: bool) -> bytes:
@@ -99,6 +114,32 @@ class _Stream:
 
 
 def decode(data: bytes, raw_size) -> bytes:
+    if raw_size is not None:
+        out = _decode_native(data, raw_size)
+        if out is not None:
+            return out
+    return _decode_python(data, raw_size)
+
+
+def _decode_native(data: bytes, raw_size: int):
+    """native/chunker.cpp jf_tok3_decode fast path; None -> fall back
+    to the pure-python reference path (which raises exact errors)."""
+    try:
+        from jellyfish_tpu.native import get_lib
+        lib = get_lib()
+    except Exception:
+        return None
+    if lib is None or not hasattr(lib, "jf_tok3_decode"):
+        return None
+    import ctypes
+    buf = ctypes.create_string_buffer(raw_size) if raw_size else None
+    n = lib.jf_tok3_decode(data, len(data), buf, raw_size)
+    if n != raw_size:
+        return None
+    return buf.raw if raw_size else b""
+
+
+def _decode_python(data: bytes, raw_size) -> bytes:
     cur = _Cur(data)
     ulen, nnames = struct.unpack_from("<II", data, 0)
     cur.pos = 8

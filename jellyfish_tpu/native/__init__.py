@@ -73,7 +73,8 @@ def get_lib():
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_void_p, ctypes.c_long,
             ]
-        for fn in ("jf_rans16_decode", "jf_arith_decode", "jf_fqz_decode"):
+        for fn in ("jf_rans16_decode", "jf_arith_decode", "jf_fqz_decode",
+                   "jf_tok3_decode"):
             if hasattr(lib, fn):
                 f = getattr(lib, fn)
                 f.restype = ctypes.c_long

@@ -20,8 +20,10 @@
 #include <array>
 #include <cctype>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <deque>
+#include <map>
 #include <memory>
 #include <new>
 #include <string>
@@ -1316,6 +1318,230 @@ extern "C" long jf_fqz_decode(const uint8_t* data, long len, uint8_t* out,
   if (len < 1 || out_cap < 0) return -1;
   fqz::In in{data, data + len};
   return fqz::decode(in, out, out_cap);
+}
+
+// name tokenizer (method 8) — mirrors io/tok3.py; sub-streams decode
+// through the native rANS Nx16 / arith decoders above (EXT payloads
+// inside an arith sub-stream bail to python).
+namespace tok3 {
+
+using r16::In;
+
+enum {
+  T_TYPE = 0, T_STRING = 1, T_CHAR = 2, T_DIGITS0 = 3, T_DZLEN = 4,
+  T_DUP = 5, T_DIFF = 6, T_DIGITS = 7, T_DELTA = 8, T_DELTA0 = 9,
+  T_MATCH = 10, T_NOP = 11, T_END = 12
+};
+
+constexpr int kMaxPos = 4096;
+
+struct Stream {
+  std::shared_ptr<std::vector<uint8_t>> buf;
+  size_t pos = 0;
+  bool ok() const { return static_cast<bool>(buf); }
+  bool u8(uint8_t* v) {
+    if (!buf || pos >= buf->size()) return false;
+    *v = (*buf)[pos++];
+    return true;
+  }
+  bool u32(uint32_t* v) {
+    if (!buf || pos + 4 > buf->size()) return false;
+    std::memcpy(v, buf->data() + pos, 4);
+    pos += 4;
+    return true;
+  }
+  bool string(const uint8_t** s, size_t* n) {
+    if (!buf) return false;
+    auto it = std::find(buf->begin() + pos, buf->end(), uint8_t(0));
+    if (it == buf->end()) return false;
+    *s = buf->data() + pos;
+    *n = static_cast<size_t>(it - (buf->begin() + pos));
+    pos = static_cast<size_t>(it - buf->begin()) + 1;
+    return true;
+  }
+};
+
+struct Tok {
+  std::string text;
+  uint32_t val;
+  bool has_val;
+};
+
+static long sub_decode(const uint8_t* p, size_t n, bool use_arith,
+                       std::vector<uint8_t>& out) {
+  // peek the embedded size (NOSZ bails: python handles it)
+  In peek{p, p + n};
+  uint8_t flags = peek.u8();
+  if (!peek.ok || (flags & 0x10)) return -1;
+  uint64_t size = peek.uint7();
+  if (!peek.ok || size > (1u << 30)) return -1;
+  out.resize(size);
+  In sub{p, p + n};
+  long r = use_arith ? ar::decode(sub, out.data(), size)
+                     : r16::decode(sub, out.data(), size);
+  return r == static_cast<long>(size) ? r : -1;
+}
+
+static long decode(const uint8_t* data, long len, uint8_t* out,
+                   long out_cap) {
+  In in{data, data + len};
+  if (len < 9) return -1;
+  uint32_t ulen, nnames;
+  std::memcpy(&ulen, data, 4);
+  std::memcpy(&nnames, data + 4, 4);
+  in.p = data + 8;
+  uint8_t use_arith = in.u8();
+  if (!in.ok || static_cast<long>(ulen) != out_cap) return -1;
+  if (nnames > (1u << 28)) return -1;
+
+  std::map<std::pair<int, int>, Stream> streams;
+  int t = -1;
+  while (in.p < in.end) {
+    uint8_t desc = in.u8();
+    int ttype = desc & 0x3F;
+    if (desc & 0x80) ++t;
+    if (t < 0 || t >= kMaxPos || ttype > T_END) return -1;
+    if (desc & 0x40) {
+      int dpos = in.u8();
+      int dtype = in.u8();
+      if (!in.ok) return -1;
+      auto it = streams.find({dpos, dtype});
+      if (it == streams.end()) return -1;
+      streams[{t, ttype}] = Stream{it->second.buf, 0};
+    } else {
+      uint64_t clen = in.uint7();
+      const uint8_t* cp;
+      if (!in.ok || !in.take(clen, &cp)) return -1;
+      auto buf = std::make_shared<std::vector<uint8_t>>();
+      if (sub_decode(cp, clen, use_arith, *buf) < 0) return -1;
+      streams[{t, ttype}] = Stream{std::move(buf), 0};
+    }
+  }
+
+  auto get = [&](int pos, int ttype) -> Stream* {
+    auto it = streams.find({pos, ttype});
+    return it == streams.end() ? nullptr : &it->second;
+  };
+
+  std::vector<std::vector<Tok>> toks(nnames);
+  std::vector<std::pair<long, long>> spans(nnames);  // (start, len) in out
+  long o = 0;
+  for (uint32_t i = 0; i < nnames; ++i) {
+    Stream* ts = get(0, T_TYPE);
+    uint8_t first;
+    if (!ts || !ts->u8(&first)) return -1;
+    if (first == T_DUP) {
+      Stream* ds = get(0, T_DUP);
+      uint32_t dist;
+      if (!ds || !ds->u32(&dist)) return -1;
+      if (dist == 0 || dist > i) return -1;
+      toks[i] = toks[i - dist];
+      auto sp = spans[i - dist];
+      if (o + sp.second + 1 > out_cap) return -1;
+      std::memcpy(out + o, out + sp.first, sp.second);
+      spans[i] = {o, sp.second};
+      o += sp.second;
+      out[o++] = 0;
+      continue;
+    }
+    if (first != T_DIFF) return -1;
+    Stream* fs = get(0, T_DIFF);
+    uint32_t dist;
+    if (!fs || !fs->u32(&dist)) return -1;
+    const std::vector<Tok>* prev =
+        (dist > 0 && dist <= i) ? &toks[i - dist] : nullptr;
+    std::vector<Tok>& my = toks[i];
+    my.push_back({});  // position 0 placeholder
+    long start = o;
+    for (int pos = 1;; ++pos) {
+      if (pos >= kMaxPos) return -1;
+      Stream* tys = get(pos, T_TYPE);
+      uint8_t ty;
+      if (!tys || !tys->u8(&ty)) return -1;
+      if (ty == T_END) break;
+      Tok tok{std::string(), 0, false};
+      char tmp[16];
+      switch (ty) {
+        case T_CHAR: {
+          Stream* s = get(pos, T_CHAR);
+          uint8_t c;
+          if (!s || !s->u8(&c)) return -1;
+          tok.text.assign(1, static_cast<char>(c));
+          break;
+        }
+        case T_STRING: {
+          Stream* s = get(pos, T_STRING);
+          const uint8_t* sp;
+          size_t sn;
+          if (!s || !s->string(&sp, &sn)) return -1;
+          tok.text.assign(reinterpret_cast<const char*>(sp), sn);
+          break;
+        }
+        case T_DIGITS: {
+          Stream* s = get(pos, T_DIGITS);
+          if (!s || !s->u32(&tok.val)) return -1;
+          tok.has_val = true;
+          tok.text.assign(tmp, snprintf(tmp, sizeof tmp, "%u", tok.val));
+          break;
+        }
+        case T_DIGITS0: {
+          Stream* s = get(pos, T_DIGITS0);
+          Stream* ls = get(pos, T_DZLEN);
+          uint8_t width;
+          if (!s || !s->u32(&tok.val) || !ls || !ls->u8(&width)) return -1;
+          tok.has_val = true;
+          int dn = snprintf(tmp, sizeof tmp, "%u", tok.val);
+          if (dn < width)
+            tok.text.assign(width - dn, '0');
+          tok.text.append(tmp, dn);
+          break;
+        }
+        case T_DELTA:
+        case T_DELTA0: {
+          Stream* s = get(pos, ty);
+          uint8_t d;
+          if (!s || !s->u8(&d)) return -1;
+          if (!prev || pos >= static_cast<int>(prev->size())
+              || !(*prev)[pos].has_val)
+            return -1;
+          tok.val = (*prev)[pos].val + d;
+          tok.has_val = true;
+          int dn = snprintf(tmp, sizeof tmp, "%u", tok.val);
+          if (ty == T_DELTA0) {
+            int width = static_cast<int>((*prev)[pos].text.size());
+            if (dn < width) tok.text.assign(width - dn, '0');
+          }
+          tok.text.append(tmp, dn);
+          break;
+        }
+        case T_MATCH: {
+          if (!prev || pos >= static_cast<int>(prev->size())) return -1;
+          tok = (*prev)[pos];
+          break;
+        }
+        case T_NOP:
+          break;
+        default:
+          return -1;
+      }
+      if (o + static_cast<long>(tok.text.size()) > out_cap) return -1;
+      std::memcpy(out + o, tok.text.data(), tok.text.size());
+      o += static_cast<long>(tok.text.size());
+      my.push_back(std::move(tok));
+    }
+    spans[i] = {start, o - start};
+    if (o + 1 > out_cap) return -1;
+    out[o++] = 0;
+  }
+  return o == out_cap ? o : -1;
+}
+
+}  // namespace tok3
+
+extern "C" long jf_tok3_decode(const uint8_t* data, long len, uint8_t* out,
+                               long out_cap) {
+  if (len < 1 || out_cap < 0) return -1;
+  return tok3::decode(data, len, out, out_cap);
 }
 
 // ---------------------------------------------------------------------

@@ -285,6 +285,33 @@ def test_tok3_header_golden():
     assert blob[9] & 0x80 and blob[9] & 0x3F == tok3.T_TYPE
 
 
+def test_tok3_native_matches_python():
+    """native/chunker.cpp jf_tok3_decode == the pure-python reference
+    implementation (both entropy-coder modes)."""
+    from jellyfish_tpu.native import get_lib
+    if get_lib() is None or not hasattr(get_lib(), "jf_tok3_decode"):
+        pytest.skip("native library unavailable")
+    import ctypes
+    lib = get_lib()
+    rng = random.Random(444)
+    cases = [
+        [b"SRR1.%d HWI:7:1101:%d:%d/1" % (i, 1000 + i, 3 * i)
+         for i in range(300)],
+        [b"q%04d" % i for i in range(150)],
+        [b"same"] * 30, [b""], [],
+        [bytes(rng.choices(b"AZ09:/_-", k=rng.randrange(1, 30)))
+         for _ in range(100)],
+    ]
+    for use_arith in (False, True):
+        for names in cases:
+            raw = _names_blob(names)
+            blob = tok3.encode(raw, use_arith)
+            buf = ctypes.create_string_buffer(max(1, len(raw)))
+            n = lib.jf_tok3_decode(blob, len(blob), buf, len(raw))
+            assert n == len(raw)
+            assert buf.raw[:len(raw)] == raw
+
+
 def test_tok3_mutation_fuzz():
     rng = random.Random(23)
     raw = _names_blob([b"q%04d/x" % i for i in range(120)])
