@@ -109,6 +109,41 @@ def bench_cram():
         out_bytes=total)
 
 
+def bench_cram31():
+    """End-to-end CRAM 3.1 ingest: tok3 names + rANS Nx16 sequences +
+    fqzcomp qualities, through the full container reader."""
+    from cram_writer import simple_cram, fqz_method, ByteArrayStop
+    import cram_writer as cw
+    from jellyfish_tpu.io.cram import cram_records_to_fastx
+
+    rng = random.Random(31)
+    n_rec = int(MB * 1e6 / 600)
+    recs = []
+    for i in range(n_rec):
+        qual = bytearray()
+        q = 38
+        for _ in range(100):
+            q = min(40, max(30, q + rng.choice([-1, 0, 0, 1])))
+            qual.append(q)
+        recs.append({"name": b"SRR9.%d HWI:7:1101:%d:%d/1"
+                     % (i, 1000 + i, 3 * i),
+                     "seq": bytes(rng.choices(b"ACGT", k=100)),
+                     "qual": bytes(qual)})
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    blob = simple_cram(recs, series=series, version=(3, 1), block_methods={
+        cw.CORE: "rans16", 8: "rans16-o1", 6: "tok3",
+        9: fqz_method([100] * n_rec)})
+    t0 = time.perf_counter()
+    stream = io.BytesIO(blob)
+    stream.read(4)
+    total = sum(len(c) for c in cram_records_to_fastx(stream))
+    t1 = time.perf_counter()
+    out("cram31_records_native", n_rec * 100 / 1e6, t1 - t0,
+        rec_per_s=int(n_rec / (t1 - t0)), cram_mb=round(len(blob) / 1e6, 1),
+        out_bytes=total)
+
+
 def bench_rans():
     from jellyfish_tpu.io import rans
 
@@ -172,6 +207,7 @@ if __name__ == "__main__":
     bench_chunker()
     bench_bam()
     bench_cram()
+    bench_cram31()
     bench_rans()
     bench_rans16()
     bench_adaptive()
