@@ -20,12 +20,12 @@ exclusive at the top level (N interleaved lanes, each recursively
 coded with its own flag byte).  Unlike rANS Nx16, RLE has no metadata
 stream: run lengths are coded adaptively in-stream.
 
-Range coder: 32-bit range (init 2^32-1), 64-bit low with a 40-bit
-window, byte renormalisation at range < 2^24; carries are avoided by
-truncating the interval whenever its ends straddle a 2^32 boundary
-(Subbotin carryless scheme).  The decoder primes 5 bytes (the first,
-always zero, is the head-room byte the encoder flushes) and tracks
-`low` exactly like the encoder so both truncate identically.
+Range coder: carry-propagating (LZMA-style) — 32-bit range (init
+2^32-1), byte renormalisation at range < 2^24; the encoder holds a
+cache byte plus a pending-0xFF run so carries out of the 32-bit low
+window propagate into already-buffered bytes.  The decoder needs only
+(code, range): it primes 5 bytes (the first, always zero, is the
+initial cache the encoder flushes) and subtracts mod 2^32.
 
 Adaptive model: symbols start at frequency 1, +16 per observation,
 frequency-ordered by adjacent swaps, all frequencies halved (rounding
@@ -53,7 +53,6 @@ F_RLE = 0x40
 F_PACK = 0x80
 
 TOP = 1 << 24
-W40 = (1 << 40) - 1
 W32 = 0xFFFFFFFF
 
 STEP = 16
@@ -61,39 +60,47 @@ MAX_FREQ = (1 << 16) - 32
 
 
 class RangeEncoder:
+    """Carry-propagating (LZMA-style) range encoder: 32-bit range,
+    32-bit low window with a cache byte + pending-0xFF run absorbing
+    carries. The first emitted byte is always 0 (the initial cache);
+    the decoder's 5-byte prime discards it."""
+
     def __init__(self):
-        self.low = 0
+        self.low = 0  # 33-bit: bit 32 is the pending carry
         self.range = W32
+        self.cache = 0
+        self.ffnum = 0
         self.out = bytearray()
 
-    def _renorm(self):
-        while self.range < TOP:
-            if ((self.low ^ (self.low + self.range)) >> 32) & 0xFF:
-                # interval straddles a 2^32 boundary: truncate it to end
-                # at the next TOP-aligned point past low (never empty)
-                low32 = self.low & W32
-                self.range = (low32 | (TOP - 1)) + 1 - low32
-            self.out.append((self.low >> 32) & 0xFF)
-            self.low = (self.low << 8) & W40
-            self.range = (self.range << 8) & W32
+    def _shift_low(self):
+        if self.low < 0xFF000000 or self.low > W32:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            while self.ffnum:
+                self.out.append((0xFF + carry) & 0xFF)
+                self.ffnum -= 1
+            self.cache = (self.low >> 24) & 0xFF
+        else:
+            self.ffnum += 1
+        self.low = (self.low << 8) & W32
 
     def encode(self, cum: int, freq: int, tot: int) -> None:
         r = self.range // tot
         self.low += cum * r
         self.range = r * freq
-        self._renorm()
+        while self.range < TOP:
+            self._shift_low()
+            self.range = (self.range << 8) & W32
 
     def finish(self) -> bytes:
         for _ in range(5):
-            self.out.append((self.low >> 32) & 0xFF)
-            self.low = (self.low << 8) & W40
+            self._shift_low()
         return bytes(self.out)
 
 
 class RangeDecoder:
     def __init__(self, cur: _Cur):
         self.cur = cur
-        self.low = 0
         self.range = W32
         code = 0
         for _ in range(5):
@@ -106,15 +113,9 @@ class RangeDecoder:
         return tot - 1 if f >= tot else f
 
     def decode(self, cum: int, freq: int) -> None:
-        d = cum * self._r
-        self.low += d
-        self.code -= d
+        self.code = (self.code - cum * self._r) & W32
         self.range = self._r * freq
         while self.range < TOP:
-            if ((self.low ^ (self.low + self.range)) >> 32) & 0xFF:
-                low32 = self.low & W32
-                self.range = (low32 | (TOP - 1)) + 1 - low32
-            self.low = (self.low << 8) & W40
             self.code = ((self.code << 8) | self.cur.u8()) & W32
             self.range = (self.range << 8) & W32
 
@@ -267,6 +268,8 @@ def _decode(cur: _Cur, out_len) -> bytes:
         return b""
     if flags & F_STRIPE:
         N = cur.u8()
+        if N < 1:
+            raise ValueError("STRIPE with zero lanes")
         clens = [cur.uint7() for _ in range(N)]
         lanes = []
         for j in range(N):
@@ -281,6 +284,10 @@ def _decode(cur: _Cur, out_len) -> bytes:
     if flags & F_PACK:
         pack_len = out_len
         pmap, out_len = _decode_pack_meta(cur)
+        if out_len > pack_len:
+            # packed data is never longer than its unpacked form; also
+            # rejects adversarial allocation-bomb lengths
+            raise ValueError("PACK length exceeds unpacked length")
     if out_len == 0:
         data = b""
     elif flags & F_EXT:

@@ -280,7 +280,9 @@ def _decode_python(data: bytes, raw_size: int) -> bytes:
             qlast = ((qlast << p.qshift) + p.qtab[q]) & qmask
             ctx = p.context
             ctx += qlast << p.qloc
-            ctx += p.ptab[min(j + 1, 1023)] << p.ploc
+            # position context counts bases REMAINING (the spec's
+            # state.p starts at the record length and decrements)
+            ctx += p.ptab[min(ln - 1 - j, 1023)] << p.ploc
             ctx += p.dtab[min(delta, 255)] << p.dloc
             if p.pflags & P_DO_SEL:
                 ctx += sel << p.sloc
@@ -412,7 +414,9 @@ def encode(lens, quals: bytes, pflags: int = P_DO_LEN,
             qlast = ((qlast << p.qshift) + p.qtab[q]) & qmask
             ctx = p.context
             ctx += qlast << p.qloc
-            ctx += p.ptab[min(j + 1, 1023)] << p.ploc
+            # position context counts bases REMAINING (the spec's
+            # state.p starts at the record length and decrements)
+            ctx += p.ptab[min(ln - 1 - j, 1023)] << p.ploc
             ctx += p.dtab[min(delta, 255)] << p.dloc
             if p.pflags & P_DO_SEL:
                 ctx += sel << p.sloc

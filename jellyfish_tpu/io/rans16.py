@@ -551,6 +551,8 @@ def _encode_rle(raw: bytes):
 
 def _decode_stripe(cur: _Cur, out_len: int) -> bytes:
     N = cur.u8()
+    if N < 1:
+        raise ValueError("STRIPE with zero lanes")
     clens = [cur.uint7() for _ in range(N)]
     lanes = []
     for j in range(N):
@@ -581,11 +583,17 @@ def _decode(cur: _Cur, out_len) -> bytes:
     if flags & F_PACK:
         pack_len = out_len
         pmap, out_len = _decode_pack_meta(cur)
+        if out_len > pack_len:
+            # packed data is never longer than its unpacked form; also
+            # rejects adversarial allocation-bomb lengths
+            raise ValueError("PACK length exceeds unpacked length")
     rle_meta = None
     rle_len = 0
     if flags & F_RLE:
         rle_len = out_len
         rle_meta, out_len = _decode_rle_meta(cur)
+        if out_len > rle_len:
+            raise ValueError("RLE literal length exceeds expanded length")
     if out_len == 0:
         data = b""
     elif flags & F_CAT:

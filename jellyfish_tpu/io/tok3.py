@@ -146,7 +146,6 @@ def _decode_python(data: bytes, raw_size) -> bytes:
     use_arith = bool(cur.u8())
 
     streams = {}  # (pos, type) -> _Stream
-    order = []  # emission order, for duplicate references
     t = -1
     while cur.pos < len(data):
         desc = cur.u8()
@@ -166,7 +165,6 @@ def _decode_python(data: bytes, raw_size) -> bytes:
             clen = cur.uint7()
             blob = cur.take(clen)
             streams[(t, ttype)] = _Stream(_sub_decode(blob, use_arith))
-        order.append((t, ttype))
 
     def stream(pos, ttype):
         s = streams.get((pos, ttype))

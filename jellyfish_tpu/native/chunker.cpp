@@ -617,7 +617,9 @@ struct Table {
   }
 };
 
-static long decode(In& in, uint8_t* out, long out_len);  // fwd (STRIPE)
+static long decode(In& in, uint8_t* out, long out_len,
+                   int depth = 0);  // fwd (STRIPE)
+constexpr int kMaxDepth = 8;  // nested STRIPE recursion cap
 
 static bool read_freqs0(In& in, uint64_t f[256]) {
   std::memset(f, 0, 256 * sizeof(uint64_t));
@@ -722,7 +724,8 @@ static long decode_rans1(In& in, uint8_t* out, long n, int N) {
   return n;
 }
 
-static long decode_stripe(In& in, uint8_t* out, long out_len) {
+static long decode_stripe(In& in, uint8_t* out, long out_len,
+                          int depth) {
   int N = in.u8();
   if (!in.ok || N <= 0) return -1;
   std::vector<uint64_t> clens(N);
@@ -735,14 +738,15 @@ static long decode_stripe(In& in, uint8_t* out, long out_len) {
     if (!in.take(clens[j], &cp)) return -1;
     lanes[j].resize(ulen);
     In sub{cp, cp + clens[j]};
-    if (decode(sub, lanes[j].data(), ulen) != ulen) return -1;
+    if (decode(sub, lanes[j].data(), ulen, depth + 1) != ulen) return -1;
   }
   for (int j = 0; j < N; ++j)
     for (long i = 0, m = j; m < out_len; ++i, m += N) out[m] = lanes[j][i];
   return out_len;
 }
 
-static long decode(In& in, uint8_t* out, long out_len) {
+static long decode(In& in, uint8_t* out, long out_len, int depth) {
+  if (depth > kMaxDepth) return -1;
   uint8_t flags = in.u8();
   if (!in.ok) return -1;
   if (!(flags & F_NOSZ)) {
@@ -752,7 +756,7 @@ static long decode(In& in, uint8_t* out, long out_len) {
     return -1;
   }
   if (out_len == 0) return 0;
-  if (flags & F_STRIPE) return decode_stripe(in, out, out_len);
+  if (flags & F_STRIPE) return decode_stripe(in, out, out_len, depth);
   const int N = (flags & F_N32) ? 32 : 4;
 
   // PACK metadata
@@ -767,7 +771,9 @@ static long decode(In& in, uint8_t* out, long out_len) {
     if (!in.ok || nsym > 16) return -1;
     for (int i = 0; i < nsym; ++i) pmap[i] = in.u8();
     uint64_t plen = in.uint7();
-    if (!in.ok || plen > (1ull << 40)) return -1;
+    // packed data is never longer than its unpacked form: also caps
+    // the scratch allocation an adversarial length could force
+    if (!in.ok || plen > static_cast<uint64_t>(pack_len)) return -1;
     cur_len = static_cast<long>(plen);
   }
   // RLE metadata
@@ -778,7 +784,7 @@ static long decode(In& in, uint8_t* out, long out_len) {
     rle_len = cur_len;
     uint64_t meta_len2 = in.uint7();
     uint64_t lit_len = in.uint7();
-    if (!in.ok) return -1;
+    if (!in.ok || lit_len > static_cast<uint64_t>(rle_len)) return -1;
     long meta_len = static_cast<long>(meta_len2 >> 1);
     if (meta_len2 & 1) {
       const uint8_t* cp;
@@ -874,8 +880,12 @@ static long decode(In& in, uint8_t* out, long out_len) {
 extern "C" long jf_rans16_decode(const uint8_t* data, long len, uint8_t* out,
                                  long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
-  r16::In in{data, data + len};
-  return r16::decode(in, out, out_cap);
+  try {
+    r16::In in{data, data + len};
+    return r16::decode(in, out, out_cap);
+  } catch (...) {  // bad_alloc etc. must not cross the C ABI
+    return -1;
+  }
 }
 
 // ---------------------------------------------------------------------
@@ -893,7 +903,6 @@ namespace ar {
 using r16::In;
 
 constexpr uint32_t kTop = 1u << 24;
-constexpr uint64_t kW40 = (1ull << 40) - 1;
 constexpr int kStep = 16;
 constexpr uint32_t kMaxFreq = (1u << 16) - 32;
 
@@ -901,8 +910,9 @@ constexpr uint8_t F_ORDER1 = 0x01, F_EXT = 0x04, F_STRIPE = 0x08,
                   F_NOSZ = 0x10, F_CAT = 0x20, F_RLE = 0x40, F_PACK = 0x80;
 
 struct RangeDecoder {
+  // carry-propagating (LZMA-style) coder: the decoder needs only
+  // (code, range); mirrors io/arith.py RangeDecoder
   In* in;
-  uint64_t low = 0;
   uint32_t range = 0xFFFFFFFFu;
   uint32_t code = 0;
   uint32_t r_ = 0;
@@ -917,16 +927,9 @@ struct RangeDecoder {
     return f >= tot ? tot - 1 : f;
   }
   bool decode(uint32_t cum, uint32_t freq) {
-    uint64_t d = static_cast<uint64_t>(cum) * r_;
-    low += d;
-    code -= static_cast<uint32_t>(d);
+    code -= cum * r_;
     range = r_ * freq;
     while (range < kTop) {
-      if (((low ^ (low + range)) >> 32) & 0xFF) {
-        uint32_t low32 = static_cast<uint32_t>(low);
-        range = (low32 | (kTop - 1)) + 1 - low32;
-      }
-      low = (low << 8) & kW40;
       code = (code << 8) | in->u8();
       range <<= 8;
       if (!in->ok) return false;
@@ -974,7 +977,8 @@ struct SimpleModel {
   }
 };
 
-static long decode(In& in, uint8_t* out, long out_len);  // fwd
+static long decode(In& in, uint8_t* out, long out_len,
+                   int depth = 0);  // fwd
 
 static long decode_run(RangeDecoder& rc,
                        std::vector<std::unique_ptr<SimpleModel>>& run_m,
@@ -1019,7 +1023,8 @@ static long decode_stream(In& in, uint8_t* out, long n, bool order1,
   return n;
 }
 
-static long decode_stripe(In& in, uint8_t* out, long out_len) {
+static long decode_stripe(In& in, uint8_t* out, long out_len,
+                          int depth) {
   int N = in.u8();
   if (!in.ok || N <= 0) return -1;
   std::vector<uint64_t> clens(N);
@@ -1032,14 +1037,16 @@ static long decode_stripe(In& in, uint8_t* out, long out_len) {
     if (!in.take(clens[j], &cp)) return -1;
     lanes[j].resize(ulen);
     In sub{cp, cp + clens[j]};
-    if (ar::decode(sub, lanes[j].data(), ulen) != ulen) return -1;
+    if (ar::decode(sub, lanes[j].data(), ulen, depth + 1) != ulen)
+      return -1;
   }
   for (int j = 0; j < N; ++j)
     for (long i = 0, m = j; m < out_len; ++i, m += N) out[m] = lanes[j][i];
   return out_len;
 }
 
-static long decode(In& in, uint8_t* out, long out_len) {
+static long decode(In& in, uint8_t* out, long out_len, int depth) {
+  if (depth > r16::kMaxDepth) return -1;
   uint8_t flags = in.u8();
   if (!in.ok) return -1;
   if (!(flags & F_NOSZ)) {
@@ -1049,7 +1056,7 @@ static long decode(In& in, uint8_t* out, long out_len) {
     return -1;
   }
   if (out_len == 0) return 0;
-  if (flags & F_STRIPE) return ar::decode_stripe(in, out, out_len);
+  if (flags & F_STRIPE) return ar::decode_stripe(in, out, out_len, depth);
   if (flags & F_EXT) return -1;  // bzip2: python handles it
 
   bool do_pack = flags & F_PACK;
@@ -1063,7 +1070,9 @@ static long decode(In& in, uint8_t* out, long out_len) {
     if (!in.ok || nsym > 16) return -1;
     for (int i = 0; i < nsym; ++i) pmap[i] = in.u8();
     uint64_t plen = in.uint7();
-    if (!in.ok || plen > (1ull << 40)) return -1;
+    // packed data is never longer than its unpacked form: also caps
+    // the scratch allocation an adversarial length could force
+    if (!in.ok || plen > static_cast<uint64_t>(pack_len)) return -1;
     cur_len = static_cast<long>(plen);
   }
   std::vector<uint8_t> buf;
@@ -1108,8 +1117,12 @@ static long decode(In& in, uint8_t* out, long out_len) {
 extern "C" long jf_arith_decode(const uint8_t* data, long len, uint8_t* out,
                                 long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
-  ar::In in{data, data + len};
-  return ar::decode(in, out, out_cap);
+  try {
+    ar::In in{data, data + len};
+    return ar::decode(in, out, out_cap);
+  } catch (...) {
+    return -1;
+  }
 }
 
 // fqzcomp (method 7) — mirrors io/fqzcomp.py
@@ -1291,11 +1304,17 @@ static long decode(In& in, uint8_t* out, long out_len) {
         qual[ctx] = std::make_unique<SimpleModel>(max_sym);
       int q = qual[ctx]->decode(rc);
       if (q < 0) return -1;
+      // q comes from a model sized by the GLOBAL max_sym; qmap is
+      // only p.max_sym entries, so bound it like python's qmap[q]
+      // IndexError (no qmap -> q passes through unbounded, as python)
+      if (p.have_qmap && q >= p.max_sym) return -1;
       out[i + j] = p.have_qmap ? p.qmap[q] : static_cast<uint8_t>(q);
       qlast = ((qlast << p.qshift) + p.qtab[q]) & qmask;
       ctx = p.context;
       ctx += qlast << p.qloc;
-      ctx += p.ptab[std::min<long>(j + 1, 1023)] << p.ploc;
+      // position context counts bases REMAINING (spec's state.p
+      // starts at the record length and decrements)
+      ctx += p.ptab[std::min<long>(ln - 1 - j, 1023)] << p.ploc;
       ctx += p.dtab[std::min<long>(delta, 255)] << p.dloc;
       if (p.pflags & P_SEL) ctx += static_cast<uint32_t>(sel) << p.sloc;
       ctx &= 0xFFFF;
@@ -1316,8 +1335,12 @@ static long decode(In& in, uint8_t* out, long out_len) {
 extern "C" long jf_fqz_decode(const uint8_t* data, long len, uint8_t* out,
                               long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
-  fqz::In in{data, data + len};
-  return fqz::decode(in, out, out_cap);
+  try {
+    fqz::In in{data, data + len};
+    return fqz::decode(in, out, out_cap);
+  } catch (...) {
+    return -1;
+  }
 }
 
 // name tokenizer (method 8) — mirrors io/tok3.py; sub-streams decode
@@ -1541,7 +1564,11 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
 extern "C" long jf_tok3_decode(const uint8_t* data, long len, uint8_t* out,
                                long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
-  return tok3::decode(data, len, out, out_cap);
+  try {
+    return tok3::decode(data, len, out, out_cap);
+  } catch (...) {
+    return -1;
+  }
 }
 
 // ---------------------------------------------------------------------

@@ -280,14 +280,9 @@ def fqz_method(lens, **kw):
 def block(ctype: int, cid: int, data: bytes, method="raw") -> bytes:
     if callable(method):
         method_id, comp = method(data)
-        head = bytearray([method_id, ctype])
-        write_itf8(head, cid)
-        write_itf8(head, len(comp))
-        write_itf8(head, len(data))
-        payload = bytes(head) + comp
-        return payload + struct.pack("<I", zlib.crc32(payload))
-    comp = _compress(method, data)
-    head = bytearray([METHODS[method], ctype])
+    else:
+        method_id, comp = METHODS[method], _compress(method, data)
+    head = bytearray([method_id, ctype])
     write_itf8(head, cid)
     write_itf8(head, len(comp))
     write_itf8(head, len(data))

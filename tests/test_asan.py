@@ -61,8 +61,8 @@ for fn, blob, out_len in blobs:
     f = getattr(lib, fn)
     buf = ctypes.create_string_buffer(out_len)
     n = f(blob, len(blob), buf, out_len)
-    assert n == out_len or (fn == "jf_arith_decode" and n == -1), \
-        (fn, n, out_len)
+    # no EXT blobs are driven, so every valid blob must decode natively
+    assert n == out_len, (fn, n, out_len)
     for trial in range(300):
         mut = bytearray(blob)
         op = rng.randrange(4)

@@ -135,6 +135,46 @@ def test_rans16_native_matches_python():
             assert buf.raw[:len(raw)] == raw, (len(raw), flags)
 
 
+def test_adversarial_blocks_rejected():
+    """Crafted blocks that previously crashed or were silently
+    accepted: deep STRIPE nesting (C stack overflow), a PACK length
+    bomb (std::bad_alloc across the C ABI), and STRIPE with zero
+    lanes (silent zero-fill)."""
+    # ~200k nested STRIPE|NOSZ layers: flags 0x18, N=1, uint7 clen
+    deep = b"\x00" * 4
+    for _ in range(200_000):
+        inner = bytearray([0x18, 1])
+        write_uint7(inner, len(deep))
+        deep = bytes(inner) + deep
+    for mod in ("rans16", "arith"):
+        codec = rans16 if mod == "rans16" else arith
+        with pytest.raises((ValueError, RecursionError)):
+            codec.decode(deep, 4)
+
+    # PACK|NOSZ with plen = 2^39
+    bomb = bytearray([0x90, 0x01, 0x41])
+    write_uint7(bomb, 1 << 39)
+    for codec in (rans16, arith):
+        with pytest.raises((ValueError, IndexError)):
+            codec.decode(bytes(bomb), 64)
+
+    # STRIPE with N=0 must raise, not return zero-fill
+    for codec in (rans16, arith):
+        with pytest.raises(ValueError, match="zero lanes"):
+            codec.decode(bytes([0x08, 10, 0]), 10)
+
+    # the native entry points reject the same inputs without crashing
+    from jellyfish_tpu.native import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "jf_rans16_decode"):
+        import ctypes
+        buf = ctypes.create_string_buffer(64)
+        assert lib.jf_rans16_decode(deep, len(deep), buf, 4) == -1
+        assert lib.jf_arith_decode(deep, len(deep), buf, 4) == -1
+        assert lib.jf_rans16_decode(bytes(bomb), len(bomb), buf, 64) == -1
+        assert lib.jf_arith_decode(bytes(bomb), len(bomb), buf, 64) == -1
+
+
 def test_rans16_mutation_fuzz():
     rng = random.Random(99)
     raw = bytes(rng.choices(b"ACGTN", k=3000))
