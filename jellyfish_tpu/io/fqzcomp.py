@@ -281,8 +281,9 @@ def _decode_python(data: bytes, raw_size: int) -> bytes:
             ctx = p.context
             ctx += qlast << p.qloc
             # position context counts bases REMAINING (the spec's
-            # state.p starts at the record length and decrements)
-            ctx += p.ptab[min(ln - 1 - j, 1023)] << p.ploc
+            # state.p starts at the record length and decrements
+            # AFTER use)
+            ctx += p.ptab[min(ln - j, 1023)] << p.ploc
             ctx += p.dtab[min(delta, 255)] << p.dloc
             if p.pflags & P_DO_SEL:
                 ctx += sel << p.sloc
@@ -415,8 +416,9 @@ def encode(lens, quals: bytes, pflags: int = P_DO_LEN,
             ctx = p.context
             ctx += qlast << p.qloc
             # position context counts bases REMAINING (the spec's
-            # state.p starts at the record length and decrements)
-            ctx += p.ptab[min(ln - 1 - j, 1023)] << p.ploc
+            # state.p starts at the record length and decrements
+            # AFTER use)
+            ctx += p.ptab[min(ln - j, 1023)] << p.ploc
             ctx += p.dtab[min(delta, 255)] << p.dloc
             if p.pflags & P_DO_SEL:
                 ctx += sel << p.sloc

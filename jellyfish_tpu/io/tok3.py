@@ -31,7 +31,7 @@ Token types and their stream payloads:
 
     TYPE 0 (the per-position type selector, one byte per name reaching
     that position), STRING 1 (NUL-terminated), CHAR 2 (one byte),
-    DIGITS0 3 (uint32 LE, zero-padded; width from DZLEN 4),
+    DIGITS0 4 (uint32 LE, zero-padded; width from DZLEN 3),
     DUP 5 / DIFF 6 (uint32 LE distance, position 0 only),
     DIGITS 7 (uint32 LE), DELTA 8 / DELTA0 9 (uint8 delta vs the
     referenced name's numeric token), MATCH 10 (no payload),
@@ -49,8 +49,8 @@ __all__ = ["decode", "encode"]
 T_TYPE = 0
 T_STRING = 1
 T_CHAR = 2
-T_DIGITS0 = 3
-T_DZLEN = 4
+T_DZLEN = 3
+T_DIGITS0 = 4
 T_DUP = 5
 T_DIFF = 6
 T_DIGITS = 7

@@ -1313,8 +1313,8 @@ static long decode(In& in, uint8_t* out, long out_len) {
       ctx = p.context;
       ctx += qlast << p.qloc;
       // position context counts bases REMAINING (spec's state.p
-      // starts at the record length and decrements)
-      ctx += p.ptab[std::min<long>(ln - 1 - j, 1023)] << p.ploc;
+      // starts at the record length and decrements AFTER use)
+      ctx += p.ptab[std::min<long>(ln - j, 1023)] << p.ploc;
       ctx += p.dtab[std::min<long>(delta, 255)] << p.dloc;
       if (p.pflags & P_SEL) ctx += static_cast<uint32_t>(sel) << p.sloc;
       ctx &= 0xFFFF;
@@ -1351,7 +1351,7 @@ namespace tok3 {
 using r16::In;
 
 enum {
-  T_TYPE = 0, T_STRING = 1, T_CHAR = 2, T_DIGITS0 = 3, T_DZLEN = 4,
+  T_TYPE = 0, T_STRING = 1, T_CHAR = 2, T_DZLEN = 3, T_DIGITS0 = 4,
   T_DUP = 5, T_DIFF = 6, T_DIGITS = 7, T_DELTA = 8, T_DELTA0 = 9,
   T_MATCH = 10, T_NOP = 11, T_END = 12
 };
