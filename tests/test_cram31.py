@@ -481,6 +481,70 @@ def test_fqz_mutation_fuzz():
             pass
 
 
+def test_native_python_differential_fuzz():
+    """Randomized content x flags: the native decoders and the python
+    reference must produce IDENTICAL bytes (silent divergence between
+    the two implementations is the failure class round-trip tests
+    cannot see)."""
+    from jellyfish_tpu.native import get_lib
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "jf_tok3_decode"):
+        pytest.skip("native library unavailable")
+    import ctypes
+
+    def native(fn, blob, out_len):
+        buf = ctypes.create_string_buffer(max(1, out_len))
+        n = getattr(lib, fn)(blob, len(blob), buf, out_len)
+        return buf.raw[:out_len] if n == out_len else None
+
+    rng = random.Random(31337)
+    alphabets = [b"ACGT", b"ACGTN", bytes(range(256)), b"!#%+5?I", b"\x00\x01"]
+    for trial in range(120):
+        alpha = rng.choice(alphabets)
+        n = rng.choice([0, 1, 7, 255, 256, 1000, 4097])
+        raw = bytes(rng.choices(alpha, k=n))
+        r_flags = rng.choice(RANS16_FLAGSETS)
+        try:
+            blob = rans16.encode(raw, r_flags)
+        except ValueError:
+            blob = None
+        if blob is not None:
+            got = native("jf_rans16_decode", blob, len(raw))
+            assert got == raw, ("rans16", trial, r_flags)
+        a_flags = rng.choice(ARITH_FLAGSETS)
+        try:
+            blob = arith.encode(raw, a_flags)
+        except ValueError:
+            blob = None
+        if blob is not None and not (a_flags & arith.F_EXT):
+            got = native("jf_arith_decode", blob, len(raw))
+            assert got == raw, ("arith", trial, a_flags)
+    # fqz + tok3 over randomized record/name shapes
+    for trial in range(25):
+        nrec = rng.randrange(1, 30)
+        lens = [rng.randrange(1, 200) for _ in range(nrec)]
+        lo = rng.randrange(33, 60)
+        span = rng.randrange(1, 40)
+        quals = bytes(rng.randrange(lo, lo + span)
+                      for _ in range(sum(lens)))
+        kw = rng.choice([
+            dict(),
+            dict(pflags=fqzcomp.P_DO_LEN | fqzcomp.P_HAVE_QMAP),
+            dict(nparam=rng.randrange(2, 5)),
+            dict(do_rev=[rng.random() < 0.5 for _ in range(nrec)]),
+        ])
+        blob = fqzcomp.encode(lens, quals, **kw)
+        assert native("jf_fqz_decode", blob, len(quals)) == quals, \
+            ("fqz", trial, kw)
+        names = [bytes(rng.choices(b"RSTuv0123456789._:/",
+                                   k=rng.randrange(1, 25)))
+                 for _ in range(rng.randrange(1, 40))]
+        raw = _names_blob(names)
+        blob = tok3.encode(raw, rng.random() < 0.5)
+        assert native("jf_tok3_decode", blob, len(raw)) == raw, \
+            ("tok3", trial)
+
+
 # --------------------------------------------------- whole-file CRAM 3.1
 
 
