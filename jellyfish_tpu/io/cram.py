@@ -517,27 +517,112 @@ class _SliceCtx:
 class _RefStore:
     """Lazy reference-FASTA access for reference-compressed CRAMs.
     Sources, in order: JF_CRAM_REF env (fasta with all needed
-    sequences), then a local-file UR: field from @SQ."""
+    sequences), an M5-keyed reference cache directory
+    (JF_CRAM_REF_CACHE or htslib's REF_CACHE convention: a directory
+    or a %Ns/%s path template over the MD5 hex; files hold the raw
+    uppercase sequence, FASTA also accepted), then a local-file UR:
+    field from @SQ. Sequences are checksummed against the @SQ M5 tag
+    when present (htslib rule: MD5 over the uppercase sequence)."""
 
     def __init__(self, sam_header_text: bytes):
         self.names = []
         self.ur = {}
+        self.m5 = {}
         for line in sam_header_text.split(b"\n"):
             if not line.startswith(b"@SQ"):
                 continue
             name = None
             ur = None
+            m5 = None
             for f in line.rstrip(b"\r").split(b"\t")[1:]:
                 if f.startswith(b"SN:"):
                     name = f[3:].decode()
                 elif f.startswith(b"UR:"):
                     ur = f[3:].decode()
+                elif f.startswith(b"M5:"):
+                    m5 = f[3:].decode().lower()
             if name is not None:
                 self.names.append(name)
                 if ur:
                     self.ur[name] = ur
+                if m5:
+                    self.m5[name] = m5
         self._seqs = {}
+        self._checked = set()
         self._env_loaded = False
+
+    @staticmethod
+    def _cache_path(template: str, m5: str) -> str:
+        """Expand htslib's REF_CACHE path template: %Ns consumes N hex
+        chars of the M5, %s the remainder; a plain directory appends
+        the full M5."""
+        if "%" not in template:
+            return os.path.join(template, m5)
+        out = []
+        i = 0
+        pos = 0
+        while i < len(template):
+            c = template[i]
+            if c == "%":
+                j = i + 1
+                while j < len(template) and template[j].isdigit():
+                    j += 1
+                if j < len(template) and template[j] == "s":
+                    n = template[i + 1:j]
+                    take = int(n) if n else len(m5) - pos
+                    out.append(m5[pos:pos + take])
+                    pos += take
+                    i = j + 1
+                    continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    def _check_m5(self, name: str, seq: bytes) -> bytes:
+        want = self.m5.get(name)
+        if want and name not in self._checked:
+            import hashlib
+            got = hashlib.md5(seq).hexdigest()
+            if got != want:
+                raise CramError(
+                    f"reference {name!r} fails its @SQ M5 checksum "
+                    f"({got} != {want}) - wrong reference file?")
+            self._checked.add(name)
+        return seq
+
+    def _from_cache(self, name: str):
+        m5 = self.m5.get(name)
+        if not m5:
+            return None
+        for env in ("JF_CRAM_REF_CACHE", "REF_CACHE"):
+            template = os.environ.get(env)
+            if not template:
+                continue
+            path = self._cache_path(template, m5)
+            if not os.path.exists(path):
+                continue
+            with open(path, "rb") as fh:
+                data = fh.read()
+            if data.startswith(b">"):
+                seqs = {}
+                cur_name, parts = None, []
+                for line in data.split(b"\n"):
+                    line = line.rstrip(b"\r")
+                    if line.startswith(b">"):
+                        if cur_name is not None:
+                            seqs[cur_name] = b"".join(parts)
+                        cur_name = line[1:].split()[0].decode()
+                        parts = []
+                    else:
+                        parts.append(line)
+                if cur_name is not None:
+                    seqs[cur_name] = b"".join(parts)
+                seq = (seqs.get(name) or next(iter(seqs.values()), b""))
+                seq = seq.upper()
+            else:
+                seq = b"".join(data.split()).upper()
+            return self._check_m5(name, seq)
+        return None
 
     @staticmethod
     def _read_fasta(path: str):
@@ -564,25 +649,32 @@ class _RefStore:
                             "absent from the SAM header")
         name = self.names[ref_id]
         if name in self._seqs:
-            return self._seqs[name]
+            # re-check: bulk fasta loads cache sequences before their
+            # first (validating) use
+            return self._check_m5(name, self._seqs[name])
         env = os.environ.get("JF_CRAM_REF")
         if env and not self._env_loaded:
             self._seqs.update(self._read_fasta(env))
             self._env_loaded = True
             if name in self._seqs:
-                return self._seqs[name]
+                return self._check_m5(name, self._seqs[name])
+        cached = self._from_cache(name)
+        if cached is not None:
+            self._seqs[name] = cached
+            return cached
         ur = self.ur.get(name)
         if ur:
             path = ur[7:] if ur.startswith("file://") else ur
             if os.path.exists(path):
                 self._seqs.update(self._read_fasta(path))
                 if name in self._seqs:
-                    return self._seqs[name]
+                    return self._check_m5(name, self._seqs[name])
         raise CramError(
             f"reference sequence {name!r} needed to decode this CRAM: "
-            "set JF_CRAM_REF=<fasta> (or provide a readable UR: path in "
-            "the @SQ header); slices with embedded references and "
-            "no_ref CRAMs decode without it")
+            "set JF_CRAM_REF=<fasta>, JF_CRAM_REF_CACHE/REF_CACHE=<M5 "
+            "cache dir or %Ns template> (or provide a readable UR: "
+            "path in the @SQ header); slices with embedded references "
+            "and no_ref CRAMs decode without it")
 
 
 # -------------------------------------------------------------- records

@@ -497,3 +497,55 @@ def test_cli_count_cram_equals_fastq(tmp_path, capsys):
     got_q = _dump_dict(capsys, str(db_cq))
     assert got_q == _dump_dict(capsys, str(db_fq))
     assert got_q  # the threshold keeps some mers
+
+
+def test_mapped_external_ref_m5_cache(tmp_path, monkeypatch):
+    """htslib REF_CACHE convention: the reference is found by the @SQ
+    M5 tag in a cache of raw-sequence files named by MD5 hex — flat
+    directory and %Ns/%s template forms — and checksummed."""
+    import hashlib
+
+    monkeypatch.delenv("JF_CRAM_REF", raising=False)
+    m5 = hashlib.md5(REF).hexdigest()
+    sam = (b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\tM5:" + m5.encode() + b"\n")
+    rec = {"name": b"c", "mapped": True, "pos": 7, "rlen": 10,
+           "features": [], "qual": None}
+    blob = _mapped_blob([rec], sam_text=sam)
+
+    # flat directory holding the raw sequence bytes
+    flat = tmp_path / "cache"
+    flat.mkdir()
+    (flat / m5).write_bytes(REF)
+    monkeypatch.setenv("JF_CRAM_REF_CACHE", str(flat))
+    assert decode(blob) == fasta(b"c", REF[6:16])
+
+    # htslib-style %2s/%2s/%s template via the REF_CACHE env var
+    monkeypatch.delenv("JF_CRAM_REF_CACHE", raising=False)
+    nested = tmp_path / "nest" / m5[:2] / m5[2:4]
+    nested.mkdir(parents=True)
+    (nested / m5[4:]).write_bytes(REF)
+    monkeypatch.setenv("REF_CACHE",
+                       str(tmp_path / "nest") + "/%2s/%2s/%s")
+    assert decode(blob) == fasta(b"c", REF[6:16])
+
+    # a corrupted cache entry fails the M5 checksum loudly
+    (nested / m5[4:]).write_bytes(REF[:-1] + b"T")
+    with pytest.raises(CramError, match="M5 checksum"):
+        decode(blob)
+
+
+def test_mapped_ref_env_m5_mismatch(tmp_path, monkeypatch):
+    """A JF_CRAM_REF fasta whose sequence contradicts the @SQ M5 tag
+    is rejected (htslib rule: MD5 over the uppercase sequence)."""
+    monkeypatch.delenv("REF_CACHE", raising=False)
+    wrong = REF[:-1] + b"T"
+    ref_fa = tmp_path / "wrong.fa"
+    ref_fa.write_bytes(b">chr1\n" + wrong + b"\n")
+    monkeypatch.setenv("JF_CRAM_REF", str(ref_fa))
+    import hashlib
+    sam = (b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\tM5:"
+           + hashlib.md5(REF).hexdigest().encode() + b"\n")
+    rec = {"name": b"x", "mapped": True, "pos": 1, "rlen": 8,
+           "features": [], "qual": None}
+    with pytest.raises(CramError, match="M5 checksum"):
+        decode(_mapped_blob([rec], sam_text=sam))
