@@ -100,6 +100,27 @@ def _prefetch(iterable, depth: int = 4):
         raise state["error"]
 
 
+def _device_staged(batches):
+    """Double-buffered H2D staging: issue the (async) device_put of
+    batch i+1 before batch i's pipeline is dispatched, so the transfer
+    of the next batch rides under the current batch's compute
+    (roadmap item 4 in PERF.md; counter's jnp.asarray is a no-op on
+    already-device arrays)."""
+    import jax
+
+    prev = None
+    for batch in batches:
+        staged = (
+            jax.device_put(np.stack([b[0] for b in batch])),
+            jax.device_put(np.stack([b[1] for b in batch])),
+        )
+        if prev is not None:
+            yield prev
+        prev = staged
+    if prev is not None:
+        yield prev
+
+
 def _batched(iterable, n: int):
     """Group items into lists of n, padding the tail by repeating items
     zeroed out (works for uint8 chunks and (pwords, validbits) tuples:
@@ -270,13 +291,10 @@ def _run_counting(args, argv, k, counter, chunker, t_start):
             # batch B chunks per device dispatch (amortizes the fixed
             # dispatch latency; tail pads with all-invalid chunks)
             B = int(os.environ.get("JF_INGEST_BATCH", 8))
-            for batch in _prefetch(
-                _batched(chunker.chunks_packed(), B)
+            for pw, vb in _device_staged(
+                _prefetch(_batched(chunker.chunks_packed(), B))
             ):
-                counter.add_chunks_packed_batch(
-                    np.stack([b[0] for b in batch]),
-                    np.stack([b[1] for b in batch]),
-                )
+                counter.add_chunks_packed_batch(pw, vb)
                 maybe_spill()
     else:
         if n_devices > 1:
