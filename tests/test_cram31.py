@@ -595,6 +595,24 @@ def test_cram31_method_matrix_on_sequences(method):
     assert decode_cram(blob) == _expected(recs)
 
 
+def test_cram31_end_to_end_pure_python(monkeypatch):
+    """The same all-new-methods file decodes identically with the
+    native library disabled (python is the reference implementation)."""
+    monkeypatch.setenv("JF_NO_NATIVE", "1")
+    rng = random.Random(314)
+    recs = _records(rng)
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    methods = {cid: "arith" for cid in range(1, 8)}
+    methods[6] = "tok3"
+    methods[8] = "rans16-o1"
+    methods[9] = fqz_method([len(r["qual"]) for r in recs])
+    methods["slice_header"] = "rans16"
+    blob = simple_cram(recs, series=series, block_methods=methods,
+                       version=(3, 1))
+    assert decode_cram(blob) == _expected(recs)
+
+
 def test_cram31_tok3_arith_names():
     rng = random.Random(555)
     recs = _records(rng, n=12)
