@@ -633,17 +633,18 @@ static bool read_freqs0(In& in, uint64_t f[256]) {
   return in.ok && normalise(f, kShiftO0);
 }
 
-static long decode_rans0(In& in, uint8_t* out, long n, int N) {
+template <int N>
+static long decode_rans0_t(In& in, uint8_t* out, long n) {
   uint64_t f[256];
   if (!read_freqs0(in, f)) return -1;
   Table t;
   if (!t.build(f, kShiftO0)) return -1;
-  uint32_t x[32];
+  uint32_t x[N];
   for (int j = 0; j < N; ++j) x[j] = in.u32();
   if (!in.ok) return -1;
   const uint32_t mask = (1u << kShiftO0) - 1;
   for (long i = 0; i < n; ++i) {
-    uint32_t& s = x[i % N];
+    uint32_t& s = x[i % N];  // N is constexpr: compiles to a mask
     uint32_t m = s & mask;
     out[i] = t.sym[m];
     s = t.freq[m] * (s >> kShiftO0) + m - t.cum[m];
@@ -654,6 +655,11 @@ static long decode_rans0(In& in, uint8_t* out, long n, int N) {
     }
   }
   return n;
+}
+
+static long decode_rans0(In& in, uint8_t* out, long n, int N) {
+  return N == 32 ? decode_rans0_t<32>(in, out, n)
+                 : decode_rans0_t<4>(in, out, n);
 }
 
 static long decode_rans1(In& in, uint8_t* out, long n, int N) {
@@ -939,15 +945,21 @@ struct RangeDecoder {
 };
 
 struct SimpleModel {
-  std::vector<uint32_t> freqs;
-  std::vector<uint16_t> syms;
+  // inline fixed storage (no per-model heap vectors): totals stay
+  // under 2^16 by the kMaxFreq renormalisation, so uint16 frequencies
+  // are exact
+  std::array<uint16_t, 256> freqs;
+  std::array<uint16_t, 256> syms;
   uint32_t total;
-  explicit SimpleModel(int nsym)
-      : freqs(nsym, 1), syms(nsym), total(nsym) {
-    for (int i = 0; i < nsym; ++i) syms[i] = static_cast<uint16_t>(i);
+  int nsym;
+  explicit SimpleModel(int n) : total(n), nsym(n) {
+    for (int i = 0; i < n; ++i) {
+      freqs[i] = 1;
+      syms[i] = static_cast<uint16_t>(i);
+    }
   }
-  void bump(size_t i) {
-    freqs[i] += kStep;
+  void bump(int i) {
+    freqs[i] = static_cast<uint16_t>(freqs[i] + kStep);
     total += kStep;
     if (i > 0 && freqs[i] > freqs[i - 1]) {
       std::swap(freqs[i], freqs[i - 1]);
@@ -955,8 +967,8 @@ struct SimpleModel {
     }
     if (total > kMaxFreq) {
       total = 0;
-      for (size_t k = 0; k < freqs.size(); ++k) {
-        freqs[k] -= freqs[k] >> 1;
+      for (int k = 0; k < nsym; ++k) {
+        freqs[k] = static_cast<uint16_t>(freqs[k] - (freqs[k] >> 1));
         total += freqs[k];
       }
     }
@@ -964,12 +976,12 @@ struct SimpleModel {
   int decode(RangeDecoder& rc) {
     uint32_t f = rc.get_freq(total);
     uint32_t acc = 0;
-    size_t i = 0;
-    while (i < freqs.size() && acc + freqs[i] <= f) {
+    int i = 0;
+    while (i < nsym && acc + freqs[i] <= f) {
       acc += freqs[i];
       ++i;
     }
-    if (i >= freqs.size()) return -1;
+    if (i >= nsym) return -1;
     if (!rc.decode(acc, freqs[i])) return -1;
     int sym = syms[i];
     bump(i);
