@@ -674,3 +674,44 @@ def test_cram31_count_cli_equivalence(tmp_path, capsys):
              "-o", str(out_f), str(fq_path)])
     got = _dump_dict(capsys, str(out_c))
     assert got == _dump_dict(capsys, str(out_f)) and got
+
+
+def test_cram31_sharded_devices_matches_single(tmp_path):
+    """`count -d 8 --sam r31.cram` (8-device CPU mesh) dumps the same
+    table as the single-chip run — CRAM 3.1 ingest composes with the
+    sharded counter."""
+    import os
+    import subprocess
+    import sys
+
+    rng = random.Random(606)
+    recs = _records(rng, n=16)
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    methods = {6: "tok3", 8: "rans16-o1",
+               9: fqz_method([len(r["qual"]) for r in recs])}
+    cram_path = tmp_path / "r31.cram"
+    cram_path.write_bytes(simple_cram(recs, series=series,
+                                      block_methods=methods,
+                                      version=(3, 1)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+
+    def run_count(out, devices):
+        r = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "15",
+             "-s", "16k", "-C", "-d", devices, "--sam", str(cram_path),
+             "-o", str(out)],
+            env=env, capture_output=True, text=True, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr
+        d = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "dump", "-c",
+             str(out)],
+            env=env, capture_output=True, text=True, cwd="/root/repo")
+        assert d.returncode == 0, d.stderr
+        return sorted(d.stdout.splitlines())
+
+    one = run_count(tmp_path / "one.jf", "1")
+    eight = run_count(tmp_path / "eight.jf", "8")
+    assert one and eight == one

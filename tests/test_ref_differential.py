@@ -282,3 +282,20 @@ def test_if_subset_matches_reference(ref_oracle, seq_files, tmp_path):
     ours = _our_counts(our_db)
     assert ours == ref
     assert 0 in set(ref.values())  # the scenario really exercises priming
+
+
+def test_whole_file_multiword_k_matches_reference(ref_oracle, seq_files,
+                                                  tmp_path):
+    """k=33: three 32-bit sortkey limbs (W=3) exercise the multi-word
+    sort/limb logic against the reference's own count pipeline."""
+    k = 33
+    ref_db = tmp_path / "ref33.jf"
+    subprocess.run(
+        [ref_oracle, "count", str(ref_db), str(k), "262144", "1"]
+        + seq_files,
+        check=True, capture_output=True,
+    )
+    our_db = tmp_path / "ours33.jf"
+    _run_cli(["count", "-m", str(k), "-s", "256k", "-C",
+              "-o", str(our_db)] + seq_files)
+    assert _our_counts(our_db) == _ref_counts(ref_oracle, ref_db)
