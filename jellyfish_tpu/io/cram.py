@@ -604,44 +604,35 @@ class _RefStore:
             with open(path, "rb") as fh:
                 data = fh.read()
             if data.startswith(b">"):
-                seqs = {}
-                cur_name, parts = None, []
-                for line in data.split(b"\n"):
-                    line = line.rstrip(b"\r")
-                    if line.startswith(b">"):
-                        if cur_name is not None:
-                            seqs[cur_name] = b"".join(parts)
-                        cur_name = line[1:].split()[0].decode()
-                        parts = []
-                    else:
-                        parts.append(line)
-                if cur_name is not None:
-                    seqs[cur_name] = b"".join(parts)
+                seqs = self._parse_fasta(data)
                 seq = (seqs.get(name) or next(iter(seqs.values()), b""))
-                seq = seq.upper()
             else:
                 seq = b"".join(data.split()).upper()
             return self._check_m5(name, seq)
         return None
 
     @staticmethod
-    def _read_fasta(path: str):
+    def _parse_fasta(data: bytes):
         seqs = {}
         name = None
         parts = []
-        with open(path, "rb") as fh:
-            for line in fh:
-                line = line.rstrip(b"\r\n")
-                if line.startswith(b">"):
-                    if name is not None:
-                        seqs[name] = b"".join(parts).upper()
-                    name = line[1:].split()[0].decode()
-                    parts = []
-                else:
-                    parts.append(line)
+        for line in data.split(b"\n"):
+            line = line.rstrip(b"\r")
+            if line.startswith(b">"):
+                if name is not None:
+                    seqs[name] = b"".join(parts).upper()
+                name = line[1:].split()[0].decode()
+                parts = []
+            else:
+                parts.append(line)
         if name is not None:
             seqs[name] = b"".join(parts).upper()
         return seqs
+
+    @classmethod
+    def _read_fasta(cls, path: str):
+        with open(path, "rb") as fh:
+            return cls._parse_fasta(fh.read())
 
     def get(self, ref_id: int) -> bytes:
         if not 0 <= ref_id < len(self.names):

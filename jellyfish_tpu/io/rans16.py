@@ -469,9 +469,16 @@ def _encode_pack(raw: bytes):
 
 # ----------------------------------------------------------------- RLE
 
-def _decode_rle_meta(cur: _Cur):
+def _decode_rle_meta(cur: _Cur, rle_len: int):
     rle_meta_len = cur.uint7()
     lit_len = cur.uint7()
+    if lit_len > rle_len:
+        raise ValueError("RLE literal length exceeds expanded length")
+    # metadata = 1 count byte + <=256 symbols + one uint7 run per
+    # literal: bounds the decode allocation an adversarial length
+    # could otherwise force
+    if (rle_meta_len >> 1) > 257 + 10 * lit_len:
+        raise ValueError("RLE metadata length implausible")
     if rle_meta_len & 1:
         meta = cur.take(rle_meta_len >> 1)
     else:
@@ -591,9 +598,7 @@ def _decode(cur: _Cur, out_len) -> bytes:
     rle_len = 0
     if flags & F_RLE:
         rle_len = out_len
-        rle_meta, out_len = _decode_rle_meta(cur)
-        if out_len > rle_len:
-            raise ValueError("RLE literal length exceeds expanded length")
+        rle_meta, out_len = _decode_rle_meta(cur, rle_len)
     if out_len == 0:
         data = b""
     elif flags & F_CAT:

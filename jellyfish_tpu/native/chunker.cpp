@@ -791,6 +791,10 @@ static long decode(In& in, uint8_t* out, long out_len, int depth) {
     uint64_t meta_len2 = in.uint7();
     uint64_t lit_len = in.uint7();
     if (!in.ok || lit_len > static_cast<uint64_t>(rle_len)) return -1;
+    // metadata = 1 count byte + <=256 symbols + one uint7 run per
+    // literal: bounds the decode allocation an adversarial length
+    // could otherwise force
+    if ((meta_len2 >> 1) > 257 + 10 * lit_len) return -1;
     long meta_len = static_cast<long>(meta_len2 >> 1);
     if (meta_len2 & 1) {
       const uint8_t* cp;

@@ -140,12 +140,22 @@ def test_adversarial_blocks_rejected():
     accepted: deep STRIPE nesting (C stack overflow), a PACK length
     bomb (std::bad_alloc across the C ABI), and STRIPE with zero
     lanes (silent zero-fill)."""
-    # ~200k nested STRIPE|NOSZ layers: flags 0x18, N=1, uint7 clen
-    deep = b"\x00" * 4
+    # ~200k nested STRIPE|NOSZ layers: flags 0x18, N=1, uint7 clen.
+    # Built outside-in from arithmetic layer sizes (an O(n) join; the
+    # naive front-prepend construction is O(n^2))
+    size = 4
+    sizes = [size]
     for _ in range(200_000):
-        inner = bytearray([0x18, 1])
-        write_uint7(inner, len(deep))
-        deep = bytes(inner) + deep
+        hdr = bytearray([0x18, 1])
+        write_uint7(hdr, size)
+        size += len(hdr)
+        sizes.append(size)
+    headers = []
+    for s in sizes[:-1][::-1]:
+        hdr = bytearray([0x18, 1])
+        write_uint7(hdr, s)
+        headers.append(bytes(hdr))
+    deep = b"".join(headers) + b"\x00" * 4
     for mod in ("rans16", "arith"):
         codec = rans16 if mod == "rans16" else arith
         with pytest.raises((ValueError, RecursionError)):
