@@ -1457,9 +1457,15 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
     }
   }
 
+  // flatten the stream table: one indexed load per token instead of a
+  // map lookup (the map find dominated the reconstruction loop)
+  int max_pos = 0;
+  for (const auto& kv : streams) max_pos = std::max(max_pos, kv.first.first);
+  std::vector<Stream*> flat((max_pos + 1) * (T_END + 1), nullptr);
+  for (auto& kv : streams)
+    flat[kv.first.first * (T_END + 1) + kv.first.second] = &kv.second;
   auto get = [&](int pos, int ttype) -> Stream* {
-    auto it = streams.find({pos, ttype});
-    return it == streams.end() ? nullptr : &it->second;
+    return pos > max_pos ? nullptr : flat[pos * (T_END + 1) + ttype];
   };
 
   std::vector<std::vector<Tok>> toks(nnames);
