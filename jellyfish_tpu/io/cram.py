@@ -1,4 +1,4 @@
-"""CRAM 3.0/3.1 reader — native sequence/quality extraction, no htslib.
+"""CRAM 2.x/3.0/3.1 reader — native sequence/quality extraction, no htslib.
 
 The reference consumes CRAM through htslib behind `sam_format.hpp:22-57`
 (only next()/seq_len()/base(i)/qual(i) — sequences and qualities, no
@@ -384,7 +384,10 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 class Block:
     __slots__ = ("method", "ctype", "cid", "data")
 
-    def __init__(self, cur: ByteCursor, verify_crc: bool = True):
+    def __init__(self, cur: ByteCursor, verify_crc: bool = True,
+                 has_crc: bool = True):
+        """has_crc: CRAM 3.x appends a CRC32 to every block; 2.x framing
+        has none (htslib cram_read_block gates the read on major >= 3)."""
         start = cur.pos
         self.method = cur.u8()
         self.ctype = cur.u8()
@@ -392,10 +395,11 @@ class Block:
         comp_size = cur.itf8()
         raw_size = cur.itf8()
         comp = cur.take(comp_size)
-        crc_calc = zlib.crc32(cur.buf[start:cur.pos])
-        crc_stored = struct.unpack("<I", cur.take(4))[0]
-        if verify_crc and crc_calc != crc_stored:
-            raise CramError("CRAM block CRC mismatch")
+        if has_crc:
+            crc_calc = zlib.crc32(cur.buf[start:cur.pos])
+            crc_stored = struct.unpack("<I", cur.take(4))[0]
+            if verify_crc and crc_calc != crc_stored:
+                raise CramError("CRAM block CRC mismatch")
         self.data = _decompress(self.method, comp, raw_size)
 
 
@@ -482,13 +486,15 @@ for _i, _b in enumerate(b"ACGTN"):
 
 
 class SliceHeader:
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, v3: bool = True):
         cur = ByteCursor(data)
         self.ref_id = cur.itf8()
         self.start = cur.itf8()
         self.span = cur.itf8()
         self.n_records = cur.itf8()
-        self.record_counter = cur.ltf8()
+        # 2.x slice headers carry the record counter as itf8 (htslib
+        # cram_decode_slice_header: ltf8 only for major >= 3)
+        self.record_counter = cur.ltf8() if v3 else cur.itf8()
         self.n_blocks = cur.itf8()
         self.content_ids = cur.itf8_array()
         self.embedded_ref_id = cur.itf8()
@@ -944,17 +950,21 @@ class ContainerHeader:
     __slots__ = ("length", "ref_id", "start", "span", "n_records",
                  "record_counter", "n_blocks")
 
-    def __init__(self, first4: bytes, cur: StreamCursor):
+    def __init__(self, first4: bytes, cur: StreamCursor, v3: bool = True):
         (self.length,) = struct.unpack("<i", first4)
         self.ref_id = cur.itf8()
         self.start = cur.itf8()
         self.span = cur.itf8()
         self.n_records = cur.itf8()
-        self.record_counter = cur.ltf8()
+        # 2.x: record counter is itf8 and the header carries no CRC32
+        # (htslib cram_read_container gates both on major >= 3); bases
+        # stays ltf8 in both
+        self.record_counter = cur.ltf8() if v3 else cur.itf8()
         cur.ltf8()  # bases
         self.n_blocks = cur.itf8()
         cur.itf8_array()  # landmarks (blocks are walked sequentially)
-        cur.take(4)  # container header CRC32
+        if v3:
+            cur.take(4)  # container header CRC32
 
     @property
     def is_eof(self) -> bool:
@@ -970,11 +980,16 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
     if len(ver) != 2:
         raise CramError("truncated CRAM file definition")
     major, minor = ver
-    if major != 3:
+    if major not in (2, 3):
         raise CramError(
-            f"CRAM version {major}.{minor} not supported (3.x only; "
+            f"CRAM version {major}.{minor} not supported (2.x/3.x only; "
             "re-encode with `samtools view -C --output-fmt-option "
             "version=3.0`)")
+    # 2.x (cramtools-era legacy) differs from 3.x only in framing: no
+    # CRC32 on container headers or blocks, and itf8 record counters in
+    # container/slice headers. Codecs, encodings, features and the
+    # native slice decoder are shared.
+    v3 = major == 3
     stream.read(20)  # file id
     refs: Optional[_RefStore] = None
     scur = StreamCursor(stream)
@@ -984,14 +999,14 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
             return  # EOF container is recommended, not required
         if len(first4) != 4:
             raise CramError("truncated CRAM container")
-        ch = ContainerHeader(first4, scur)
+        ch = ContainerHeader(first4, scur, v3)
         body = stream.read(ch.length)
         if len(body) != ch.length:
             raise CramError("truncated CRAM container body")
         if ch.is_eof:
             return
         cur = ByteCursor(body)
-        first_block = Block(cur)
+        first_block = Block(cur, has_crc=v3)
         if first_block.ctype == CT_FILE_HEADER:
             # SAM header text: int32 length + text
             (text_len,) = struct.unpack_from("<i", first_block.data, 0)
@@ -1003,14 +1018,14 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
         comp = CompressionHeader(first_block.data)
         counter = ch.record_counter
         while not cur.eof():
-            sh_block = Block(cur)
+            sh_block = Block(cur, has_crc=v3)
             if sh_block.ctype != CT_SLICE_HEADER:
                 raise CramError("expected a slice header block")
-            sh = SliceHeader(sh_block.data)
+            sh = SliceHeader(sh_block.data, v3)
             core_data = b""
             externals_raw = {}
             for _ in range(sh.n_blocks):
-                blk = Block(cur)
+                blk = Block(cur, has_crc=v3)
                 if blk.ctype == CT_CORE:
                     core_data = blk.data
                 elif blk.ctype == CT_EXTERNAL:

@@ -277,7 +277,8 @@ def fqz_method(lens, **kw):
     return _m
 
 
-def block(ctype: int, cid: int, data: bytes, method="raw") -> bytes:
+def block(ctype: int, cid: int, data: bytes, method="raw",
+          v3: bool = True) -> bytes:
     if callable(method):
         method_id, comp = method(data)
     else:
@@ -287,25 +288,30 @@ def block(ctype: int, cid: int, data: bytes, method="raw") -> bytes:
     write_itf8(head, len(comp))
     write_itf8(head, len(data))
     payload = bytes(head) + comp
+    if not v3:  # 2.x blocks carry no CRC32
+        return payload
     return payload + struct.pack("<I", zlib.crc32(payload))
 
 
 def container(blocks: bytes, n_blocks: int, ref_id: int = -1,
               start: int = 0, span: int = 0, n_records: int = 0,
               record_counter: int = 0, bases: int = 0,
-              landmarks=()) -> bytes:
+              landmarks=(), v3: bool = True) -> bytes:
     head = bytearray()
     write_itf8(head, ref_id)
     write_itf8(head, start)
     write_itf8(head, span)
     write_itf8(head, n_records)
-    write_ltf8(head, record_counter)
+    # 2.x: itf8 record counter, no header CRC32 (bases stays ltf8)
+    (write_ltf8 if v3 else write_itf8)(head, record_counter)
     write_ltf8(head, bases)
     write_itf8(head, n_blocks)
     write_itf8(head, len(landmarks))
     for lm in landmarks:
         write_itf8(head, lm)
     raw = struct.pack("<i", len(blocks)) + bytes(head)
+    if not v3:
+        return raw + blocks
     return raw + struct.pack("<I", zlib.crc32(raw)) + blocks
 
 
@@ -345,13 +351,13 @@ def compression_header(series: dict, rn_preserved=True, ap_delta=True,
 
 
 def slice_header(ref_id, start, span, n_records, record_counter,
-                 content_ids, embedded_ref_id=-1) -> bytes:
+                 content_ids, embedded_ref_id=-1, v3: bool = True) -> bytes:
     out = bytearray()
     write_itf8(out, ref_id)
     write_itf8(out, start)
     write_itf8(out, span)
     write_itf8(out, n_records)
-    write_ltf8(out, record_counter)
+    (write_ltf8 if v3 else write_itf8)(out, record_counter)
     write_itf8(out, 1 + len(content_ids))  # core + externals
     write_itf8(out, len(content_ids))
     for cid in content_ids:
@@ -367,17 +373,17 @@ def file_definition(file_id=b"jellyfish-tpu-test\x00\x00",
     return b"CRAM" + bytes(version) + file_id
 
 
-def sam_header_container(text: bytes, method="raw") -> bytes:
+def sam_header_container(text: bytes, method="raw", v3: bool = True) -> bytes:
     data = struct.pack("<i", len(text)) + text
-    blk = block(0, 0, data, method)
-    return container(blk, 1)
+    blk = block(0, 0, data, method, v3=v3)
+    return container(blk, 1, v3=v3)
 
 
-def eof_container() -> bytes:
+def eof_container(v3: bool = True) -> bytes:
     empty_comp = compression_header({})
-    blk = block(1, 0, empty_comp)
+    blk = block(1, 0, empty_comp, v3=v3)
     return container(blk, 1, ref_id=-1, start=EOF_POSITION, span=0,
-                     n_records=0)
+                     n_records=0, v3=v3)
 
 
 # ---------------------------------------------------------------- slices
@@ -402,7 +408,7 @@ def encode_slice(series: dict, records, ref_id=-1, start=0, span=0,
                  record_counter=0, ap_delta=True, rn_preserved=True,
                  embedded_ref=None, embedded_ref_id=99, multiref=False,
                  block_methods=None, tags=None, tag_encodings=None,
-                 detached=False) -> bytes:
+                 detached=False, v3: bool = True) -> bytes:
     """Encode one slice (header block + core + externals). `series`
     maps series keys to encoder objects; every content id used by the
     encoders becomes an external block. `tags`: list of (tag3bytes,
@@ -478,12 +484,13 @@ def encode_slice(series: dict, records, ref_id=-1, start=0, span=0,
     out += block(2, 0, slice_header(
         -2 if multiref else ref_id, start, span, len(records),
         record_counter, cids,
-        embedded_ref_id if embedded_ref is not None else -1),
-        methods.get("slice_header", "raw"))
-    out += block(5, 0, sink.core.getvalue(), methods.get(CORE, "raw"))
+        embedded_ref_id if embedded_ref is not None else -1, v3=v3),
+        methods.get("slice_header", "raw"), v3=v3)
+    out += block(5, 0, sink.core.getvalue(), methods.get(CORE, "raw"),
+                 v3=v3)
     for cid in cids:
         out += block(4, cid, bytes(sink.ext[cid]),
-                     methods.get(cid, "raw"))
+                     methods.get(cid, "raw"), v3=v3)
     return bytes(out)
 
 
@@ -515,26 +522,30 @@ def default_series(multiref=False, detached=False, with_features=False,
 
 def data_container(comp_header: bytes, slices: bytes, n_blocks: int,
                    n_records: int, record_counter: int,
-                   comp_method="raw") -> bytes:
-    blocks = block(1, 0, comp_header, comp_method) + slices
+                   comp_method="raw", v3: bool = True) -> bytes:
+    blocks = block(1, 0, comp_header, comp_method, v3=v3) + slices
     return container(blocks, n_blocks, ref_id=-1, start=0, span=0,
-                     n_records=n_records, record_counter=record_counter)
+                     n_records=n_records, record_counter=record_counter,
+                     v3=v3)
 
 
-def count_blocks(slices_bytes: bytes) -> int:
+def count_blocks(slices_bytes: bytes, v3: bool = True) -> int:
     """Blocks are self-delimiting; count them for the container header."""
     from jellyfish_tpu.io.cram import ByteCursor, Block
     cur = ByteCursor(slices_bytes)
     n = 0
     while not cur.eof():
-        Block(cur)
+        Block(cur, has_crc=v3)
         n += 1
     return n
 
 
 def simple_cram(records, sam_text=b"@HD\tVN:1.6\n", series=None,
                 block_methods=None, version=(3, 0), **kw) -> bytes:
-    """One-container CRAM holding `records` (see encode_slice)."""
+    """One-container CRAM holding `records` (see encode_slice).
+    version=(2, 0) / (2, 1) emits legacy 2.x framing (no CRCs, itf8
+    record counters)."""
+    v3 = version[0] == 3
     series = series or default_series(
         multiref=kw.get("multiref", False),
         detached=kw.get("detached", False),
@@ -547,9 +558,10 @@ def simple_cram(records, sam_text=b"@HD\tVN:1.6\n", series=None,
         subst=kw.pop("subst", b"\x1b" * 5),
         tag_dict=kw.pop("tag_dict", None),
         tag_encodings=kw.get("tag_encodings"))
-    sl = encode_slice(series, records, block_methods=block_methods, **kw)
-    n_blocks = 1 + count_blocks(sl)
+    sl = encode_slice(series, records, block_methods=block_methods, v3=v3,
+                      **kw)
+    n_blocks = 1 + count_blocks(sl, v3=v3)
     return (file_definition(version=version)
-            + sam_header_container(sam_text)
-            + data_container(comp, sl, n_blocks, len(records), 0)
-            + eof_container())
+            + sam_header_container(sam_text, v3=v3)
+            + data_container(comp, sl, n_blocks, len(records), 0, v3=v3)
+            + eof_container(v3=v3))

@@ -328,10 +328,81 @@ def test_missing_eof_container_tolerated():
 # ------------------------------------------------------------- failures
 
 
-def test_rejects_cram_v2():
-    blob = b"CRAM\x02\x01" + b"\x00" * 20
-    with pytest.raises(CramError, match="version 2.1"):
+def test_rejects_cram_v1():
+    blob = b"CRAM\x01\x00" + b"\x00" * 20
+    with pytest.raises(CramError, match="version 1.0"):
         decode(blob)
+
+
+# ------------------------------------------------------- 2.x legacy framing
+# CRAM 2.x differs from 3.0 only in framing: no CRC32 on container
+# headers or blocks, itf8 (not ltf8) record counters in container and
+# slice headers (htslib cram_read_container / cram_decode_slice_header
+# gate exactly these on major >= 3). Codecs and features are shared, so
+# the 3.0 expectations apply verbatim.
+
+
+@pytest.mark.parametrize("version", [(2, 0), (2, 1)])
+def test_v2_unmapped_roundtrip(version):
+    assert decode(simple_cram(RECORDS, version=version)) == b"".join(EXPECT)
+
+
+def test_v2_mapped_features_embedded_ref():
+    rec = {"name": b"m1", "mapped": True, "pos": 3, "rlen": 12,
+           "features": [(5, "X", 1)], "qual": None}
+    out = decode(simple_cram(
+        [rec], sam_text=b"@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:36\n", ref_id=0,
+        start=1, span=36, embedded_ref=REF, version=(2, 1)))
+    # pos 3 len 12 = REF[2:14] with a substitution at read offset 4:
+    # ref base REF[6] = 'G', SM default code 1 -> 'C' (ACGTN minus G)
+    want = bytearray(REF[2:14])
+    assert want[4] == ord("G")
+    want[4] = ord("C")
+    assert out == fasta(b"m1", bytes(want))
+
+
+@pytest.mark.parametrize("method", ["gzip", "bzip2"])
+def test_v2_era_block_compression(method):
+    methods = {cw.CORE: method, "slice_header": method}
+    for cid in range(1, 30):
+        methods[cid] = method
+    series = cw.default_series()
+    sl = cw.encode_slice(series, RECORDS, block_methods=methods, v3=False)
+    comp = cw.compression_header(series)
+    blob = (cw.file_definition(version=(2, 1))
+            + cw.sam_header_container(b"@HD\tVN:1.6\n", method=method,
+                                      v3=False)
+            + cw.data_container(comp, sl, 1 + cw.count_blocks(sl, v3=False),
+                                len(RECORDS), 0, comp_method=method,
+                                v3=False)
+            + cw.eof_container(v3=False))
+    assert decode(blob) == b"".join(EXPECT)
+
+
+def test_v2_multi_slice_large_record_counter():
+    """record_counter > 2^31 would mis-frame if read as ltf8; itf8
+    round-trips any int32 value."""
+    series = cw.default_series()
+    base = (1 << 31) - 7
+    sl1 = cw.encode_slice(series, RECORDS[:2], record_counter=base,
+                          v3=False)
+    sl2 = cw.encode_slice(series, RECORDS[2:], record_counter=base + 2,
+                          v3=False)
+    comp = cw.compression_header(series)
+    cont = cw.data_container(comp, sl1 + sl2,
+                             1 + cw.count_blocks(sl1 + sl2, v3=False), 3,
+                             base, v3=False)
+    blob = (cw.file_definition(version=(2, 0))
+            + cw.sam_header_container(b"@HD\n", v3=False) + cont
+            + cw.eof_container(v3=False))
+    assert decode(blob) == b"".join(EXPECT)
+
+
+def test_v2_native_and_python_agree(monkeypatch):
+    blob = simple_cram(RECORDS, version=(2, 1))
+    native = decode(blob)
+    monkeypatch.setenv("JF_NO_NATIVE", "1")
+    assert decode(blob) == native
 
 
 def test_rejects_corrupt_block_crc():
@@ -497,6 +568,18 @@ def test_cli_count_cram_equals_fastq(tmp_path, capsys):
     got_q = _dump_dict(capsys, str(db_cq))
     assert got_q == _dump_dict(capsys, str(db_fq))
     assert got_q  # the threshold keeps some mers
+
+    # same reads through legacy 2.1 framing (gzip-era codecs) count
+    # identically
+    cram2_path = tmp_path / "reads.v21.cram"
+    cram2_path.write_bytes(simple_cram(
+        recs, version=(2, 1),
+        block_methods={cw.CORE: "gzip", 8: "bzip2", 9: "gzip"}))
+    db_c2 = tmp_path / "c2.jf"
+    run_cli(["count", "-m", "15", "-s", "16k", "-C", "--sam",
+             str(cram2_path), "-o", str(db_c2)])
+    assert _dump_dict(capsys, str(db_c2)) == \
+        _dump_dict(capsys, str(db_f))
 
 
 def test_mapped_external_ref_m5_cache(tmp_path, monkeypatch):
