@@ -434,6 +434,12 @@ class CompressionHeader:
                     [line[i:i + 3] for i in range(0, len(line), 3)]
                     for line in blob.split(b"\x00")[:-1]
                 ] or [[]]
+            elif key in (b"MI", b"UI", b"PI"):
+                # CRAM 1.0-era keys (mapped/unmapped QS included, read
+                # names included per pair) still emitted by cramtools-era
+                # 2.x writers; htslib's cram_decode_compression_header
+                # tolerates them as single-byte booleans — so do we
+                cur.u8()
             else:
                 raise CramError(f"unknown preservation key {key!r}")
         # data series encodings (raw bytes retained for the native

@@ -329,13 +329,14 @@ def _map_bytes(entries) -> bytes:
 
 def compression_header(series: dict, rn_preserved=True, ap_delta=True,
                        rr=True, subst=b"\x1b" * 5, tag_dict=None,
-                       tag_encodings=None) -> bytes:
+                       tag_encodings=None, extra_pres=()) -> bytes:
     pres = [
         b"RN" + bytes([int(rn_preserved)]),
         b"AP" + bytes([int(ap_delta)]),
         b"RR" + bytes([int(rr)]),
         b"SM" + subst,
     ]
+    pres.extend(extra_pres)  # raw key+value entries (legacy keys etc.)
     if tag_dict is not None:
         blob = b"".join(b"".join(line) + b"\x00" for line in tag_dict)
         pres.append(b"TD" + itf8(len(blob)) + blob)
@@ -557,7 +558,8 @@ def simple_cram(records, sam_text=b"@HD\tVN:1.6\n", series=None,
         rr=kw.pop("rr", True),
         subst=kw.pop("subst", b"\x1b" * 5),
         tag_dict=kw.pop("tag_dict", None),
-        tag_encodings=kw.get("tag_encodings"))
+        tag_encodings=kw.get("tag_encodings"),
+        extra_pres=kw.pop("extra_pres", ()))
     sl = encode_slice(series, records, block_methods=block_methods, v3=v3,
                       **kw)
     n_blocks = 1 + count_blocks(sl, v3=v3)

@@ -361,6 +361,15 @@ def test_v2_mapped_features_embedded_ref():
     assert out == fasta(b"m1", bytes(want))
 
 
+def test_v2_legacy_preservation_keys():
+    """cramtools-era 2.x files may carry CRAM 1.0 preservation keys
+    MI/UI/PI (single-byte booleans); htslib skips them and so must we
+    (cram_decode_compression_header tolerance, ADVICE round 2)."""
+    legacy = (b"MI\x01", b"UI\x01", b"PI\x00")
+    blob = simple_cram(RECORDS, version=(2, 0), extra_pres=legacy)
+    assert decode(blob) == b"".join(EXPECT)
+
+
 @pytest.mark.parametrize("method", ["gzip", "bzip2"])
 def test_v2_era_block_compression(method):
     methods = {cw.CORE: method, "slice_header": method}
@@ -380,10 +389,13 @@ def test_v2_era_block_compression(method):
 
 
 def test_v2_multi_slice_large_record_counter():
-    """record_counter > 2^31 would mis-frame if read as ltf8; itf8
-    round-trips any int32 value."""
+    """record_counter with itf8 first byte >= 0xF8 (top bit of the
+    value set): a decoder misreading the 2.x counters as ltf8 would
+    consume 6 bytes instead of 5 and mis-frame the slice header. (A
+    value just below 2^31 would NOT catch that regression: its 5-byte
+    itf8 leads with 0xF7, which ltf8 also frames as 5 bytes.)"""
     series = cw.default_series()
-    base = (1 << 31) - 7
+    base = (1 << 31) + 5  # itf8 leading byte 0xF8
     sl1 = cw.encode_slice(series, RECORDS[:2], record_counter=base,
                           v3=False)
     sl2 = cw.encode_slice(series, RECORDS[2:], record_counter=base + 2,
