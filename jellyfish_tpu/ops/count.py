@@ -34,7 +34,7 @@ import numpy as np
 
 __all__ = [
     "sort_unique", "merge_runs", "merge_many", "merge_raw",
-    "consolidate_premasked", "compact_counted",
+    "consolidate_premasked", "compact_counted", "compaction_plan",
 ]
 
 
@@ -166,17 +166,130 @@ def consolidate_premasked(keys, key_bits=None, return_n: bool = False):
     return out_keys, counts
 
 
+def _max_of(dtype):
+    return jnp.array(np.iinfo(np.dtype(dtype.name)).max, dtype=dtype)
+
+
+def compaction_plan(density: float, max_levels: int = 2,
+                    row_c: int = 1024) -> tuple:
+    """Slice-width plan for _compact_sort given (an upper bound on) the
+    run's real-row fraction `density`.
+
+    Each level rowsorts [R, row_c] and keeps the first D columns; the plan
+    picks the smallest safe D per level. Reals are hash-spread (the store
+    only compacts runs of matrix-hashed keys), so reals-per-row ~
+    Binomial(row_c, d): D = mean + 6 sigma + 16 keeps the odds of ANY of
+    the ~2^17 rows of a full grain overflowing below ~1e-3. Mispredictions
+    are harmless — _compact_sort detects overflow on device and falls back
+    to the global sort of the same data (correct for ANY density, just
+    slower). A level is only worth its ~0.8 ms/M rowsort when it drops
+    >= ~1/4 of the rows (measured 4.01 ms/M global compact at 2^26,
+    experiments/sort_bytes_probe.py), hence the D <= 0.65*row_c cutoff."""
+    plan = []
+    d = max(1e-6, float(density))
+    for _ in range(max_levels):
+        if d >= 1.0:
+            break
+        mean = row_c * d
+        sigma = (row_c * d * (1.0 - d)) ** 0.5
+        D = int(np.ceil((mean + 6.0 * sigma + 16.0) / 64.0)) * 64
+        if D > int(0.65 * row_c):
+            break
+        plan.append(D)
+        d = d * row_c / D
+    return tuple(plan)
+
+
+def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
+    """Sort limbs + inverted-count streams (ALL sort keys) so real rows
+    land in the dense ascending prefix — the compaction primitive.
+
+    plan=(): one global lax.sort (the round-2 path, 4.01 ms/M at 2^26).
+
+    plan=(D1, D2, ...): the ROWSORT path (1.5-2.4 ms/M at 25% density;
+    experiments/sort_bytes_probe.py). Each level reshapes to [R, row_c],
+    sorts every row independently (the same bytes through ~log2(row_c)^2
+    comparator stages instead of ~log2(M)^2), keeps only the first D_i
+    columns — reals sort to each row's prefix, so a row loses entries
+    only if it held more than D_i reals — and feeds the sliced stream to
+    the next level; a final global sort over the survivors restores total
+    order. The caller picks the plan from the run's expected density
+    (compaction_plan). Correctness never depends on that prediction: a
+    row overflow is detected ON DEVICE by looking at column D_i of every
+    level (a real row there means the row held more reals than the slice
+    keeps; reals are recognized by an inverted count limb below the
+    all-ones pattern — the key pattern can NOT be used, a genuine
+    all-ones key is real), and a lax.cond then falls back to the full
+    global sort of the ORIGINAL streams. Rows past the last multiple of
+    row_c bypass the slicing (carried whole into every sort).
+
+    Returns sorted streams of length M with every stream's tail padded
+    with its dtype max (PAD keys / ~count of a zero count)."""
+    ops = list(limbs) + list(cnt_inv)
+    nk = len(ops)
+    M = ops[0].shape[0]
+    C = row_c
+    body = (M // C) * C
+    # keep only the levels whose sliced output still reshapes to [R', C]
+    # and is large enough to be worth slicing
+    usable = []
+    rows = body
+    for D in plan:
+        if not (0 < D < C) or rows < 4 * C or (rows // C) * D % C:
+            break
+        usable.append(D)
+        rows = (rows // C) * D
+    if not usable:
+        return jax.lax.sort(ops, num_keys=nk, is_stable=False)
+
+    tails = [o[body:] for o in ops]
+    cur = [o[:body] for o in ops]
+    ovf = jnp.bool_(False)
+    for D in usable:
+        R = cur[0].shape[0] // C
+        rs = jax.lax.sort(
+            [o.reshape(R, C) for o in cur],
+            dimension=1, num_keys=nk, is_stable=False,
+        )
+        pad_at_d = None
+        for cs in rs[len(limbs):]:
+            p = cs[:, D] == _max_of(cs.dtype)
+            pad_at_d = p if pad_at_d is None else (pad_at_d & p)
+        ovf = ovf | ~jnp.all(pad_at_d)
+        cur = [r[:, :D].reshape(R * D) for r in rs]
+
+    def cheap():
+        out = jax.lax.sort(
+            [jnp.concatenate([c, t]) for c, t in zip(cur, tails)],
+            num_keys=nk, is_stable=False,
+        )
+        pad_n = M - out[0].shape[0]
+        return tuple(
+            jnp.concatenate([o, jnp.full(pad_n, _max_of(o.dtype))])
+            for o in out
+        )
+
+    def full():
+        return tuple(jax.lax.sort(ops, num_keys=nk, is_stable=False))
+
+    return jax.lax.cond(ovf, full, cheap)
+
+
 def compact_counted(keys, lo, hi=None, key_bits=None, *,
-                    assume_masked: bool = False):
-    """Compact a DEDUPLICATED counted run with ONE sort.
+                    assume_masked: bool = False, plan=()):
+    """Compact a DEDUPLICATED counted run.
 
     keys [M, W], lo/hi [M]: each real key occurs on exactly one row (its
     count on that row); other rows have count 0 (any key). Zero-count rows
-    are forced to the PAD pattern, then a single keys-only sort with BOTH
+    are forced to the PAD pattern, then a compaction sort with BOTH
     inverted count limbs as tie-breaks moves real entries to the dense
     ascending prefix — half the cost of a merge_many(compact=True) pass
     (no payload sort, no log-scan) for runs that are already deduplicated
     but masked in place (consolidation outputs, filtered runs).
+
+    plan: rowsort slice-width plan (see _compact_sort); pick with
+    compaction_plan from the run's expected density. Safe for any
+    density — overflow falls back to the global sort on device.
 
     Returns (keys, lo, hi|None) compacted; the caller typically knows n
     (e.g. consolidate_premasked's return_n) and truncates.
@@ -190,10 +303,10 @@ def compact_counted(keys, lo, hi=None, key_bits=None, *,
     # elementwise pass over the run
     limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
     if hi is None:
-        s = jax.lax.sort(limbs + [~lo], num_keys=W + 1, is_stable=False)
+        s = _compact_sort(limbs, [~lo], plan)
         out_keys = _restack(_widen_top(list(s[:W])), M, W)
         return out_keys, ~s[W], None
-    s = jax.lax.sort(limbs + [~hi, ~lo], num_keys=W + 2, is_stable=False)
+    s = _compact_sort(limbs, [~hi, ~lo], plan)
     out_keys = _restack(_widen_top(list(s[:W])), M, W)
     return out_keys, ~s[W + 1], ~s[W]
 
@@ -210,7 +323,7 @@ def _wrapped_segment_sums(vals, start):
 
 
 def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
-               key_bits=None):
+               key_bits=None, plan=()):
     """K-way combine of concatenated DEDUPLICATED runs with 64-bit counts.
 
     keys [M, W], lo [M] uint32, hi [M] uint32 or None (counts known
@@ -232,6 +345,9 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
     ascending prefix (scatter compaction — use for finalize).
     compact=False: returns (keys, lo, hi, None) masked in place (cheaper;
     zero-count rows interspersed — fine as input to further merges).
+    plan: rowsort slice-width plan for the compaction sort (see
+    _compact_sort); pick with compaction_plan from an upper bound on
+    the distinct fraction of the concatenated input.
     """
     M, W = keys.shape
     # counts ride as LEAST-SIGNIFICANT SORT KEYS (hi then lo), not mere
@@ -285,9 +401,9 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
     # multiple of 2^32) orders before pure-PAD rows within the all-ones
     # block.
     n = jnp.sum(keep.astype(jnp.int32))
-    s2 = jax.lax.sort(
-        _narrow_top(masked_limbs, key_bits) + [~masked_hi, ~masked_lo],
-        num_keys=W + 2, is_stable=False,
+    s2 = _compact_sort(
+        _narrow_top(masked_limbs, key_bits), [~masked_hi, ~masked_lo],
+        plan,
     )
     out_keys = _restack(_widen_top(list(s2[:W])), M, W)
     return out_keys, ~s2[W + 1], ~s2[W], n

@@ -43,6 +43,7 @@ import numpy as np
 
 from jellyfish_tpu.ops.count import (
     compact_counted,
+    compaction_plan,
     consolidate_premasked,
     merge_many,
 )
@@ -71,7 +72,7 @@ def _consolidate_fn(n_runs: int, key_bits):
 
 
 @functools.lru_cache(maxsize=64)
-def _consolidate_compact_fn(n_runs: int, key_bits):
+def _consolidate_compact_fn(n_runs: int, key_bits, plan=()):
     """Fused full-grain combine: consolidate + compact in one program.
 
     Measured device costs (experiments/merge_probe.py, 32M-268M rows):
@@ -81,7 +82,12 @@ def _consolidate_compact_fn(n_runs: int, key_bits):
     compacting sort immediately, instead of deferring to a merge_many over
     grain-sized masked runs (the round-2a scheme that collapsed to
     57M mers/s at 256M mers). Higher levels then only ever merge
-    distinct-sized truncated runs."""
+    distinct-sized truncated runs.
+
+    plan: rowsort slice-width plan for the compacting sort, chosen by
+    the store from the PREVIOUS grain's observed density (ops/count
+    compaction_plan; overflow falls back on device, so a misprediction
+    costs speed, never correctness)."""
 
     @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
     def f(*keys):
@@ -89,7 +95,7 @@ def _consolidate_compact_fn(n_runs: int, key_bits):
             jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
         k3, l3, _ = compact_counted(
-            k2, c2, None, key_bits, assume_masked=True
+            k2, c2, None, key_bits, assume_masked=True, plan=plan
         )
         return k3, l3, n
 
@@ -97,14 +103,14 @@ def _consolidate_compact_fn(n_runs: int, key_bits):
 
 
 @functools.lru_cache(maxsize=16)
-def _compact_masked_fn(key_bits):
+def _compact_masked_fn(key_bits, plan=()):
     """Compact one masked counted run (drain leftovers) + its entry count."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def f(keys, counts):
         n = jnp.sum((counts != 0).astype(jnp.uint32))
         k2, l2, _ = compact_counted(
-            keys, counts, None, key_bits, assume_masked=True
+            keys, counts, None, key_bits, assume_masked=True, plan=plan
         )
         return k2, l2, n
 
@@ -230,6 +236,12 @@ class SortedCountStore:
         # finalize (the device entry stays inflated; the correction is
         # host-side), carried so repeated finalizes stay exact
         self.residual_pads = 0
+        # observed distinct/rows of the most recent grain consolidation;
+        # drives the rowsort-compaction level choice for the NEXT grain
+        # (1.0 = unknown -> global sort; a misprediction only costs the
+        # on-device fallback, never correctness). The 1.3 headroom in
+        # _levels absorbs grain-to-grain density drift.
+        self.density_est = 1.0
 
     # -- ingestion ------------------------------------------------------------
 
@@ -282,12 +294,13 @@ class SortedCountStore:
             compact = self.raw_rows >= self.consolidate_rows
         runs, self.raw, self.raw_rows = self.raw, [], 0
         if compact:
+            rows = sum(r.shape[0] for r in runs)
             k2, l2, n = _consolidate_compact_fn(
-                len(runs), self.key_bits
+                len(runs), self.key_bits, self._plan()
             )(*runs)
             run = (k2, l2, None)
             self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n))
+            self._pending_shrinks.append((0, run, n, rows))
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
             # two, so one 100M-row drain sort costs like 134M; splitting
@@ -309,10 +322,13 @@ class SortedCountStore:
             return
         pend, self.masked0 = self.masked0, []
         for keys, counts in pend:
-            k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
+            rows = keys.shape[0]
+            k2, l2, n = _compact_masked_fn(
+                self.key_bits, self._plan()
+            )(keys, counts)
             run = (k2, l2, None)
             self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n))
+            self._pending_shrinks.append((0, run, n, rows))
 
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
@@ -337,18 +353,28 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n))
+            self._pending_shrinks.append((lvl + 1, run, n, None))
             lvl += 1
+
+    def _plan(self) -> tuple:
+        """Rowsort-compaction slice plan for the next grain/drain
+        compaction, from the last observed density with 1.2x
+        grain-to-grain drift headroom (compaction_plan adds its own
+        6-sigma sampling margin on top)."""
+        return compaction_plan(1.2 * self.density_est)
 
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
-        for lvl, run, n_dev in pending:
+        for lvl, run, n_dev, src_rows in pending:
+            n = int(n_dev)
+            if src_rows:
+                self.density_est = n / src_rows
             level = self.dedup_levels[lvl]
             try:
                 i = next(j for j, r in enumerate(level) if r is run)
             except StopIteration:
                 continue  # already consumed by a further merge
-            k2, l2, h2 = self._shrink(run[0], run[1], run[2], int(n_dev))
+            k2, l2, h2 = self._shrink(run[0], run[1], run[2], n)
             level[i] = (k2, l2, h2)
 
     @staticmethod
@@ -433,6 +459,7 @@ class SortedCountStore:
 
     def reset(self) -> None:
         self._pending_shrinks = []
+        self.density_est = 1.0
         self.raw, self.raw_rows = [], 0
         self.masked0 = []
         self.valid_scalars = []
