@@ -170,7 +170,7 @@ def _max_of(dtype):
     return jnp.array(np.iinfo(np.dtype(dtype.name)).max, dtype=dtype)
 
 
-def compaction_plan(density: float, max_levels: int = 2,
+def compaction_plan(density: float, max_levels: int = 3,
                     row_c: int = 1024) -> tuple:
     """Slice-width plan for _compact_sort given (an upper bound on) the
     run's real-row fraction `density`.
@@ -180,11 +180,13 @@ def compaction_plan(density: float, max_levels: int = 2,
     only compacts runs of matrix-hashed keys), so reals-per-row ~
     Binomial(row_c, d): D = mean + 6 sigma + 16 keeps the odds of ANY of
     the ~2^17 rows of a full grain overflowing below ~1e-3. Mispredictions
-    are harmless — _compact_sort detects overflow on device and falls back
-    to the global sort of the same data (correct for ANY density, just
-    slower). A level is only worth its ~0.8 ms/M rowsort when it drops
-    >= ~1/4 of the rows (measured 4.01 ms/M global compact at 2^26,
-    experiments/sort_bytes_probe.py), hence the D <= 0.65*row_c cutoff."""
+    are harmless — _compact_sort REPORTS overflow as a device scalar and
+    the caller recomputes from its retained masked input (correct for ANY
+    density, just slower). Level economics (real chip, 2^27 rows,
+    experiments/fused_plan_probe.py + /tmp cond probe): a rowsort level
+    costs ~0.66 ms/M of its rows, the final global sort ~4.3 ms/M of the
+    survivors — a level pays whenever it drops >= ~15% of its rows,
+    hence the D <= 0.85*row_c cutoff."""
     plan = []
     d = max(1e-6, float(density))
     for _ in range(max_levels):
@@ -193,7 +195,7 @@ def compaction_plan(density: float, max_levels: int = 2,
         mean = row_c * d
         sigma = (row_c * d * (1.0 - d)) ** 0.5
         D = int(np.ceil((mean + 6.0 * sigma + 16.0) / 64.0)) * 64
-        if D > int(0.65 * row_c):
+        if D > int(0.85 * row_c):
             break
         plan.append(D)
         d = d * row_c / D
@@ -204,27 +206,35 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
     """Sort limbs + inverted-count streams (ALL sort keys) so real rows
     land in the dense ascending prefix — the compaction primitive.
 
-    plan=(): one global lax.sort (the round-2 path, 4.01 ms/M at 2^26).
+    plan=(): one global lax.sort (the round-2 path, 4.3 ms/M at 2^27).
 
-    plan=(D1, D2, ...): the ROWSORT path (1.5-2.4 ms/M at 25% density;
-    experiments/sort_bytes_probe.py). Each level reshapes to [R, row_c],
-    sorts every row independently (the same bytes through ~log2(row_c)^2
-    comparator stages instead of ~log2(M)^2), keeps only the first D_i
-    columns — reals sort to each row's prefix, so a row loses entries
-    only if it held more than D_i reals — and feeds the sliced stream to
-    the next level; a final global sort over the survivors restores total
-    order. The caller picks the plan from the run's expected density
-    (compaction_plan). Correctness never depends on that prediction: a
-    row overflow is detected ON DEVICE by looking at column D_i of every
-    level (a real row there means the row held more reals than the slice
-    keeps; reals are recognized by an inverted count limb below the
-    all-ones pattern — the key pattern can NOT be used, a genuine
-    all-ones key is real), and a lax.cond then falls back to the full
-    global sort of the ORIGINAL streams. Rows past the last multiple of
-    row_c bypass the slicing (carried whole into every sort).
+    plan=(D1, D2, ...): the ROWSORT path (2.3 ms/M at 25% density, real
+    chip; experiments/sort_bytes_probe.py, fused_plan_probe.py). Each
+    level reshapes to [R, row_c], sorts every row independently (the same
+    bytes through ~log2(row_c)^2 comparator stages instead of
+    ~log2(M)^2), keeps only the first D_i columns — reals sort to each
+    row's prefix, so a row loses entries only if it held more than D_i
+    reals — and feeds the sliced stream to the next level; a final global
+    sort over the survivors restores total order. The caller picks the
+    plan from the run's expected density (compaction_plan).
 
-    Returns sorted streams of length M with every stream's tail padded
-    with its dtype max (PAD keys / ~count of a zero count)."""
+    SPECULATIVE: the sliced result is returned together with a device
+    overflow scalar — there is NO on-device fallback (a lax.cond holding
+    both branches measured +2.5 ms/M, erasing the whole gain). A row
+    overflow is detected by looking at column D_i of every level (a real
+    row there means the row held more reals than the slice keeps; reals
+    are recognized by an inverted count limb below the all-ones pattern —
+    the key pattern can NOT be used, a genuine all-ones key is real).
+    The caller checks `ovf` host-side at a point that already syncs and
+    recomputes from its RETAINED masked input on the rare overflow; the
+    sliced result is then garbage and must be discarded. Rows past the
+    last multiple of row_c bypass the slicing (carried whole into the
+    final sort).
+
+    Returns (streams, ovf): sorted streams of length R*D_last + tail
+    (<= M; real rows in the dense ascending prefix when ovf is False),
+    and the bool overflow scalar (constant False when the plan is
+    empty/unusable)."""
     ops = list(limbs) + list(cnt_inv)
     nk = len(ops)
     M = ops[0].shape[0]
@@ -240,7 +250,8 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
         usable.append(D)
         rows = (rows // C) * D
     if not usable:
-        return jax.lax.sort(ops, num_keys=nk, is_stable=False)
+        out = jax.lax.sort(ops, num_keys=nk, is_stable=False)
+        return tuple(out), jnp.bool_(False)
 
     tails = [o[body:] for o in ops]
     cur = [o[:body] for o in ops]
@@ -258,21 +269,11 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
         ovf = ovf | ~jnp.all(pad_at_d)
         cur = [r[:, :D].reshape(R * D) for r in rs]
 
-    def cheap():
-        out = jax.lax.sort(
-            [jnp.concatenate([c, t]) for c, t in zip(cur, tails)],
-            num_keys=nk, is_stable=False,
-        )
-        pad_n = M - out[0].shape[0]
-        return tuple(
-            jnp.concatenate([o, jnp.full(pad_n, _max_of(o.dtype))])
-            for o in out
-        )
-
-    def full():
-        return tuple(jax.lax.sort(ops, num_keys=nk, is_stable=False))
-
-    return jax.lax.cond(ovf, full, cheap)
+    out = jax.lax.sort(
+        [jnp.concatenate([c, t]) for c, t in zip(cur, tails)],
+        num_keys=nk, is_stable=False,
+    )
+    return tuple(out), ovf
 
 
 def compact_counted(keys, lo, hi=None, key_bits=None, *,
@@ -288,11 +289,14 @@ def compact_counted(keys, lo, hi=None, key_bits=None, *,
     but masked in place (consolidation outputs, filtered runs).
 
     plan: rowsort slice-width plan (see _compact_sort); pick with
-    compaction_plan from the run's expected density. Safe for any
-    density — overflow falls back to the global sort on device.
+    compaction_plan from the run's expected density. SPECULATIVE with a
+    non-empty plan: the returned `ovf` device scalar must be checked by
+    the caller — when True the output lost rows and the caller recomputes
+    from its retained input with plan=() (whose ovf is constant False).
 
-    Returns (keys, lo, hi|None) compacted; the caller typically knows n
-    (e.g. consolidate_premasked's return_n) and truncates.
+    Returns (keys, lo, hi|None, ovf); output length <= M (rowsort levels
+    slice rows away). The caller typically knows n (e.g.
+    consolidate_premasked's return_n) and truncates.
     """
     M, W = keys.shape
     if not assume_masked:
@@ -303,12 +307,14 @@ def compact_counted(keys, lo, hi=None, key_bits=None, *,
     # elementwise pass over the run
     limbs = _narrow_top([keys[:, W - 1 - w] for w in range(W)], key_bits)
     if hi is None:
-        s = _compact_sort(limbs, [~lo], plan)
-        out_keys = _restack(_widen_top(list(s[:W])), M, W)
-        return out_keys, ~s[W], None
-    s = _compact_sort(limbs, [~hi, ~lo], plan)
-    out_keys = _restack(_widen_top(list(s[:W])), M, W)
-    return out_keys, ~s[W + 1], ~s[W]
+        s, ovf = _compact_sort(limbs, [~lo], plan)
+        Mo = s[0].shape[0]
+        out_keys = _restack(_widen_top(list(s[:W])), Mo, W)
+        return out_keys, ~s[W], None, ovf
+    s, ovf = _compact_sort(limbs, [~hi, ~lo], plan)
+    Mo = s[0].shape[0]
+    out_keys = _restack(_widen_top(list(s[:W])), Mo, W)
+    return out_keys, ~s[W + 1], ~s[W], ovf
 
 
 def _wrapped_segment_sums(vals, start):
@@ -323,7 +329,7 @@ def _wrapped_segment_sums(vals, start):
 
 
 def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
-               key_bits=None, plan=()):
+               key_bits=None):
     """K-way combine of concatenated DEDUPLICATED runs with 64-bit counts.
 
     keys [M, W], lo [M] uint32, hi [M] uint32 or None (counts known
@@ -345,9 +351,6 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
     ascending prefix (scatter compaction — use for finalize).
     compact=False: returns (keys, lo, hi, None) masked in place (cheaper;
     zero-count rows interspersed — fine as input to further merges).
-    plan: rowsort slice-width plan for the compaction sort (see
-    _compact_sort); pick with compaction_plan from an upper bound on
-    the distinct fraction of the concatenated input.
     """
     M, W = keys.shape
     # counts ride as LEAST-SIGNIFICANT SORT KEYS (hi then lo), not mere
@@ -401,9 +404,8 @@ def merge_many(keys, lo, hi=None, *, max_dups: int, compact: bool = True,
     # multiple of 2^32) orders before pure-PAD rows within the all-ones
     # block.
     n = jnp.sum(keep.astype(jnp.int32))
-    s2 = _compact_sort(
+    s2, _ = _compact_sort(
         _narrow_top(masked_limbs, key_bits), [~masked_hi, ~masked_lo],
-        plan,
     )
     out_keys = _restack(_widen_top(list(s2[:W])), M, W)
     return out_keys, ~s2[W + 1], ~s2[W], n

@@ -71,46 +71,40 @@ def _consolidate_fn(n_runs: int, key_bits):
     return f
 
 
-@functools.lru_cache(maxsize=64)
-def _consolidate_compact_fn(n_runs: int, key_bits, plan=()):
-    """Fused full-grain combine: consolidate + compact in one program.
+@functools.lru_cache(maxsize=32)
+def _spec_compact_fn(key_bits, plan):
+    """SPECULATIVE rowsort compaction of one masked counted run (2.3 ms/M
+    at 25% density vs 4.3 global, real chip, experiments/fused_plan_probe
+    .py + sort_bytes_probe.py). Does NOT donate: the inputs are retained
+    so the caller can recompute with the global sort on the rare plan
+    overflow (ovf True => the sliced output lost rows and is garbage).
+    A lax.cond device fallback was measured SLOWER than no plan at all
+    (+2.5 ms/M for holding both branches), hence the host-side check —
+    the store checks ovf at the grain boundary, where it already syncs
+    for the density estimate."""
 
-    Measured device costs (experiments/merge_probe.py, 32M-268M rows):
-    keys-only consolidate 3.2 ms/M, compact_counted 4.3 ms/M, but
-    merge_many 8.5-10.3 ms/M — so the steady-state path consolidates the
-    raw backlog at the LARGEST affordable grain and pays the single cheap
-    compacting sort immediately, instead of deferring to a merge_many over
-    grain-sized masked runs (the round-2a scheme that collapsed to
-    57M mers/s at 256M mers). Higher levels then only ever merge
-    distinct-sized truncated runs.
-
-    plan: rowsort slice-width plan for the compacting sort, chosen by
-    the store from the PREVIOUS grain's observed density (ops/count
-    compaction_plan; overflow falls back on device, so a misprediction
-    costs speed, never correctness)."""
-
-    @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
-    def f(*keys):
-        k2, c2, n = consolidate_premasked(
-            jnp.concatenate(keys, axis=0), key_bits, return_n=True
+    @jax.jit
+    def f(keys, counts):
+        n = jnp.sum((counts != 0).astype(jnp.uint32))
+        k2, l2, _, ovf = compact_counted(
+            keys, counts, None, key_bits, assume_masked=True, plan=plan
         )
-        k3, l3, _ = compact_counted(
-            k2, c2, None, key_bits, assume_masked=True, plan=plan
-        )
-        return k3, l3, n
+        return k2, l2, n, ovf
 
     return f
 
 
 @functools.lru_cache(maxsize=16)
-def _compact_masked_fn(key_bits, plan=()):
-    """Compact one masked counted run (drain leftovers) + its entry count."""
+def _compact_masked_fn(key_bits):
+    """Global compaction of one masked counted run + its entry count
+    (the plan-free path: first grain, and the fallback on plan
+    overflow)."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def f(keys, counts):
         n = jnp.sum((counts != 0).astype(jnp.uint32))
-        k2, l2, _ = compact_counted(
-            keys, counts, None, key_bits, assume_masked=True, plan=plan
+        k2, l2, _, _ = compact_counted(
+            keys, counts, None, key_bits, assume_masked=True
         )
         return k2, l2, n
 
