@@ -1,6 +1,7 @@
-"""Round-3 probe: does the rowsort plan speed up the PRODUCTION fused
-consolidate+compact kernel (store._consolidate_compact_fn) at the bench's
-steady-state density? bench showed no end-to-end change; isolate why.
+"""Round-3 probe: does the rowsort plan speed up the PRODUCTION
+consolidate+compact sequence (store._consolidate_fn -> _spec_compact_fn)
+at the bench's steady-state density? bench showed no end-to-end change;
+isolate why.
 
 Run on the real chip: python experiments/fused_plan_probe.py
 Env: JF_PROBE_LOG2 (default 27), JF_PROBE_DENSITY (default 0.25),
@@ -74,10 +75,10 @@ def main():
         @jax.jit
         def f(keys):
             k2, c2, n = consolidate_premasked(keys, key_bits, return_n=True)
-            k3, l3, _ = compact_counted(
+            k3, l3, _, ovf = compact_counted(
                 k2, c2, None, key_bits, assume_masked=True, plan=plan
             )
-            return k3, l3, n
+            return k3, l3, n, ovf
 
         return f
 

@@ -183,10 +183,10 @@ def compaction_plan(density: float, max_levels: int = 3,
     are harmless — _compact_sort REPORTS overflow as a device scalar and
     the caller recomputes from its retained masked input (correct for ANY
     density, just slower). Level economics (real chip, 2^27 rows,
-    experiments/fused_plan_probe.py + /tmp cond probe): a rowsort level
-    costs ~0.66 ms/M of its rows, the final global sort ~4.3 ms/M of the
-    survivors — a level pays whenever it drops >= ~15% of its rows,
-    hence the D <= 0.85*row_c cutoff."""
+    experiments/fused_plan_probe.py + experiments/cond_fallback_probe.py):
+    a rowsort level costs ~0.66 ms/M of its rows, the final global sort
+    ~4.3 ms/M of the survivors — a level pays whenever it drops >= ~15%
+    of its rows, hence the D <= 0.85*row_c cutoff."""
     plan = []
     d = max(1e-6, float(density))
     for _ in range(max_levels):
@@ -219,8 +219,9 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
     plan from the run's expected density (compaction_plan).
 
     SPECULATIVE: the sliced result is returned together with a device
-    overflow scalar — there is NO on-device fallback (a lax.cond holding
-    both branches measured +2.5 ms/M, erasing the whole gain). A row
+    overflow scalar — there is NO on-device fallback (a lax.cond measures
+    speed-neutral, experiments/cond_fallback_probe.py, but holds both
+    branches' full-size outputs live, ~2x the in-program peak HBM). A row
     overflow is detected by looking at column D_i of every level (a real
     row there means the row held more reals than the slice keeps; reals
     are recognized by an inverted count limb below the all-ones pattern —

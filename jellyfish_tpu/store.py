@@ -73,15 +73,16 @@ def _consolidate_fn(n_runs: int, key_bits):
 
 @functools.lru_cache(maxsize=32)
 def _spec_compact_fn(key_bits, plan):
-    """SPECULATIVE rowsort compaction of one masked counted run (2.3 ms/M
-    at 25% density vs 4.3 global, real chip, experiments/fused_plan_probe
-    .py + sort_bytes_probe.py). Does NOT donate: the inputs are retained
-    so the caller can recompute with the global sort on the rare plan
+    """SPECULATIVE rowsort compaction of one masked counted run (2.25 vs
+    4.29 ms/M global at 25% density, real chip, experiments/
+    cond_fallback_probe.py). Does NOT donate: the inputs are retained so
+    the caller can recompute with the global sort on the rare plan
     overflow (ovf True => the sliced output lost rows and is garbage).
-    A lax.cond device fallback was measured SLOWER than no plan at all
-    (+2.5 ms/M for holding both branches), hence the host-side check —
-    the store checks ovf at the grain boundary, where it already syncs
-    for the density estimate."""
+    An on-device lax.cond fallback measures the same speed (+0.03 ms/M,
+    same probe), but holds BOTH branches' full-size outputs live, raising
+    the in-program peak HBM by ~2x the run and capping the affordable
+    grain — hence the host-side check, which the store performs at the
+    grain boundary where it already syncs for the density estimate."""
 
     @jax.jit
     def f(keys, counts):
@@ -272,15 +273,19 @@ class SortedCountStore:
     def _consolidate(self, compact: bool | None = None) -> None:
         """Combine the raw backlog.
 
-        compact=None (default): pay the fused compacting sort when the
-        backlog reached the full grain (the steady-state insert path), and
-        leave sub-grain drains MASKED (deferred compaction — drains happen
-        at stream tails where the combine cost lands in the Writing phase).
+        compact=None (default): pay the compacting sort when the backlog
+        reached the full grain (the steady-state insert path), and leave
+        sub-grain drains MASKED (deferred compaction — drains happen at
+        stream tails where the combine cost lands in the Writing phase).
         """
         # resolve at consolidation boundaries only: the int(n) fetch syncs
         # the host on the previous consolidate/merge chain, so doing it at
         # every insert would stall pipeline dispatch (memory stays bounded
-        # by at most one unshrunk run per level)
+        # by at most one unshrunk run per level). This is ALSO the ovf
+        # check point of the previous grain's speculative compaction — its
+        # retained masked input is freed (or recomputed from) here, BEFORE
+        # this grain's sort is dispatched, so at most one retained grain
+        # is ever live.
         self._resolve_pending_shrinks()
         if not self.raw:
             return
@@ -289,12 +294,8 @@ class SortedCountStore:
         runs, self.raw, self.raw_rows = self.raw, [], 0
         if compact:
             rows = sum(r.shape[0] for r in runs)
-            k2, l2, n = _consolidate_compact_fn(
-                len(runs), self.key_bits, self._plan()
-            )(*runs)
-            run = (k2, l2, None)
-            self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, rows))
+            km, cm = _consolidate_fn(len(runs), self.key_bits)(*runs)
+            self._compact_into_dedup(km, cm, rows)
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
             # two, so one 100M-row drain sort costs like 134M; splitting
@@ -304,6 +305,31 @@ class SortedCountStore:
                 self.masked0.append((k2, c2))
             self._maybe_compact_masked()
         self._maybe_merge_dedup()
+
+    def _compact_into_dedup(self, keys, counts, src_rows: int) -> None:
+        """Compact one masked counted run into dedup level 0.
+
+        With a non-empty plan the compaction is SPECULATIVE (_spec_compact
+        _fn): the masked input is RETAINED and the ovf scalar recorded in
+        the pending entry; _resolve_pending_shrinks checks it host-side at
+        the next sync point and recomputes via the plan-free global sort
+        on the rare overflow. With an empty plan (first grain, dense runs)
+        the plan-free donating path runs directly."""
+        plan = self._plan()
+        if plan:
+            k2, l2, n, ovf = _spec_compact_fn(self.key_bits, plan)(
+                keys, counts
+            )
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append(
+                (0, run, n, src_rows, ovf, (keys, counts))
+            )
+        else:
+            k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append((0, run, n, src_rows, None, None))
 
     def _maybe_compact_masked(self) -> None:
         """Fold accumulated masked drain leftovers into the dedup forest
@@ -316,17 +342,21 @@ class SortedCountStore:
             return
         pend, self.masked0 = self.masked0, []
         for keys, counts in pend:
-            rows = keys.shape[0]
-            k2, l2, n = _compact_masked_fn(
-                self.key_bits, self._plan()
-            )(keys, counts)
-            run = (k2, l2, None)
-            self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, rows))
+            self._compact_into_dedup(keys, counts, keys.shape[0])
+
+    def _unresolved_spec_in(self, group) -> bool:
+        specs = [p[1] for p in self._pending_shrinks if p[4] is not None]
+        return any(any(r is s for s in specs) for r in group)
 
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
         while len(self.dedup_levels[lvl]) >= self.branch:
+            if self._unresolved_spec_in(self.dedup_levels[lvl]):
+                # a speculative compaction output must never be merged
+                # before its ovf scalar is checked (a sliced overflow
+                # result is garbage); resolving here syncs once per
+                # branch^1 grains — negligible
+                self._resolve_pending_shrinks()
             group = self.dedup_levels[lvl]
             self.dedup_levels[lvl] = []
             arity = tuple(2 if r[2] is None else 3 for r in group)
@@ -347,7 +377,7 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n, None))
+            self._pending_shrinks.append((lvl + 1, run, n, None, None, None))
             lvl += 1
 
     def _plan(self) -> tuple:
@@ -359,7 +389,7 @@ class SortedCountStore:
 
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
-        for lvl, run, n_dev, src_rows in pending:
+        for lvl, run, n_dev, src_rows, ovf_dev, retained in pending:
             n = int(n_dev)
             if src_rows:
                 self.density_est = n / src_rows
@@ -367,7 +397,17 @@ class SortedCountStore:
             try:
                 i = next(j for j, r in enumerate(level) if r is run)
             except StopIteration:
-                continue  # already consumed by a further merge
+                # already consumed by a further merge — impossible for a
+                # speculative run (_maybe_merge_dedup resolves first)
+                continue
+            if ovf_dev is not None and bool(ovf_dev):
+                # the speculative rowsort plan overflowed: the sliced
+                # output lost rows — recompute from the retained masked
+                # input with the plan-free global sort (exact for any
+                # density, just slower; n from the input counts is
+                # unaffected by the slicing and stays valid)
+                k2, l2, _ = _compact_masked_fn(self.key_bits)(*retained)
+                run = (k2, l2, None)
             k2, l2, h2 = self._shrink(run[0], run[1], run[2], n)
             level[i] = (k2, l2, h2)
 
@@ -420,14 +460,14 @@ class SortedCountStore:
         subtracted from the trailing all-ones entry by the caller (and the
         entry dropped if it reaches zero)."""
         pads = self.residual_pads + self.total_pads()
-        # pending shrink targets get re-merged (and donated) below: drop
-        # the stale references instead of touching donated buffers
-        self._pending_shrinks = []
         # raw rows have unbounded duplicates: consolidate them first so the
         # final combine only sees deduplicated runs (bounded duplicates for
         # merge_many's log-scan)
         self._consolidate()
-        self._pending_shrinks = []  # everything merges right now anyway
+        # resolve BEFORE the final merge: checks any speculative ovf
+        # scalar (a sliced overflow output is garbage until recomputed)
+        # and truncates runs so the merge sees the smallest shapes
+        self._resolve_pending_shrinks()
         # masked drain leftovers are valid deduplicated merge inputs
         runs = list(self.masked0) + [
             (r[:2] if r[2] is None else r) for r in self._all_dedup()
