@@ -64,6 +64,19 @@ def add_parser(sub):
     p.add_argument("-d", "--devices", default="1", metavar="N|auto",
                    help="Shard the hash across N chips of the mesh "
                         "('auto' = all visible devices; TPU extension)")
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="Multi-host run: coordinator address (TPU "
+                        "extension; run one process per host with "
+                        "--num-processes/--process-id)")
+    p.add_argument("--num-processes", type=int, dest="num_processes",
+                   help="Multi-host run: total number of processes")
+    p.add_argument("--process-id", type=int, dest="process_id",
+                   help="Multi-host run: this process's rank [0, N)")
+    p.add_argument("--matrix-seed", type=int, dest="matrix_seed",
+                   default=None,
+                   help="Seed for the random hash matrix (TPU extension; "
+                        "multi-host processes must agree — given no seed, "
+                        "process 0 broadcasts one)")
     add_common_input_flags(p)
     p.add_argument("file", nargs="*", help="Sequence file(s) (fasta/fastq)")
     p.set_defaults(func=run)
@@ -166,6 +179,29 @@ def run(args, argv):
     if not args.file and not args.generator and not args.sam:
         die("count: no input files given")
 
+    if args.coordinator:
+        # multi-host: initialize the distributed runtime BEFORE any
+        # backend use, agree on the hash matrix, and take the dedicated
+        # data-parallel path (SURVEY §7 step 7). Each process counts the
+        # input files IT was given; the global mesh spans all processes.
+        if args.num_processes is None or args.process_id is None:
+            die("count: --coordinator requires --num-processes and "
+                "--process-id")
+        for flag, name in [
+            (args.disk, "--disk"), (args.if_files, "--if"),
+            (args.bc, "--bc"), (args.bf_size is not None, "--bf-size"),
+            (args.text, "--text"), (args.lower_count, "-L"),
+            (args.upper_count, "-U"), (args.sam, "--sam"),
+        ]:
+            if flag:
+                die(f"count: {name} is not supported with --coordinator")
+        from jellyfish_tpu.parallel.multihost import init_multihost
+
+        init_multihost(
+            args.coordinator, args.num_processes, args.process_id,
+            platform=os.environ.get("JF_MH_PLATFORM") or None,
+        )
+
     gen_cmds = _load_generator_cmds(args.generator) if args.generator else None
 
     filt = None
@@ -177,12 +213,24 @@ def run(args, argv):
             canonical=args.canonical,
         )
 
-    if args.devices == "auto":
+    if args.coordinator or args.devices == "auto":
         import jax
 
         n_devices = len(jax.devices())
     else:
         n_devices = int(args.devices)
+
+    seed = args.matrix_seed
+    if args.coordinator and seed is None:
+        # all processes must build the SAME matrix: rank 0 draws a seed
+        # and broadcasts it over the freshly-initialized runtime
+        import jax
+        from jax.experimental import multihost_utils as mu
+
+        s = (np.random.default_rng().integers(0, 1 << 62)
+             if jax.process_index() == 0 else 0)
+        seed = int(mu.broadcast_one_to_all(np.uint64(s)))
+    rng = np.random.default_rng(seed if seed is not None else None)
 
     if n_devices > 1:
         from jellyfish_tpu.parallel.sharded import (
@@ -198,13 +246,13 @@ def run(args, argv):
                 "visible devices")
         counter = ShardedMerCounter(
             k, size=args.size, mesh=make_mesh(n_devices),
-            canonical=args.canonical, rng=np.random.default_rng(),
+            canonical=args.canonical, rng=rng,
             mer_filter=filt,
         )
     else:
         counter = MerCounter(
             k, size=args.size, canonical=args.canonical,
-            rng=np.random.default_rng(), mer_filter=filt,
+            rng=rng, mer_filter=filt,
         )
 
     chunker = SequenceChunker(
@@ -239,6 +287,10 @@ def _run_counting(args, argv, k, counter, chunker, t_start):
     from jellyfish_tpu.io.dumpers import dump_counter
     from jellyfish_tpu.io.parse import SequenceChunker
     from jellyfish_tpu.merge import merge_files
+
+    if args.coordinator:
+        return _run_counting_multihost(args, argv, k, counter, chunker,
+                                       t_start)
 
     n_devices = counter.n_shards if hasattr(counter, "n_shards") else 1
     filt = getattr(counter, "mer_filter", None)
@@ -339,6 +391,91 @@ def _run_counting(args, argv, k, counter, chunker, t_start):
 
     t_write = time.perf_counter()
     if args.timing:
+        with open(args.timing, "w") as f:
+            f.write(f"Init     {t_init - t_start:.4f}\n")
+            f.write(f"Counting {t_count - t_init:.4f}\n")
+            f.write(f"Writing  {t_write - t_count:.4f}\n")
+    return 0
+
+
+def _run_counting_multihost(args, argv, k, counter, chunker, t_start):
+    """Multi-host counting loop (SURVEY §7 step 7): every process feeds
+    its LOCAL mesh rows from its own input files (data-parallel host
+    ingestion); the routed exchange crosses ICI within a host and DCN
+    across hosts. Because every step is a collective program, the
+    processes equalize their step counts with all-invalid padding steps
+    before finalizing. Dump: each process writes its contiguous segment
+    of the global hash order; rank 0 concatenates (multihost.assemble_db
+    — no cross-host table motion)."""
+    import jax
+    from jax.experimental import multihost_utils as mu
+
+    from jellyfish_tpu.parallel.multihost import (
+        assemble_db,
+        write_local_segments,
+    )
+
+    t_init = time.perf_counter()
+    rows = counter._local_rows
+    L = args.chunk_len
+    # every counting step is a COLLECTIVE program (the routed all-to-all
+    # spans all processes), so processes must step in LOCKSTEP even while
+    # their input volumes differ: each round, a per-process has-data flag
+    # is allgathered; exhausted processes feed all-invalid padding steps
+    # (zero valid windows) until every process is done
+    if L % 32 == 0:
+        batches = _prefetch(_batched(chunker.chunks_packed(), rows))
+        pad_step = (np.zeros((rows, L // 16), dtype=np.uint32),
+                    np.zeros((rows, (L + 31) // 32), dtype=np.uint32))
+
+        def add(batch):
+            counter.add_chunks_packed(
+                np.stack([b[0] for b in batch]),
+                np.stack([b[1] for b in batch]),
+            )
+
+        add_pad = lambda: counter.add_chunks_packed(*pad_step)  # noqa: E731
+    else:
+        batches = _prefetch(_batched(chunker.chunks(), rows))
+        pad_chunks = np.full((rows, L), ord("N"), dtype=np.uint8)
+        add = lambda batch: counter.add_chunks(np.stack(batch))  # noqa: E731
+        add_pad = lambda: counter.add_chunks(pad_chunks)  # noqa: E731
+
+    it = iter(batches)
+    while True:
+        batch = next(it, None)
+        flags = mu.process_allgather(
+            np.asarray([batch is not None], dtype=np.int32)
+        )
+        if not flags.any():
+            break
+        if batch is not None:
+            add(batch)
+        else:
+            add_pad()
+
+    t_count = time.perf_counter()
+
+    if not args.no_write:
+        prefix = args.output + ".mh"
+        write_local_segments(
+            counter, prefix,
+            counter_len_bytes=args.out_counter_len,
+            val_len_bits=args.counter_len,
+            max_reprobe=args.reprobes,
+            cmdline=argv,
+        )
+        mu.sync_global_devices("jellyfish-count-dump-done")
+        if jax.process_index() == 0:
+            assemble_db(prefix, args.num_processes, args.output)
+            if not args.no_unlink:
+                os.unlink(f"{prefix}.header")
+                for r in range(args.num_processes):
+                    os.unlink(f"{prefix}.part{r}")
+        mu.sync_global_devices("jellyfish-count-assemble-done")
+
+    t_write = time.perf_counter()
+    if args.timing and jax.process_index() == 0:
         with open(args.timing, "w") as f:
             f.write(f"Init     {t_init - t_start:.4f}\n")
             f.write(f"Counting {t_count - t_init:.4f}\n")

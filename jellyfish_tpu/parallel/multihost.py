@@ -51,6 +51,7 @@ def init_multihost(coordinator_address: str, num_processes: int,
 def write_local_segments(counter, prefix: str,
                          counter_len_bytes: int = 4,
                          val_len_bits: int = 7,
+                         max_reprobe: int = 126,
                          cmdline=None) -> int:
     """Write THIS process's contiguous dump segment to
     `{prefix}.part{rank}`; rank 0 also writes `{prefix}.header`. Returns
@@ -77,7 +78,8 @@ def write_local_segments(counter, prefix: str,
         header = make_count_header(
             k=counter.k, size=counter.size, matrix=counter.matrix,
             canonical=counter.canonical, val_len_bits=val_len_bits,
-            counter_len_bytes=counter_len_bytes, cmdline=cmdline,
+            counter_len_bytes=counter_len_bytes, max_reprobe=max_reprobe,
+            cmdline=cmdline,
         )
         with open(f"{prefix}.header", "wb") as f:
             header.write(f)

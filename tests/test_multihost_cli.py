@@ -1,0 +1,132 @@
+"""Multi-host CLI surface (VERDICT r3 #5): `jellyfish count --coordinator
+HOST:PORT --num-processes N --process-id I` must drive the full
+init_multihost -> data-parallel count -> segment dump -> rank-0 assembly
+flow, producing a database byte-identical (past the provenance header) to
+a single-process run with the same matrix — including when the hosts hold
+UNEQUAL input volumes (step-count equalization)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import random_dna
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _write_fasta(path, seqs):
+    with open(path, "w") as f:
+        for i, s in enumerate(seqs):
+            f.write(f">r{i}\n{s}\n")
+
+
+def _body(p):
+    with open(p, "rb") as f:
+        hlen = int(f.read(9))
+        f.read(hlen)
+        return f.read()
+
+
+@pytest.mark.slow
+def test_multihost_cli_two_process(tmp_path):
+    rng = np.random.default_rng(1234)
+    # unequal volumes: host 0 gets 3 sequences, host 1 gets 1 — forces
+    # the padding-step equalization path
+    files = []
+    all_seqs = []
+    for pid, n_seqs in [(0, 3), (1, 1)]:
+        seqs = [random_dna(rng, 3000, with_n=True) for _ in range(n_seqs)]
+        path = tmp_path / f"in{pid}.fa"
+        _write_fasta(path, seqs)
+        files.append(str(path))
+        all_seqs.extend(seqs)
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JF_MH_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    base = [
+        sys.executable, "-m", "jellyfish_tpu", "count",
+        "-m", "21", "-s", "4k", "-C", "--matrix-seed", "7",
+        "--chunk-len", "2048",
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+    ]
+    procs = [
+        subprocess.Popen(
+            base + ["--process-id", str(pid), "-o",
+                    str(tmp_path / "mh.jf"), files[pid]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+    assert (tmp_path / "mh.jf").exists()
+    assert not (tmp_path / "mh.jf.mh.part0").exists()  # unlinked
+
+    # single-process run over ALL files with the same matrix seed
+    env1 = dict(env)
+    env1.pop("JF_MH_PLATFORM")
+    env1["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count",
+         "-m", "21", "-s", "4k", "-C", "--matrix-seed", "7",
+         "--chunk-len", "2048", "-o", str(tmp_path / "single.jf")] + files,
+        env=env1, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert _body(tmp_path / "mh.jf") == _body(tmp_path / "single.jf")
+
+    # and the counts are right: histo of the assembled DB matches the
+    # oracle histogram
+    from collections import Counter
+
+    from tests.conftest import oracle_counts
+
+    expected = Counter(oracle_counts(all_seqs, 21, True).values())
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "histo",
+         str(tmp_path / "mh.jf")],
+        env=env1, capture_output=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    got = {}
+    for line in r.stdout.decode().splitlines():
+        c, n = line.split()
+        got[int(c)] = int(n)
+    assert got == dict(expected)
+
+
+def test_multihost_flag_validation(tmp_path):
+    import subprocess
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "21",
+         "-s", "4k", "--coordinator", "localhost:1", "x.fa"],
+        env=env, capture_output=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert b"--num-processes" in r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "21",
+         "-s", "4k", "--coordinator", "localhost:1", "--num-processes",
+         "2", "--process-id", "0", "--disk", "x.fa"],
+        env=env, capture_output=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert b"--disk" in r.stderr
