@@ -30,9 +30,11 @@ exchange volume <= ~1.3x the distinct-key volume and per-step ingest is
 collapse before routing, pathological repeat content (homopolymers,
 satellite DNA) cannot skew a destination: per-destination load is the
 DISTINCT-key count, which is binomial under the random invertible matrix.
-Capacity overflow (a >25% deviation of that binomial) is still detected
-on device and raised at finalize, never silently truncated. The
-capacity-free masked exchange remains as compact_exchange=False.
+Capacity overflow (a >25% deviation of that binomial) is RECOVERED,
+never silently truncated: the overflowed step's contribution is zeroed
+on device and the step replays through the capacity-free masked
+exchange (see ShardedMerCounter._note_step). The masked exchange also
+remains selectable as compact_exchange=False.
 """
 
 from __future__ import annotations
@@ -98,8 +100,9 @@ def _exchange_cap(N: int, n_shards: int) -> int:
     """Static per-destination segment capacity for the compact exchange.
     The hash matrix is random and invertible, so per-(sender, dest) loads
     are binomial around N/P with sd ~ sqrt(N/P): a 25% + 2048 margin is
-    dozens of sigmas; overflow is still DETECTED (device flag checked at
-    finalize) rather than silently truncated."""
+    dozens of sigmas; an overflow is still detected on device and the
+    step REPLAYED through the capacity-free masked exchange (never
+    silently truncated)."""
     if n_shards <= 1:
         return N
     return N // n_shards + N // (4 * n_shards) + 2048
@@ -223,11 +226,19 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
             send_w, AXIS, split_axis=0, concat_axis=0, tiled=True
         )
         overflow = jnp.any(send_sizes > capp).astype(jnp.int32).reshape(1)
-        return (
-            recv.reshape(1, n_shards * capp, W),
-            recv_w.reshape(1, n_shards * capp),
-            overflow,
-        )
+        # RECOVERABLE overflow: when ANY sender overflowed (global psum),
+        # the whole step's contribution is zeroed on device — truncated
+        # segments never reach the store — and the host re-runs the
+        # retained step through the capacity-free masked exchange
+        # (ShardedMerCounter._resolve_overflow_ring). The flag returned
+        # to the host is the GLOBAL count, identical on every shard.
+        ov_global = jax.lax.psum(overflow, AXIS)
+        bad = ov_global[0] > 0
+        rk = jnp.where(bad, jnp.uint32(0xFFFFFFFF),
+                       recv.reshape(1, n_shards * capp, W))
+        rw = jnp.where(bad, jnp.uint32(0),
+                       recv_w.reshape(1, n_shards * capp))
+        return (rk, rw, ov_global)
 
     def _local_core(mers, valid, masks):
         sk = sortkey_of_mers(mers, masks, k, lsize)
@@ -509,7 +520,18 @@ class ShardedMerCounter:
             self._A is not None, compact=self.compact_exchange,
         )
         self._packed_steps: dict = {}
-        self._overflow_flags: list = []
+        self._masked_steps: dict = {}
+        # recoverable-overflow ring: (flag, replay, store) per compact-
+        # exchange step, at most _overflow_ring_depth entries. Flags are
+        # only read once they are ring-depth steps old (the device has
+        # long executed them — no pipeline stall); a set flag means the
+        # step's contribution was zeroed ON DEVICE (_local_compact) and
+        # the retained host input is re-ingested through the capacity-
+        # free masked exchange. Replay holds REFERENCES to the caller's
+        # arrays (every caller passes freshly-built batches).
+        self._retain_ring: list = []
+        self._overflow_ring_depth = 16
+        self.overflow_retries = 0
         self.store = _ShardedStore(self.W, key_bits=c)
         self._restrict_store: _ShardedStore | None = None
         # bloom-mode filter f(mers, counts) -> counts, applied ONCE per
@@ -535,8 +557,9 @@ class ShardedMerCounter:
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         dev = self._put(chunks, np.uint8, sharding)
         keys, weights, overflow = self._step(dev, self._A)
-        self._overflow_flags.append(overflow)
         self._insert_step(keys, weights, max_weight=chunks.shape[1])
+        self._note_step(overflow, ("ascii", chunks), self.store,
+                        chunks.shape[1])
 
     def packed_step(self, L: int):
         """Jitted packed-ingest counting step for chunk length L: device
@@ -565,8 +588,9 @@ class ShardedMerCounter:
         pw = self._put(pwords, np.uint32, sharding)
         vb = self._put(validbits, np.uint32, sharding)
         keys, weights, overflow = step(pw, vb)
-        self._overflow_flags.append(overflow)
         self._insert_step(keys, weights, max_weight=L)
+        self._note_step(overflow, ("packed", pwords, validbits),
+                        self.store, L)
 
     def _insert_step(self, keys, weights, max_weight: int,
                      store: "_ShardedStore | None" = None) -> None:
@@ -601,11 +625,13 @@ class ShardedMerCounter:
             L = len(batch[0])
             while len(batch) < rows:
                 batch.append(np.full(L, ord("N"), dtype=np.uint8))
-            dev = self._put(np.stack(batch), np.uint8, sharding)
+            stacked = np.stack(batch)
+            dev = self._put(stacked, np.uint8, sharding)
             keys, weights, overflow = self._step(dev, self._A)
-            self._overflow_flags.append(overflow)
             self._insert_step(keys, weights, max_weight=rows * L,
                               store=self._restrict_store)
+            self._note_step(overflow, ("ascii", stacked),
+                            self._restrict_store, rows * L)
             batch.clear()
 
         L_seen = None
@@ -673,7 +699,7 @@ class ShardedMerCounter:
         the global hash order — the multi-host dump is "each host writes
         its segment file, cat in rank order" (no cross-DCN table motion;
         replaces sorted_dumper.hpp:57-101's mer_heap/token-ring)."""
-        self._check_overflow()
+        self._resolve_overflow_ring()
         if self._restrict_store is None:
             parts = self._finalize_parts(self.store)
             out = []
@@ -736,24 +762,61 @@ class ShardedMerCounter:
             keys, self._Ainv, k=self.k, lsize=self.lsize
         )
 
-    def _check_overflow(self) -> None:
-        """Raise if any exchange segment ever exceeded its capacity
-        (would mean silently dropped rows; with a random matrix this
-        needs a >25% binomial deviation — see _exchange_cap)."""
-        if not self._overflow_flags:
+    def _note_step(self, flag, replay, store, max_weight: int) -> None:
+        """Track a compact-exchange step for recoverable overflow. The
+        flag is only read once it is ring-depth steps old (the device has
+        executed it by then — no pipeline stall); a set flag means the
+        step contributed NOTHING (zeroed on device) and its retained
+        input is re-ingested through the capacity-free masked exchange.
+        The masked paths (compact_exchange=False, 1-shard meshes) cannot
+        overflow and are not tracked."""
+        if not (self.compact_exchange and self.n_shards > 1):
             return
-        flags, self._overflow_flags = self._overflow_flags, []
-        bad = False
-        for f in flags:
-            for sh in f.addressable_shards:
-                if np.asarray(sh.data).any():
-                    bad = True
-        if bad:
-            raise RuntimeError(
-                "sharded exchange receive-capacity overflow: results "
-                "would be incomplete (pathological hash skew); rerun "
-                "with a different matrix/seed"
+        self._retain_ring.append((flag, replay, store, max_weight))
+        while len(self._retain_ring) > self._overflow_ring_depth:
+            self._resolve_oldest()
+
+    def _resolve_overflow_ring(self) -> None:
+        """Drain the ring (finalize/reset); replays any flagged steps."""
+        while self._retain_ring:
+            self._resolve_oldest()
+
+    def _resolve_oldest(self) -> None:
+        flag, replay, store, max_weight = self._retain_ring.pop(0)
+        # post-psum the flag is the GLOBAL overflow count, identical on
+        # every shard: reading any addressable shard is enough
+        if not np.asarray(flag.addressable_shards[0].data).any():
+            return
+        self.overflow_retries += 1
+        sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
+        if replay[0] == "ascii":
+            chunks = replay[1]
+            dev = self._put(chunks, np.uint8, sharding)
+            keys, weights, _ = self._masked_step(None)(dev)
+        else:
+            pw = self._put(replay[1], np.uint32, sharding)
+            vb = self._put(replay[2], np.uint32, sharding)
+            L = int(replay[1].shape[1]) * 16
+            keys, weights, _ = self._masked_step(L)(pw, vb)
+        # masked receives are raw {0,1}-weight runs regardless of the
+        # primary exchange mode
+        store.insert_raw(keys, weights, max_weight=max_weight)
+
+    def _masked_step(self, L: int | None):
+        """Capacity-free masked-exchange step (the overflow retry path);
+        built lazily per chunk length and cached."""
+        step = self._masked_steps.get(L)
+        if step is None:
+            raw = _build_step(
+                self.mesh, self.k, self.lsize, self.canonical,
+                self._A is not None, packed_L=L, compact=False,
             )
+            if L is None:
+                step = lambda a: raw(a, self._A)  # noqa: E731
+            else:
+                step = lambda a, b: raw(a, b, self._A)  # noqa: E731
+            self._masked_steps[L] = step
+        return step
 
     def finalize(self):
         """(mers object ints, counts uint64) — scripting convenience over
@@ -764,5 +827,5 @@ class ShardedMerCounter:
         return mw.to_ints(mers), counts
 
     def reset(self) -> None:
-        self._overflow_flags = []
+        self._retain_ring = []
         self.store.reset()
