@@ -73,7 +73,7 @@ def measure(mesh_devices, chunks_np, k):
             counter.store.insert_raw(keys, weights, max_weight=L)
         # fetch-forced sync (block_until_ready unreliable via tunnel)
         for run in counter.store.occupied_runs():
-            for x in run:
+            for x in run[:3]:  # keys/lo/hi (run[3] is the dups int)
                 if x is not None:
                     np.asarray(jax.device_get(x.addressable_shards[0].data[:1]))
 
