@@ -114,7 +114,12 @@ def main():
 
     k = int(os.environ.get("JF_BENCH_K", 21))
     L = int(os.environ.get("JF_BENCH_CHUNK_LEN", 1 << 20))
-    n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 96))
+    # 256 chunks (~268M mers) cross the store's 2^27-row grain twice, so
+    # the timed window pays every steady-state cost (consolidation AND
+    # compaction) — the SUSTAINED rate is the headline (round-3 verdict:
+    # the deferred-compaction 96-chunk window flattered the number; use
+    # JF_BENCH_CHUNKS=96 to reproduce the burst figure)
+    n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 256))
     counter = MerCounter(
         k, size=1 << 22, canonical=True, rng=np.random.default_rng(42)
     )
@@ -187,7 +192,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "kmers_counted_per_sec_per_chip_k21",
+                "metric": f"kmers_sustained_per_sec_per_chip_k{k}",
                 "value": round(value, 1),
                 "unit": "mers/s",
                 "vs_baseline": round(value / BASELINE_MERS_PER_SEC, 4),
