@@ -43,7 +43,6 @@ import numpy as np
 
 from jellyfish_tpu.ops.count import (
     compact_counted,
-    compaction_plan,
     consolidate_premasked,
     merge_many,
 )
@@ -71,35 +70,44 @@ def _consolidate_fn(n_runs: int, key_bits):
     return f
 
 
-@functools.lru_cache(maxsize=32)
-def _spec_compact_fn(key_bits, plan):
-    """SPECULATIVE rowsort compaction of one masked counted run (2.25 vs
-    4.29 ms/M global at 25% density, real chip, experiments/
-    cond_fallback_probe.py). Does NOT donate: the inputs are retained so
-    the caller can recompute with the global sort on the rare plan
-    overflow (ovf True => the sliced output lost rows and is garbage).
-    An on-device lax.cond fallback measures the same speed (+0.03 ms/M,
-    same probe), but holds BOTH branches' full-size outputs live, raising
-    the in-program peak HBM by ~2x the run and capping the affordable
-    grain — hence the host-side check, which the store performs at the
-    grain boundary where it already syncs for the density estimate."""
+@functools.lru_cache(maxsize=64)
+def _consolidate_compact_fn(n_runs: int, key_bits):
+    """Fused full-grain combine: consolidate + compact in one donating
+    program (the steady-state grain path).
 
-    @jax.jit
-    def f(keys, counts):
-        n = jnp.sum((counts != 0).astype(jnp.uint32))
-        k2, l2, _, ovf = compact_counted(
-            keys, counts, None, key_bits, assume_masked=True, plan=plan
+    Measured device costs (experiments/merge_probe.py, 32M-268M rows):
+    keys-only consolidate 3.2 ms/M, compact_counted 4.3 ms/M, but
+    merge_many 8.5-10.3 ms/M — so the steady-state path consolidates the
+    raw backlog at the LARGEST affordable grain and pays the single
+    compacting sort immediately, instead of deferring to a merge_many
+    over grain-sized masked runs. Higher levels then only ever merge
+    distinct-sized truncated runs.
+
+    Plan-free on purpose: the ops-level rowsort plan (compact_counted
+    plan=, 2.25 vs 4.29 ms/M in isolation) measured END-TO-END NEUTRAL
+    in this store — bench 103.2M mers/s with and without, store-only A/B
+    13.6 vs 14.05 ms/M — so the speculative ovf machinery it required
+    (retained inputs, host-side checks, resolve-before-merge guards) was
+    deleted in round 4 rather than carried (PERF.md "rowsort plan" note
+    has the numbers)."""
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
+    def f(*keys):
+        k2, c2, n = consolidate_premasked(
+            jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
-        return k2, l2, n, ovf
+        k3, l3, _, _ = compact_counted(
+            k2, c2, None, key_bits, assume_masked=True
+        )
+        return k3, l3, n
 
     return f
 
 
 @functools.lru_cache(maxsize=16)
 def _compact_masked_fn(key_bits):
-    """Global compaction of one masked counted run + its entry count
-    (the plan-free path: first grain, and the fallback on plan
-    overflow)."""
+    """Compact one masked counted run (drain leftovers) + its entry
+    count."""
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def f(keys, counts):
@@ -231,12 +239,6 @@ class SortedCountStore:
         # finalize (the device entry stays inflated; the correction is
         # host-side), carried so repeated finalizes stay exact
         self.residual_pads = 0
-        # observed distinct/rows of the most recent grain consolidation;
-        # drives the rowsort-compaction level choice for the NEXT grain
-        # (1.0 = unknown -> global sort; a misprediction only costs the
-        # on-device fallback, never correctness). The 1.3 headroom in
-        # _levels absorbs grain-to-grain density drift.
-        self.density_est = 1.0
 
     # -- ingestion ------------------------------------------------------------
 
@@ -281,11 +283,7 @@ class SortedCountStore:
         # resolve at consolidation boundaries only: the int(n) fetch syncs
         # the host on the previous consolidate/merge chain, so doing it at
         # every insert would stall pipeline dispatch (memory stays bounded
-        # by at most one unshrunk run per level). This is ALSO the ovf
-        # check point of the previous grain's speculative compaction — its
-        # retained masked input is freed (or recomputed from) here, BEFORE
-        # this grain's sort is dispatched, so at most one retained grain
-        # is ever live.
+        # by at most one unshrunk run per level)
         self._resolve_pending_shrinks()
         if not self.raw:
             return
@@ -294,8 +292,12 @@ class SortedCountStore:
         runs, self.raw, self.raw_rows = self.raw, [], 0
         if compact:
             rows = sum(r.shape[0] for r in runs)
-            km, cm = _consolidate_fn(len(runs), self.key_bits)(*runs)
-            self._compact_into_dedup(km, cm, rows)
+            k2, l2, n = _consolidate_compact_fn(
+                len(runs), self.key_bits
+            )(*runs)
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append((0, run, n, rows))
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
             # two, so one 100M-row drain sort costs like 134M; splitting
@@ -305,31 +307,6 @@ class SortedCountStore:
                 self.masked0.append((k2, c2))
             self._maybe_compact_masked()
         self._maybe_merge_dedup()
-
-    def _compact_into_dedup(self, keys, counts, src_rows: int) -> None:
-        """Compact one masked counted run into dedup level 0.
-
-        With a non-empty plan the compaction is SPECULATIVE (_spec_compact
-        _fn): the masked input is RETAINED and the ovf scalar recorded in
-        the pending entry; _resolve_pending_shrinks checks it host-side at
-        the next sync point and recomputes via the plan-free global sort
-        on the rare overflow. With an empty plan (first grain, dense runs)
-        the plan-free donating path runs directly."""
-        plan = self._plan()
-        if plan:
-            k2, l2, n, ovf = _spec_compact_fn(self.key_bits, plan)(
-                keys, counts
-            )
-            run = (k2, l2, None)
-            self.dedup_levels[0].append(run)
-            self._pending_shrinks.append(
-                (0, run, n, src_rows, ovf, (keys, counts))
-            )
-        else:
-            k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
-            run = (k2, l2, None)
-            self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, src_rows, None, None))
 
     def _maybe_compact_masked(self) -> None:
         """Fold accumulated masked drain leftovers into the dedup forest
@@ -342,21 +319,15 @@ class SortedCountStore:
             return
         pend, self.masked0 = self.masked0, []
         for keys, counts in pend:
-            self._compact_into_dedup(keys, counts, keys.shape[0])
-
-    def _unresolved_spec_in(self, group) -> bool:
-        specs = [p[1] for p in self._pending_shrinks if p[4] is not None]
-        return any(any(r is s for s in specs) for r in group)
+            rows = keys.shape[0]
+            k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
+            run = (k2, l2, None)
+            self.dedup_levels[0].append(run)
+            self._pending_shrinks.append((0, run, n, rows))
 
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
         while len(self.dedup_levels[lvl]) >= self.branch:
-            if self._unresolved_spec_in(self.dedup_levels[lvl]):
-                # a speculative compaction output must never be merged
-                # before its ovf scalar is checked (a sliced overflow
-                # result is garbage); resolving here syncs once per
-                # branch^1 grains — negligible
-                self._resolve_pending_shrinks()
             group = self.dedup_levels[lvl]
             self.dedup_levels[lvl] = []
             arity = tuple(2 if r[2] is None else 3 for r in group)
@@ -377,37 +348,18 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n, None, None, None))
+            self._pending_shrinks.append((lvl + 1, run, n, None))
             lvl += 1
-
-    def _plan(self) -> tuple:
-        """Rowsort-compaction slice plan for the next grain/drain
-        compaction, from the last observed density with 1.2x
-        grain-to-grain drift headroom (compaction_plan adds its own
-        6-sigma sampling margin on top)."""
-        return compaction_plan(1.2 * self.density_est)
 
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
-        for lvl, run, n_dev, src_rows, ovf_dev, retained in pending:
+        for lvl, run, n_dev, src_rows in pending:
             n = int(n_dev)
-            if src_rows:
-                self.density_est = n / src_rows
             level = self.dedup_levels[lvl]
             try:
                 i = next(j for j, r in enumerate(level) if r is run)
             except StopIteration:
-                # already consumed by a further merge — impossible for a
-                # speculative run (_maybe_merge_dedup resolves first)
-                continue
-            if ovf_dev is not None and bool(ovf_dev):
-                # the speculative rowsort plan overflowed: the sliced
-                # output lost rows — recompute from the retained masked
-                # input with the plan-free global sort (exact for any
-                # density, just slower; n from the input counts is
-                # unaffected by the slicing and stays valid)
-                k2, l2, _ = _compact_masked_fn(self.key_bits)(*retained)
-                run = (k2, l2, None)
+                continue  # already consumed by a further merge
             k2, l2, h2 = self._shrink(run[0], run[1], run[2], n)
             level[i] = (k2, l2, h2)
 
@@ -493,7 +445,6 @@ class SortedCountStore:
 
     def reset(self) -> None:
         self._pending_shrinks = []
-        self.density_est = 1.0
         self.raw, self.raw_rows = [], 0
         self.masked0 = []
         self.valid_scalars = []

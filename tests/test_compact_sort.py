@@ -3,9 +3,9 @@ SPECULATIVE — the result (dense ascending prefix of real rows) matches the
 global compacting sort whenever the returned `ovf` scalar is False, and a
 True `ovf` tells the caller the sliced output lost rows and must be
 recomputed from the retained input with plan=() (whose ovf is constant
-False). The store performs that check host-side (store._resolve_pending_
-shrinks); tests/test_store_memory.py::test_spec_overflow_recompute_exact
-covers the end-to-end recompute path.
+False). The STORE does not use plans (they measured end-to-end neutral —
+PERF.md "rowsort plan" note); the ops-level contract remains available
+and covered here for callers that batch-compact at known density.
 """
 
 import jax.numpy as jnp
