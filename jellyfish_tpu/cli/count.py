@@ -72,6 +72,11 @@ def add_parser(sub):
                    help="Multi-host run: total number of processes")
     p.add_argument("--process-id", type=int, dest="process_id",
                    help="Multi-host run: this process's rank [0, N)")
+    p.add_argument("--packed-store", action="store_true",
+                   dest="packed_store",
+                   help="Bit-pack resting store runs (~3x more distinct "
+                        "mers per chip HBM; TPU extension, see "
+                        "'jellyfish mem --packed')")
     p.add_argument("--matrix-seed", type=int, dest="matrix_seed",
                    default=None,
                    help="Seed for the random hash matrix (TPU extension; "
@@ -244,6 +249,8 @@ def run(args, argv):
         if n_devices > avail:
             die(f"count: --devices {n_devices} exceeds the {avail} "
                 "visible devices")
+        if getattr(args, "packed_store", False):
+            die("count: --packed-store is single-chip for now")
         counter = ShardedMerCounter(
             k, size=args.size, mesh=make_mesh(n_devices),
             canonical=args.canonical, rng=rng,
@@ -253,6 +260,7 @@ def run(args, argv):
         counter = MerCounter(
             k, size=args.size, canonical=args.canonical,
             rng=rng, mer_filter=filt,
+            pack_resting=bool(getattr(args, "packed_store", False)),
         )
 
     chunker = SequenceChunker(

@@ -19,6 +19,9 @@ def add_mem_parser(sub):
                    dest="mer_len", help="Length of mer")
     p.add_argument("-s", "--size", type=suffix_int, default=None,
                    help="Initial hash size -> memory usage")
+    p.add_argument("--packed", action="store_true",
+                   help="Model the bit-packed resting store "
+                        "(count --packed-store; TPU extension)")
     p.add_argument("--mem", type=suffix_int, default=None,
                    help="Memory available -> max hash size")
     p.add_argument("-c", "--counter-len", type=int, default=7,
@@ -69,6 +72,30 @@ def run_mem(args, argv):
     from jellyfish_tpu.memmodel import UsageInfo
 
     usage = UsageInfo(args.mer_len * 2, args.counter_len, args.reprobes)
+    if getattr(args, "packed", False):
+        # bit-packed resting store (count --packed-store): entries cost
+        # ~(2k - p + c) bits + the bucket index (ops/packed_run.py
+        # packed_nbytes — the dense-sorted analogue of the reference's
+        # 2^l*(2k-l+r+1)/8, large_hash_array.hpp:106-115)
+        from jellyfish_tpu.ops.packed_run import packed_nbytes
+
+        if args.size is not None:
+            val = packed_nbytes(args.size, args.mer_len * 2,
+                                cbits=args.counter_len)
+            print(f"{val} ({add_suffix(val, 1024)})")
+        elif args.mem is not None:
+            lo_n, hi_n = 1, 1 << 62
+            while lo_n < hi_n:  # packed_nbytes is monotone in n
+                mid = (lo_n + hi_n + 1) // 2
+                if packed_nbytes(mid, args.mer_len * 2,
+                                 cbits=args.counter_len) <= args.mem:
+                    lo_n = mid
+                else:
+                    hi_n = mid - 1
+            print(f"{lo_n} ({add_suffix(lo_n, 1000)})")
+        else:
+            die("mem: either -s or --mem must be given")
+        return 0
     if args.size is not None:
         val = usage.mem(args.size)
         print(f"{val} ({add_suffix(val, 1024)})")

@@ -139,6 +139,7 @@ class MerCounter:
         matrix: GF2Matrix | None = None,
         rng: np.random.Generator | None = None,
         mer_filter=None,
+        pack_resting: bool = False,
     ):
         self.k = int(k)
         c = 2 * self.k
@@ -179,7 +180,9 @@ class MerCounter:
                 inverse_masks_of_matrix(self.matrix, self.W)
             )
 
-        self.store = SortedCountStore(self.W, key_bits=c)
+        self.store = SortedCountStore(
+            self.W, key_bits=c, pack_resting=pack_resting
+        )
         # optional per-batch filter on (recovered mers, counts) -> counts,
         # the batch equivalent of the reference's filter chain
         # (count_main.cc:99-131; bloom --bc / --bf-size modes)

@@ -46,6 +46,7 @@ from jellyfish_tpu.ops.count import (
     consolidate_premasked,
     merge_many,
 )
+from jellyfish_tpu.ops.packed_run import PackedRun, pack_run, unpack_run
 
 __all__ = ["SortedCountStore"]
 
@@ -205,7 +206,8 @@ class SortedCountStore:
 
     def __init__(self, W: int, branch: int = 8,
                  consolidate_rows: int | None = None,
-                 key_bits: int | None = None):
+                 key_bits: int | None = None,
+                 pack_resting: bool = False):
         # grain: the largest affordable raw backlog (grain*4W bytes HBM;
         # sort throughput is flat through 2^27 rows, merge_probe.py). A
         # bigger grain directly divides the steady-state level-merge
@@ -217,6 +219,14 @@ class SortedCountStore:
         if consolidate_rows is None:
             consolidate_rows = (1 << 27) if W <= 2 else (1 << 26)
         self.consolidate_rows = int(consolidate_rows)
+        # opt-in HBM-capacity mode (ops/packed_run.py): runs promoted to
+        # level >= _pack_level and the finalize resting run are stored
+        # BIT-PACKED at ~(2k - p + 7) bits/entry (~30 at k=21 vs 96
+        # dense — the reference's Offsets trick transposed to a dense
+        # sorted array, doc/jellyfish.tex:128-134) and lazily unpacked
+        # when a merge consumes them
+        self.pack_resting = bool(pack_resting)
+        self._pack_level = 2
         # cap on accumulated sub-grain masked drain leftovers before they
         # are compacted into the dedup forest
         self.masked_rows_budget = 192 << 20
@@ -325,10 +335,28 @@ class SortedCountStore:
             self.dedup_levels[0].append(run)
             self._pending_shrinks.append((0, run, n, rows))
 
+    def _materialize(self, run):
+        """Dense (keys, lo, hi) view of a run; unpacks PackedRun lazily."""
+        if isinstance(run, PackedRun):
+            k, l, h = unpack_run(run)
+            return (k, l, h)
+        return run
+
+    def _maybe_pack(self, lvl: int, run, n: int):
+        """Pack a freshly shrunk run when the capacity mode is on and the
+        run sits high enough in the forest (rarely touched again)."""
+        if not (self.pack_resting and lvl >= self._pack_level
+                and self.key_bits is not None and n > 0):
+            return run
+        k, l, h = run
+        return pack_run(k, l, h, n, self.key_bits)
+
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
         while len(self.dedup_levels[lvl]) >= self.branch:
-            group = self.dedup_levels[lvl]
+            group = [
+                self._materialize(r) for r in self.dedup_levels[lvl]
+            ]
             self.dedup_levels[lvl] = []
             arity = tuple(2 if r[2] is None else 3 for r in group)
             args = [x for r in group for x in (r[:2] if r[2] is None else r)]
@@ -361,7 +389,7 @@ class SortedCountStore:
             except StopIteration:
                 continue  # already consumed by a further merge
             k2, l2, h2 = self._shrink(run[0], run[1], run[2], n)
-            level[i] = (k2, l2, h2)
+            level[i] = self._maybe_pack(lvl, (k2, l2, h2), n)
 
     @staticmethod
     def _shrink(keys, lo, hi, n: int):
@@ -387,7 +415,11 @@ class SortedCountStore:
         out = [(k,) for k in self.raw]
         out.extend(self.masked0)
         for r in self._all_dedup():
-            out.append(tuple(x for x in r if x is not None))
+            if isinstance(r, PackedRun):
+                out.append((r.stream, r.index, r.esc_pos, r.esc_lo,
+                            r.esc_hi))
+            else:
+                out.append(tuple(x for x in r if x is not None))
         return out
 
     def device_bytes(self) -> int:
@@ -416,13 +448,12 @@ class SortedCountStore:
         # final combine only sees deduplicated runs (bounded duplicates for
         # merge_many's log-scan)
         self._consolidate()
-        # resolve BEFORE the final merge: checks any speculative ovf
-        # scalar (a sliced overflow output is garbage until recomputed)
-        # and truncates runs so the merge sees the smallest shapes
+        # resolve BEFORE the final merge so it sees the smallest shapes
         self._resolve_pending_shrinks()
         # masked drain leftovers are valid deduplicated merge inputs
         runs = list(self.masked0) + [
-            (r[:2] if r[2] is None else r) for r in self._all_dedup()
+            (r[:2] if r[2] is None else r)
+            for r in (self._materialize(x) for x in self._all_dedup())
         ]
         self.masked0 = []
         if not runs:
@@ -440,8 +471,16 @@ class SortedCountStore:
         self.residual_pads = pads
         for level in self.dedup_levels:
             level.clear()
-        self.dedup_levels[-1].append((k2, l2, h2))
-        return k2, l2, h2, int(n), pads
+        n = int(n)
+        if self.pack_resting and self.key_bits is not None and n > 0:
+            # the resting copy is bit-packed; the caller still gets the
+            # dense arrays of THIS finalize (already materialized)
+            self.dedup_levels[-1].append(
+                pack_run(k2, l2, h2, n, self.key_bits)
+            )
+        else:
+            self.dedup_levels[-1].append((k2, l2, h2))
+        return k2, l2, h2, n, pads
 
     def reset(self) -> None:
         self._pending_shrinks = []
