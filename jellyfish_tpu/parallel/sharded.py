@@ -49,7 +49,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.counter import ceil_log2
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import merge_many, merge_raw
+from jellyfish_tpu.ops.count import compact_counted, merge_many, merge_raw
 from jellyfish_tpu.ops.hashing import (
     inverse_masks_of_matrix,
     masks_of_matrix,
@@ -109,7 +109,8 @@ def _exchange_cap(N: int, n_shards: int) -> int:
 
 
 def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
-                packed_L: int | None = None, compact: bool = True):
+                packed_L: int | None = None, compact: bool = True,
+                stage: str = "full", cap_mult: int = 1):
     """Jitted per-step program: [P, L] chunks -> per-shard routed runs.
 
     compact=True (default): each device consolidates its chunk locally
@@ -126,7 +127,12 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
     i32) — the receive is P concatenated deduplicated sender segments.
 
     compact=False: the capacity-free masked all-to-all (full-length
-    masked copy per destination, weights in {0,1}) kept as a fallback."""
+    masked copy per destination, weights in {0,1}) kept as a fallback.
+
+    stage="local": stop after the per-shard consolidate+compact and
+    return (keys [P, N, W], counts [P, N]) UNROUTED — the ingest-time
+    bloom filtering hook (the host filters the per-shard deduplicated
+    run, then routes it with _build_route_step)."""
     n_shards = mesh.devices.size
     c = 2 * k
 
@@ -154,7 +160,7 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
             zero,
         )
 
-    def _local_compact(sk, w, N, W):
+    def _consolidate_chunk(sk, w, N, W):
         # fused local consolidate + compact (ops/count.py kernels inlined
         # on the chunk): sort keys, count duplicate segments, compact the
         # (key, count) pairs to the ascending prefix. The exchange then
@@ -187,6 +193,13 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         s2 = jax.lax.sort(m_limbs + [~cnt], num_keys=W + 1, is_stable=False)
         ck = jnp.stack([s2[W - 1 - i] for i in range(W)], axis=-1)
         ccnt = ~s2[W]
+        return ck, ccnt
+
+    def _local_compact(sk, w, N, W):
+        ck, ccnt = _consolidate_chunk(sk, w, N, W)
+        return _route_compact(ck, ccnt, N, W, cap_mult)
+
+    def _route_compact(ck, ccnt, N, W, cap_mult):
         own = _owner_of_sortkeys(ck, ccnt, c, n_shards)
         dst = jnp.arange(n_shards, dtype=jnp.int32)
         send_sizes = jnp.sum(
@@ -195,7 +208,7 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         input_offsets = jnp.concatenate(
             [jnp.zeros(1, jnp.int32), jnp.cumsum(send_sizes)[:-1]]
         )
-        capp = _exchange_cap(N, n_shards)
+        capp = min(cap_mult * _exchange_cap(N, n_shards), N)
         # one contiguous segment per destination, cut with dynamic slices
         # from the compacted run (PAD-padded so slices never clamp)
         padded = jnp.concatenate(
@@ -245,9 +258,45 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         w = valid.astype(jnp.uint32)
         N, W = sk.shape
         sk = jnp.where(valid[:, None], sk, jnp.uint32(0xFFFFFFFF))
+        if stage == "local":
+            ck, ccnt = _consolidate_chunk(sk, w, N, W)
+            return ck[None], ccnt[None]
         if compact and n_shards > 1:
             return _local_compact(sk, w, N, W)
         return _local_masked(sk, w, N, W)
+
+    if stage == "route":
+        # route an (already filtered) per-shard compacted run: the
+        # ingest-time bloom hook's second half, and the 2x-capacity
+        # overflow replay path for filtered steps
+        def route_local(ck, ccnt):
+            N, W = ck.shape[1], ck.shape[2]
+            ck2 = ck.reshape(ck.shape[1:])
+            cc2 = ccnt.reshape(-1)
+            # the host-side filter zeroes DROPPED entries in place,
+            # leaving holes in the compacted prefix — but the segment
+            # slicing below cuts CONTIGUOUS per-owner ranges, so the run
+            # must be re-compacted first (zero-count rows to PAD, reals
+            # back to the dense ascending prefix)
+            ck2, cc2, _, _ = compact_counted(
+                ck2, cc2, None, c, assume_masked=False
+            )
+            return _route_compact(ck2, cc2, N, W, cap_mult)
+
+        shard_fn = jax.shard_map(
+            route_local,
+            mesh=mesh,
+            in_specs=(
+                PartitionSpec(AXIS, None, None),
+                PartitionSpec(AXIS, None),
+            ),
+            out_specs=(
+                PartitionSpec(AXIS, None, None),
+                PartitionSpec(AXIS, None),
+                PartitionSpec(AXIS),
+            ),
+        )
+        return jax.jit(shard_fn)
 
     a_spec = PartitionSpec() if has_matrix else None
     if packed_L is None:
@@ -269,15 +318,22 @@ def _build_step(mesh, k: int, lsize: int, canonical: bool, has_matrix: bool,
         in_specs = (
             PartitionSpec(AXIS, None), PartitionSpec(AXIS, None), a_spec
         )
+    if stage == "local":
+        out_specs = (
+            PartitionSpec(AXIS, None, None),
+            PartitionSpec(AXIS, None),
+        )
+    else:
+        out_specs = (
+            PartitionSpec(AXIS, None, None),
+            PartitionSpec(AXIS, None),
+            PartitionSpec(AXIS),
+        )
     shard_fn = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=in_specs,
-        out_specs=(
-            PartitionSpec(AXIS, None, None),
-            PartitionSpec(AXIS, None),
-            PartitionSpec(AXIS),
-        ),
+        out_specs=out_specs,
     )
     return jax.jit(shard_fn)
 
@@ -392,11 +448,35 @@ class _ShardedStore:
         while len(self.levels[lvl]) >= self.branch:
             group = self.levels[lvl]
             self.levels[lvl] = []
-            merged = self._merge_group(group, raw=(lvl == 0))
+            if lvl >= 2:
+                # high-level merges COMPACT and truncate to occupancy so
+                # device memory tracks the distinct (post-filter) count,
+                # not total ingested rows — the sharded analogue of
+                # SortedCountStore's shrink (the int(max(ns)) fetch syncs
+                # once per branch^2 inserts, negligible)
+                merged, ns = self._merge_group(group, raw=False,
+                                               compact=True)
+                merged = self._shrink_run(merged, ns)
+            else:
+                merged = self._merge_group(group, raw=(lvl == 0))
             if lvl + 1 >= len(self.levels):
                 raise RuntimeError("forest store exceeded maximum level count")
             self.levels[lvl + 1].append(merged)
             lvl += 1
+
+    def _shrink_run(self, run, ns):
+        """Truncate a compacted [P, M, ...] run to the next power of two
+        >= every shard's occupancy (keeps jitted shapes few)."""
+        k2, l2, h2, dups = run
+        M = k2.shape[1]
+        n = int(np.max([np.asarray(sh.data).max()
+                        for sh in ns.addressable_shards]))
+        cap = 1 << max(10, (max(n, 1) - 1).bit_length())
+        if cap >= M:
+            return run
+        sl = (slice(None), slice(0, cap))
+        h2c = None if h2 is None else h2[sl]
+        return (k2[sl], l2[sl], h2c, dups)
 
     def _merge_group(self, group, raw: bool, compact: bool = False):
         # raw groups ALWAYS take the segment-length kernel: merge_raw's
@@ -521,6 +601,8 @@ class ShardedMerCounter:
         )
         self._packed_steps: dict = {}
         self._masked_steps: dict = {}
+        self._local_steps: dict = {}
+        self._route_steps: dict = {}
         # recoverable-overflow ring: (flag, replay, store) per compact-
         # exchange step, at most _overflow_ring_depth entries. Flags are
         # only read once they are ring-depth steps old (the device has
@@ -540,9 +622,24 @@ class ShardedMerCounter:
         # (stateless), and --bf's "first occurrence consumed" reduces to
         # counts-1 per distinct mer when every occurrence is already
         # aggregated (finalize-mode is the false-positive-free ideal).
-        # The bloom modes' INGEST-memory reduction applies single-chip
-        # only for now (the sharded store counts everything, then drops).
+        # Bloom modes filter at INGEST time (like single-chip): each
+        # device's locally consolidated chunk run is recovered to mers,
+        # filtered host-side, and only PASSING (key, count) pairs enter
+        # the exchange and the store — so --bc/--bf-size bound device
+        # memory under -d exactly as they do on one chip. Finalize-time
+        # filtering remains the fallback (multi-process runs: the
+        # stateful --bf filter lives per process, and only the finalize
+        # path guarantees each mer is filtered exactly once, at its
+        # owner shard).
         self.mer_filter = mer_filter
+        self._ingest_filter = (
+            mer_filter is not None and self.n_shards > 1
+            and not self.multiprocess
+        )
+        if self._ingest_filter:
+            # the ring retains DEVICE runs in this mode (re-routing must
+            # not re-apply the stateful filter): keep it shallow
+            self._overflow_ring_depth = 4
         self._run_sharding = NamedSharding(self.mesh, PartitionSpec(AXIS))
 
     # -- ingestion ------------------------------------------------------------
@@ -556,6 +653,10 @@ class ShardedMerCounter:
             raise ValueError(f"expected [{rows}, L] chunks")
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         dev = self._put(chunks, np.uint8, sharding)
+        if self._ingest_filter:
+            ck, ccnt = self._local_step(None)(dev)
+            self._filtered_route_insert(ck, ccnt, chunks.shape[1])
+            return
         keys, weights, overflow = self._step(dev, self._A)
         self._insert_step(keys, weights, max_weight=chunks.shape[1])
         self._note_step(overflow, ("ascii", chunks), self.store,
@@ -587,6 +688,10 @@ class ShardedMerCounter:
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         pw = self._put(pwords, np.uint32, sharding)
         vb = self._put(validbits, np.uint32, sharding)
+        if self._ingest_filter:
+            ck, ccnt = self._local_step(L)(pw, vb)
+            self._filtered_route_insert(ck, ccnt, L)
+            return
         keys, weights, overflow = step(pw, vb)
         self._insert_step(keys, weights, max_weight=L)
         self._note_step(overflow, ("packed", pwords, validbits),
@@ -704,8 +809,11 @@ class ShardedMerCounter:
             parts = self._finalize_parts(self.store)
             out = []
             for p, (_, m, c) in sorted(parts.items()):
-                if self.mer_filter is not None:
+                if self.mer_filter is not None and not self._ingest_filter:
+                    # fallback mode (1-shard / multi-process): filter at
+                    # finalize, each mer exactly once at its owner shard
                     c = self.mer_filter(m, c)
+                if self.mer_filter is not None:
                     keep = c > 0
                     m, c = m[keep], c[keep]
                     if len(c) == 0:
@@ -727,7 +835,7 @@ class ShardedMerCounter:
                             np.zeros(len(amers), dtype=np.uint64)))
                 continue
             keys_np, main_mers, counts = main
-            if self.mer_filter is not None:
+            if self.mer_filter is not None and not self._ingest_filter:
                 counts = self.mer_filter(main_mers, counts)
             kv = _sortkey_order_view(keys_np)
             av = _sortkey_order_view(akeys)
@@ -789,6 +897,20 @@ class ShardedMerCounter:
             return
         self.overflow_retries += 1
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
+        if replay[0] == "routed":
+            # already-filtered per-shard runs: re-route with doubled
+            # capacity (capp clamps at N, so this terminates capacity-
+            # free; re-running the raw chunk would re-apply the stateful
+            # filter)
+            ck, ccnt = replay[1], replay[2]
+            mult = 2
+            while True:
+                keys, weights, ov = self._route(mult)(ck, ccnt)
+                if not np.asarray(ov.addressable_shards[0].data).any():
+                    break
+                mult *= 2
+            self._insert_step(keys, weights, max_weight=max_weight)
+            return
         if replay[0] == "ascii":
             chunks = replay[1]
             dev = self._put(chunks, np.uint8, sharding)
@@ -801,6 +923,52 @@ class ShardedMerCounter:
         # masked receives are raw {0,1}-weight runs regardless of the
         # primary exchange mode
         store.insert_raw(keys, weights, max_weight=max_weight)
+
+    def _local_step(self, L: int | None):
+        """Per-shard consolidate+compact WITHOUT routing (the first half
+        of the ingest-filter flow); cached per chunk length."""
+        step = self._local_steps.get(L)
+        if step is None:
+            raw = _build_step(
+                self.mesh, self.k, self.lsize, self.canonical,
+                self._A is not None, packed_L=L, stage="local",
+            )
+            if L is None:
+                step = lambda a: raw(a, self._A)  # noqa: E731
+            else:
+                step = lambda a, b: raw(a, b, self._A)  # noqa: E731
+            self._local_steps[L] = step
+        return step
+
+    def _route(self, cap_mult: int = 1):
+        """Route a per-shard compacted (keys, counts) run (the second
+        half of the ingest-filter flow; cap_mult > 1 = overflow replay)."""
+        step = self._route_steps.get(cap_mult)
+        if step is None:
+            step = _build_step(
+                self.mesh, self.k, self.lsize, self.canonical,
+                self._A is not None, stage="route", cap_mult=cap_mult,
+            )
+            self._route_steps[cap_mult] = step
+        return step
+
+    def _filtered_route_insert(self, ck, ccnt, max_weight: int) -> None:
+        """Apply the bloom filter to the per-shard deduplicated run, then
+        route only PASSING pairs (count > 0) into the store. Exactly the
+        single-chip per-chunk semantics (counter.add_chunk), shard-wise."""
+        mers = self._recover_batched(ck)
+        m_rows = _addressable_rows(mers)
+        c_rows = _addressable_rows(ccnt)
+        new_rows = np.stack([
+            self.mer_filter(m_rows[p], c_rows[p]).astype(np.uint32)
+            for p in sorted(c_rows)
+        ])
+        sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
+        ccnt2 = self._put(new_rows, np.uint32, sharding)
+        keys, weights, overflow = self._route(1)(ck, ccnt2)
+        self._insert_step(keys, weights, max_weight=max_weight)
+        self._note_step(overflow, ("routed", ck, ccnt2), self.store,
+                        max_weight)
 
     def _masked_step(self, L: int | None):
         """Capacity-free masked-exchange step (the overflow retry path);

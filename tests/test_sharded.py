@@ -494,3 +494,73 @@ def test_sharded_homopolymer_no_overflow(rng):
     mers, counts = counter.finalize()
     got = {int(m): int(c) for m, c in zip(mers, counts)}
     assert got == oracle_counts(seqs, k, False)
+
+
+def test_sharded_bloom_ingest_memory_bounded(rng):
+    """VERDICT r3 #4: under -d the bloom filter must apply at INGEST
+    (per-chunk, before the exchange) so --bc/--bf-size bound device
+    memory like single-chip — the store may only ever hold PASSING mers.
+    A filter that drops everything must leave the sharded store ~empty
+    while the unfiltered run accumulates every distinct mer; outputs of
+    a keep-some filter stay identical to finalize-time filtering."""
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    k = 15
+    seqs = [random_dna(rng, 2000) for _ in range(16)]
+
+    def chunks_of(i):
+        batch = np.full((8, 2048), ord("N"), dtype=np.uint8)
+        for p in range(8):
+            s = seqs[(2 * i + p) % len(seqs)]
+            batch[p, : len(s)] = np.frombuffer(s.encode(), dtype=np.uint8)
+        return batch
+
+    def drop_all(mers, counts):
+        return np.zeros_like(counts)
+
+    sizes = {}
+    for name, filt in [("drop", drop_all), ("none", None)]:
+        c = ShardedMerCounter(
+            k, size=1 << 14, mesh=make_mesh(8), canonical=True,
+            rng=np.random.default_rng(6), mer_filter=filt,
+        )
+        if filt is not None:
+            assert c._ingest_filter
+        c.store.branch = 2  # cascade to the shrinking levels quickly
+        for i in range(8):
+            c.add_chunks(chunks_of(i))
+        sizes[name] = c.store.device_bytes()
+    # a drop-all ingest filter must leave (near-)nothing resident; the
+    # unfiltered store holds every distinct mer
+    assert sizes["drop"] < sizes["none"] / 3, sizes  # drop-all bottoms at the 1024-row min cap
+
+    # keep-some filter: ingest-time filtering == finalize-time filtering
+    from tests.conftest import oracle_counts
+
+    oc = oracle_counts(seqs, k, True)
+    keep_set = {m for m, v in oc.items() if (m & 3) == 0}
+
+    def keep_some(mers, counts):
+        from jellyfish_tpu.ops import multiword as mw
+
+        out = np.zeros_like(counts)
+        sel = counts > 0
+        ints = mw.to_ints(mers[sel])
+        keep = np.array([int(x) in keep_set for x in ints], dtype=bool)
+        out[sel] = np.where(keep, counts[sel], 0)
+        return out
+
+    res = {}
+    for mode in ("ingest", "finalize"):
+        c = ShardedMerCounter(
+            k, size=1 << 14, mesh=make_mesh(8), canonical=True,
+            rng=np.random.default_rng(6), mer_filter=keep_some,
+        )
+        if mode == "finalize":
+            c._ingest_filter = False
+        for i in range(4):
+            c.add_chunks(chunks_of(i))
+        mers, counts = c.finalize()
+        res[mode] = {int(m): int(v) for m, v in zip(mers, counts)}
+    assert res["ingest"] == res["finalize"]
+    assert res["ingest"]  # nonempty
