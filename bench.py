@@ -161,7 +161,11 @@ def main():
     def run_pass():
         for pw, vb in dev_chunks:
             counter.add_chunks_packed_batch(pw, vb)
-        counter.store._consolidate()  # drain the tail backlog
+        # drain the tail backlog with FORCED compaction: every ingested
+        # row pays the full steady-state cost (consolidate AND compact)
+        # inside the timed window, whatever the chunk count — nothing
+        # defers into the Writing phase
+        counter.store._consolidate(compact=True)
         sync(counter)
 
     chunks_np = synth_chunks(n_chunks, L)

@@ -46,7 +46,7 @@ def _consol(keys):
 @jax.jit
 def _fused(keys):
     k2, c2, n = consolidate_premasked(keys, KEY_BITS, return_n=True)
-    k3, l3, _ = compact_counted(k2, c2, None, KEY_BITS, assume_masked=True)
+    k3, l3, _, _ = compact_counted(k2, c2, None, KEY_BITS, assume_masked=True)
     return k3, l3, n
 
 

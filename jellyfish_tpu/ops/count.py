@@ -240,13 +240,16 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
     nk = len(ops)
     M = ops[0].shape[0]
     C = row_c
-    body = (M // C) * C
-    # keep only the levels whose sliced output still reshapes to [R', C]
-    # and is large enough to be worth slicing
+    # keep only the levels still large enough to be worth slicing. No
+    # divisibility precondition: each level splits its own sub-row-c tail
+    # off (carried whole into the final sort) — real grain sizes are
+    # never powers of two, and the old `(rows // C) * D % C == 0` guard
+    # silently degraded EVERY production grain to the global sort (the
+    # round-4 "plan is end-to-end neutral" mystery).
     usable = []
-    rows = body
+    rows = M
     for D in plan:
-        if not (0 < D < C) or rows < 4 * C or (rows // C) * D % C:
+        if not (0 < D < C) or rows < 4 * C:
             break
         usable.append(D)
         rows = (rows // C) * D
@@ -254,13 +257,18 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
         out = jax.lax.sort(ops, num_keys=nk, is_stable=False)
         return tuple(out), jnp.bool_(False)
 
-    tails = [o[body:] for o in ops]
-    cur = [o[:body] for o in ops]
+    tail_pieces = [[] for _ in ops]
+    cur = ops
     ovf = jnp.bool_(False)
     for D in usable:
-        R = cur[0].shape[0] // C
+        n = cur[0].shape[0]
+        R = n // C
+        body = R * C
+        if body < n:
+            for pieces, o in zip(tail_pieces, cur):
+                pieces.append(o[body:])
         rs = jax.lax.sort(
-            [o.reshape(R, C) for o in cur],
+            [o[:body].reshape(R, C) for o in cur],
             dimension=1, num_keys=nk, is_stable=False,
         )
         pad_at_d = None
@@ -271,7 +279,8 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
         cur = [r[:, :D].reshape(R * D) for r in rs]
 
     out = jax.lax.sort(
-        [jnp.concatenate([c, t]) for c, t in zip(cur, tails)],
+        [jnp.concatenate([c] + pieces)
+         for c, pieces in zip(cur, tail_pieces)],
         num_keys=nk, is_stable=False,
     )
     return tuple(out), ovf

@@ -43,6 +43,7 @@ import numpy as np
 
 from jellyfish_tpu.ops.count import (
     compact_counted,
+    compaction_plan,
     consolidate_premasked,
     merge_many,
 )
@@ -72,9 +73,9 @@ def _consolidate_fn(n_runs: int, key_bits):
 
 
 @functools.lru_cache(maxsize=64)
-def _consolidate_compact_fn(n_runs: int, key_bits):
-    """Fused full-grain combine: consolidate + compact in one donating
-    program (the steady-state grain path).
+def _consolidate_compact_fn(n_runs: int, key_bits, plan=()):
+    """Fused full-grain combine: consolidate + compact in one program
+    (the steady-state grain path).
 
     Measured device costs (experiments/merge_probe.py, 32M-268M rows):
     keys-only consolidate 3.2 ms/M, compact_counted 4.3 ms/M, but
@@ -84,23 +85,29 @@ def _consolidate_compact_fn(n_runs: int, key_bits):
     over grain-sized masked runs. Higher levels then only ever merge
     distinct-sized truncated runs.
 
-    Plan-free on purpose: the ops-level rowsort plan (compact_counted
-    plan=, 2.25 vs 4.29 ms/M in isolation) measured END-TO-END NEUTRAL
-    in this store — bench 103.2M mers/s with and without, store-only A/B
-    13.6 vs 14.05 ms/M — so the speculative ovf machinery it required
-    (retained inputs, host-side checks, resolve-before-merge guards) was
-    deleted in round 4 rather than carried (PERF.md "rowsort plan" note
-    has the numbers)."""
+    plan=() donates the raw inputs and compacts with the global sort.
+    A non-empty plan uses the SPECULATIVE rowsort compaction
+    (compact_counted plan=; fused 7.24 vs 10.27 ms/M at 2^27 rows /
+    0.22 density, W=3, experiments/fused_plan_probe.py) and does NOT
+    donate: the caller retains the raw runs and checks the overflow bit
+    host-side at its next sync point (_resolve_pending_shrinks),
+    recomputing via the plan-free donating path on the rare overflow.
 
-    @functools.partial(jax.jit, donate_argnums=tuple(range(n_runs)))
+    Returns (keys, lo, n_packed) with n_packed = n | (ovf << 31) — one
+    scalar fetch resolves both (n < 2^31 always: it counts rows of a
+    <= 2^28 grain)."""
+    donate = tuple(range(n_runs)) if not plan else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def f(*keys):
         k2, c2, n = consolidate_premasked(
             jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
-        k3, l3, _, _ = compact_counted(
-            k2, c2, None, key_bits, assume_masked=True
+        k3, l3, _, ovf = compact_counted(
+            k2, c2, None, key_bits, assume_masked=True, plan=plan
         )
-        return k3, l3, n
+        n_packed = n | (ovf.astype(jnp.uint32) << jnp.uint32(31))
+        return k3, l3, n_packed
 
     return f
 
@@ -164,6 +171,23 @@ def _shrink_fn(cap: int, has_hi: bool):
 
 
 @functools.lru_cache(maxsize=16)
+def _grain_stats_fn(n_valid: int):
+    """Stack a grain's packed n|ovf scalar with the sum of its runs'
+    valid-row scalars into one [2] u32 vector — a single host fetch at
+    resolve time serves the overflow check AND the coverage-model fit
+    (valid <= 2^28 so a u32 sum cannot wrap)."""
+
+    @jax.jit
+    def f(n_packed, *valids):
+        tot = jnp.uint32(0)
+        for v in valids:
+            tot = tot + v
+        return jnp.stack([n_packed, tot])
+
+    return f
+
+
+@functools.lru_cache(maxsize=16)
 def _sum_scalars_fn(n: int):
     """Sum u32 scalars exactly as a (lo, hi) u32 pair (uint64 silently
     truncates to uint32 without jax_enable_x64)."""
@@ -185,12 +209,16 @@ def _pow2_groups(runs):
     """Greedily pack runs (in order) into groups whose row totals stay at
     or under a power of two: the sort's internal pow2 padding then costs
     ~nothing. Groups never split a run; a run bigger than the remaining
-    target forms its own group."""
+    target forms its own group. A remainder CLOSE to the next power of
+    two (>= 92%) stays one group — padding <= 8% beats log-splitting it
+    into [1/2, 1/4, ...] separate sorts (a 134.0M grain backlog must be
+    ONE sort, not seven)."""
     groups = []
     remaining = list(runs)
     while remaining:
         total = sum(r.shape[0] for r in remaining)
-        p = 1 << max(0, total.bit_length() - 1)  # pow2 floor of remainder
+        ceil = 1 << total.bit_length()
+        p = ceil if total >= ceil - (ceil >> 4) - (ceil >> 5) else ceil >> 1
         cur, cur_rows = [], 0
         while remaining and (
             not cur or cur_rows + remaining[0].shape[0] <= p
@@ -216,8 +244,12 @@ class SortedCountStore:
         self.W = W
         self.branch = int(branch)
         self.key_bits = key_bits
+        # W=3 fits the 2^27 grain too (w3_grain_probe); the bigger grain
+        # both divides level-merge volume AND halves the grain's density,
+        # which is what makes the rowsort compaction plan strong
+        # (fused 7.24 ms/M at 2^27/0.22 vs 9.29 at 2^26/0.45, W=3)
         if consolidate_rows is None:
-            consolidate_rows = (1 << 27) if W <= 2 else (1 << 26)
+            consolidate_rows = (1 << 27) if W <= 3 else (1 << 26)
         self.consolidate_rows = int(consolidate_rows)
         # opt-in HBM-capacity mode (ops/packed_run.py): runs promoted to
         # level >= _pack_level and the finalize resting run are stored
@@ -249,6 +281,26 @@ class SortedCountStore:
         # finalize (the device entry stays inflated; the correction is
         # host-side), carried so repeated finalizes stay exact
         self.residual_pads = 0
+        # Coverage model fitted from the most recent grain consolidation:
+        # (G, valid_frac) where G is the effective distinct-key universe
+        # ("genome size") solved from n = G * (1 - e^(-R_valid / G)).
+        # Density is NOT a constant — it falls with grain size as
+        # coverage saturates — so the model predicts the density of a
+        # compaction at ITSOWN row count (a quarter-size warmup grain
+        # would otherwise over-seed the full grains by ~2x). None =
+        # unknown -> plan-free global sort. A misprediction trips the
+        # ovf bit and costs one plan-free recompute, never correctness.
+        self._cov_model: tuple[float, float] | None = None
+        # manual density override (tests / callers with exact knowledge):
+        # when set, used verbatim for every compaction size
+        self.density_est: float | None = None
+        self._cold = True  # no grain compaction dispatched yet
+        self._raw_valid: list = []  # per-run valid scalars of the backlog
+        # diagnostic: planned grain compactions that tripped the rowsort
+        # overflow bit and recomputed plan-free (should stay ~0 on hash-
+        # spread keys; nonzero signals a misestimated density)
+        self.spec_overflows = 0
+        self._plan_margin = 1.2
 
     # -- ingestion ------------------------------------------------------------
 
@@ -260,14 +312,27 @@ class SortedCountStore:
         self.raw_rows_ever += keys.shape[0]
         self.total_weight += keys.shape[0]
         self.valid_scalars.append(n_valid_scalar)
+        self._raw_valid.append(n_valid_scalar)
         self.total_inserted += 1
         # greedy pow2-aligned trigger: XLA's sort pads to the next power of
         # two internally (measured ~35% per-row penalty just above one), so
         # consolidate BEFORE another same-sized run would cross the grain —
         # the backlog lands just under the pow2 instead of just over
-        if (self.raw_rows >= self.consolidate_rows
-                or self.raw_rows + keys.shape[0] > self.consolidate_rows):
+        grain = self._effective_grain()
+        if (self.raw_rows >= grain
+                or self.raw_rows + keys.shape[0] > grain):
             self._consolidate(compact=True)
+
+    def _effective_grain(self) -> int:
+        """The FIRST grain runs at a quarter size: its compaction is
+        necessarily plan-free (no coverage model yet — the one expensive
+        global compacting sort), and a smaller cold grain both costs
+        less per row and seeds the rowsort plan for the full-size grains
+        4x sooner. Steady-state cost is unchanged (one extra level-0
+        run)."""
+        if self._cold and self.density_est is None:
+            return max(self.consolidate_rows >> 3, 1024)
+        return self.consolidate_rows
 
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
@@ -298,16 +363,35 @@ class SortedCountStore:
         if not self.raw:
             return
         if compact is None:
-            compact = self.raw_rows >= self.consolidate_rows
+            compact = self.raw_rows >= self._effective_grain()
         runs, self.raw, self.raw_rows = self.raw, [], 0
+        valids, self._raw_valid = self._raw_valid, []
         if compact:
-            rows = sum(r.shape[0] for r in runs)
-            k2, l2, n = _consolidate_compact_fn(
-                len(runs), self.key_bits
-            )(*runs)
-            run = (k2, l2, None)
-            self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, rows))
+            self._cold = False
+            # pow2 groups: the grain trigger lands the backlog just under
+            # a power of two (one group); a FORCED compaction of an
+            # arbitrary-sized tail splits like the drain path so the
+            # sort's internal pow2 padding stays cheap
+            off = 0
+            for g in _pow2_groups(runs):
+                vg, off = valids[off:off + len(g)], off + len(g)
+                rows = sum(r.shape[0] for r in g)
+                plan = self._grain_plan(rows)
+                k2, l2, n = _consolidate_compact_fn(
+                    len(g), self.key_bits, plan
+                )(*g)
+                # one [2] device vector = (n | ovf<<31, valid rows): a
+                # single host fetch at resolve drives both the overflow
+                # check and the coverage-model fit
+                stats = _grain_stats_fn(len(vg))(n, *vg)
+                run = (k2, l2, None)
+                self.dedup_levels[0].append(run)
+                # non-empty plan => speculative: retain the raw runs so
+                # the resolve can recompute plan-free on the rare rowsort
+                # overflow
+                self._pending_shrinks.append(
+                    (0, run, stats, rows, list(g) if plan else None)
+                )
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
             # two, so one 100M-row drain sort costs like 134M; splitting
@@ -333,7 +417,7 @@ class SortedCountStore:
             k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
             run = (k2, l2, None)
             self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, rows))
+            self._pending_shrinks.append((0, run, n, rows, None))
 
     def _materialize(self, run):
         """Dense (keys, lo, hi) view of a run; unpacks PackedRun lazily."""
@@ -354,6 +438,16 @@ class SortedCountStore:
     def _maybe_merge_dedup(self) -> None:
         lvl = 0
         while len(self.dedup_levels[lvl]) >= self.branch:
+            # a merge must never consume an unresolved SPECULATIVE run
+            # (its rowsort overflow bit is still unchecked — the data may
+            # be garbage): resolve first. Costs one early host sync per
+            # branch grains at most.
+            if any(
+                p[4] is not None
+                and any(p[1] is r for r in self.dedup_levels[lvl])
+                for p in self._pending_shrinks
+            ):
+                self._resolve_pending_shrinks()
             group = [
                 self._materialize(r) for r in self.dedup_levels[lvl]
             ]
@@ -376,13 +470,83 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n, None))
+            self._pending_shrinks.append((lvl + 1, run, n, None, None))
             lvl += 1
+
+    def _grain_plan(self, rows: int) -> tuple:
+        """Rowsort slice plan for a compaction of `rows` rows.
+
+        Density comes from the fitted coverage model evaluated AT THIS
+        row count (distinct saturates with coverage, so a 134M-row grain
+        is ~2x denser in pads than a 34M warmup — a flat estimate would
+        mis-plan one of them). density_est overrides when a caller/test
+        knows better; JF_NO_PLAN=1 disables planning (A/B runs)."""
+        import os
+
+        if os.environ.get("JF_NO_PLAN"):
+            return ()
+        if self.density_est is not None:
+            d = self.density_est
+        elif self._cov_model is not None:
+            G, vf = self._cov_model
+            r_real = max(rows * vf, 1.0)
+            d = (G * (1.0 - float(np.exp(-r_real / G))) + 1.0) / rows
+        else:
+            return ()
+        # headroom on top of the plan's own 6-sigma + 16 margin: the
+        # coverage model fit measured < 2% off on real grains, and a
+        # misprediction costs one plan-free recompute, never correctness.
+        # The margin self-widens after each overflow (skewed/tiny streams
+        # where the model's marginal fit underestimates density) so a
+        # persistent mis-fit cannot keep halving throughput.
+        return compaction_plan(min(1.0, self._plan_margin * d))
+
+    def _fit_cov_model(self, n: int, valid: int, rows: int) -> None:
+        """Fit (G, valid_frac) from one grain: n distinct segments out of
+        `valid` real rows — solve n = G*(1-e^(-valid/G)) by bisection on
+        the coverage c = valid/G ((1-e^-c)/c is monotone decreasing)."""
+        pads = rows - valid
+        n_real = max(n - (1 if pads > 0 else 0), 1)  # drop the pad segment
+        r_real = max(valid, 1)
+        ratio = min(n_real / r_real, 0.999999)
+        lo_c, hi_c = 1e-9, 80.0
+        for _ in range(60):
+            mid = 0.5 * (lo_c + hi_c)
+            if (1.0 - float(np.exp(-mid))) / mid > ratio:
+                lo_c = mid
+            else:
+                hi_c = mid
+        c = 0.5 * (lo_c + hi_c)
+        self._cov_model = (r_real / c, valid / rows)
 
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
-        for lvl, run, n_dev, src_rows in pending:
-            n = int(n_dev)
+        for lvl, run, n_dev, src_rows, retained in pending:
+            arr = np.asarray(n_dev)
+            if arr.ndim:  # grain entry: [2] = (n | ovf<<31, valid rows)
+                n, valid = int(arr[0]), int(arr[1])
+                # bit 31 of the packed scalar is the rowsort overflow
+                # flag; the sliced result is then garbage and the grain
+                # recomputes plan-free from the retained raw runs
+                # (donating them this time)
+                ovf, n = bool(n >> 31), n & 0x7FFFFFFF
+                if ovf:
+                    self.spec_overflows += 1
+                    self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                    k2, l2, n2 = _consolidate_compact_fn(
+                        len(retained), self.key_bits
+                    )(*retained)
+                    level = self.dedup_levels[lvl]
+                    for j, r in enumerate(level):
+                        if r is run:
+                            run = (k2, l2, None)
+                            level[j] = run
+                            break
+                    n = int(n2)
+                if src_rows:
+                    self._fit_cov_model(n, valid, src_rows)
+            else:
+                n = int(arr)
             level = self.dedup_levels[lvl]
             try:
                 i = next(j for j, r in enumerate(level) if r is run)
@@ -484,6 +648,12 @@ class SortedCountStore:
 
     def reset(self) -> None:
         self._pending_shrinks = []
+        self.density_est = None
+        self._cov_model = None
+        self._cold = True
+        self._raw_valid = []
+        self.spec_overflows = 0
+        self._plan_margin = 1.2
         self.raw, self.raw_rows = [], 0
         self.masked0 = []
         self.valid_scalars = []

@@ -78,7 +78,10 @@ SAFE_CASES = [
     (0.02, (256,)),
     (0.02, (128, 512)),
     (0.25, (512,)),
-    (0.25, (384, 768)),
+    # level 2 sees d = 0.25*1024/384 = 0.667 -> mean 683 + 6*sigma(15) +
+    # 16 = 789 -> D2 = 832 (768 was NOT 6-sigma-safe; it only passed while
+    # the old divisibility guard silently dropped level 2)
+    (0.25, (384, 832)),
     (0.4, (512,)),
 ]
 

@@ -1,0 +1,119 @@
+"""Speculative rowsort-plan grain compaction (store._grain_plan +
+_consolidate_compact_fn plan=): exactness on the planned fast path AND
+on the overflow-recovery path (clustered keys defeat the hash-spread
+assumption -> the ovf bit must trip and the grain recompute plan-free).
+Reference invariant preserved throughout: exact counts + hash-order dump
+(sorted_dumper.hpp:57-101)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from jellyfish_tpu.store import SortedCountStore
+
+KEY_BITS = 42
+W = 2
+
+
+def _keys_of_values(vals: np.ndarray) -> jnp.ndarray:
+    out = np.empty((len(vals), W), dtype=np.uint32)
+    out[:, 0] = vals & 0xFFFFFFFF
+    out[:, 1] = vals >> 32
+    return jnp.asarray(out)
+
+
+def _finalize_dict(store: SortedCountStore) -> dict:
+    keys, lo, hi, n, pads = store.finalize()
+    keys = np.asarray(keys[:n])
+    counts = np.asarray(lo[:n]).astype(np.uint64) | (
+        np.asarray(hi[:n]).astype(np.uint64) << np.uint64(32)
+    )
+    vals = keys[:, 0].astype(np.uint64) | (
+        keys[:, 1].astype(np.uint64) << np.uint64(32)
+    )
+    out = {}
+    for v, c in zip(vals, counts):
+        out[int(v)] = int(c)
+    if pads and n and (keys[-1] == np.uint32(0xFFFFFFFF)).all():
+        pad_key = int(vals[-1])
+        out[pad_key] -= pads
+        if out[pad_key] == 0:
+            del out[pad_key]
+    # ascending hash order must survive every path (unsigned compare:
+    # a trailing all-ones PAD entry is legitimately the maximum)
+    assert (vals[1:] > vals[:-1]).all()
+    return out
+
+
+def _expected(vals: np.ndarray, npads: int) -> dict:
+    out = {}
+    for v in vals:
+        out[int(v)] = out.get(int(v), 0) + 1
+    return out
+
+
+def _run_store(vals: np.ndarray, npads: int, density_est):
+    """Feed one grain-sized raw run (vals + npads PAD rows) through a
+    store with the given pre-seeded density estimate."""
+    store = SortedCountStore(W, branch=64, consolidate_rows=len(vals) + npads,
+                             key_bits=KEY_BITS)
+    store.density_est = density_est
+    keys = np.asarray(_keys_of_values(vals))
+    pads = np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32)
+    allk = np.concatenate([keys, pads], axis=0)
+    rng = np.random.default_rng(7)
+    allk = allk[rng.permutation(len(allk))]
+    store.insert_raw(jnp.asarray(allk), jnp.uint32(len(vals)))
+    return store
+
+
+def test_planned_grain_exact_no_overflow(rng):
+    # hash-spread keys at ~0.24 density: the seeded estimate yields a
+    # one-level plan that must hold (no overflow) and stay exact
+    M, npads = 16384, 512
+    vals = rng.integers(0, (M - npads) // 4, size=M - npads, dtype=np.uint64)
+    store = _run_store(vals, npads, density_est=0.25)
+    assert store._grain_plan(M) != ()  # the plan really was active
+    got = _finalize_dict(store)
+    assert got == _expected(vals, npads)
+    assert store.spec_overflows == 0
+
+
+def test_clustered_overflow_recovers_exact(rng):
+    # sequential keys cluster reals ~every other sorted slot (~512/row);
+    # a density_est of 0.04 plans D=128 -> every row overflows -> the ovf
+    # bit must trip and the plan-free recompute must keep counts exact
+    M, npads = 16384, 256
+    base = np.arange((M - npads) // 2, dtype=np.uint64)
+    vals = np.concatenate([base, base])
+    store = _run_store(vals, npads, density_est=0.04)
+    plan = store._grain_plan(M)
+    assert plan and plan[0] <= 256, plan
+    got = _finalize_dict(store)
+    assert got == _expected(vals, npads)
+    assert store.spec_overflows == 1
+
+
+def test_coverage_model_seeds_next_grain(rng):
+    # two grains: grain 1 runs plan-free (no model), its (n, valid) fit
+    # seeds grain 2's plan via the coverage model; outputs stay exact.
+    # The universe is M // 4 = 2048 keys at coverage 4, so the fitted G
+    # must land near 2048 and the predicted density near distinct/rows.
+    M = 8192
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    v1 = rng.integers(0, M // 4, size=M, dtype=np.uint64)
+    v2 = rng.integers(0, M // 4, size=M, dtype=np.uint64)
+    store.insert_raw(_keys_of_values(v1), jnp.uint32(M))
+    assert store._grain_plan(M) == ()  # not yet resolved -> unseeded
+    store.insert_raw(_keys_of_values(v2), jnp.uint32(M))
+    assert store._cov_model is not None
+    G, vf = store._cov_model
+    assert 1700 < G < 2500 and vf == 1.0
+    # the model predicts density AT a given size: a 4x larger grain must
+    # predict a LOWER density than a quarter one (coverage saturation)
+    d_small = len(store._grain_plan(M // 4))
+    d_big = len(store._grain_plan(4 * M))
+    assert d_big >= d_small
+    got = _finalize_dict(store)
+    assert got == _expected(np.concatenate([v1, v2]), 0)
+    assert store.spec_overflows == 0
