@@ -73,7 +73,7 @@ def _consolidate_fn(n_runs: int, key_bits):
 
 
 @functools.lru_cache(maxsize=64)
-def _consolidate_compact_fn(n_runs: int, key_bits, plan=()):
+def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0):
     """Fused full-grain combine: consolidate + compact in one program
     (the steady-state grain path).
 
@@ -93,20 +93,46 @@ def _consolidate_compact_fn(n_runs: int, key_bits, plan=()):
     host-side at its next sync point (_resolve_pending_shrinks),
     recomputing via the plan-free donating path on the rare overflow.
 
-    Returns (keys, lo, n_packed) with n_packed = n | (ovf << 31) — one
-    scalar fetch resolves both (n < 2^31 always: it counts rows of a
-    <= 2^28 grain)."""
-    donate = tuple(range(n_runs)) if not plan else ()
+    trim > 0 drops that many rows from the END of the sorted masked run
+    before the compact: separator windows premask to the all-ones PAD
+    pattern, so after the consolidate sort they sit as an inert
+    (count-0) tail — 13% of rows at k=21, 22% at k=33 under 150-base
+    reads — except the final row, which carries the pad segment's
+    count and is patched onto the new end. Speculative like the plan:
+    if the row at the cut is NOT an inert pad (the caller's pad
+    estimate overshot), bit 30 of the packed scalar reports it and the
+    caller recomputes trim-free from the retained runs.
+
+    Returns (keys, lo, n_packed) with n_packed = n | (ovf << 31) |
+    (bad_trim << 30) — one scalar fetch resolves all (n counts the
+    distinct segments of a <= 2^28 grain, so it always fits 30 bits)."""
+    donate = tuple(range(n_runs)) if not (plan or trim) else ()
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def f(*keys):
         k2, c2, n = consolidate_premasked(
             jnp.concatenate(keys, axis=0), key_bits, return_n=True
         )
+        bad = jnp.bool_(False)
+        if trim:
+            # sound AND complete: count-0 rows are inert wherever they
+            # sit, and any real segment intersecting the cut range has
+            # its count-bearing END row inside it (segment rows are
+            # contiguous and the range is a suffix minus the patched
+            # final row) — so "no nonzero count in the range" exactly
+            # characterizes a safe trim
+            M = k2.shape[0]
+            bad = jnp.any(c2[M - 1 - trim : M - 1] != 0)
+            k2 = k2[: M - trim].at[-1].set(k2[M - 1])
+            c2 = c2[: M - trim].at[-1].set(c2[M - 1])
         k3, l3, _, ovf = compact_counted(
             k2, c2, None, key_bits, assume_masked=True, plan=plan
         )
-        n_packed = n | (ovf.astype(jnp.uint32) << jnp.uint32(31))
+        n_packed = (
+            n
+            | (ovf.astype(jnp.uint32) << jnp.uint32(31))
+            | (bad.astype(jnp.uint32) << jnp.uint32(30))
+        )
         return k3, l3, n_packed
 
     return f
@@ -301,6 +327,8 @@ class SortedCountStore:
         # spread keys; nonzero signals a misestimated density)
         self.spec_overflows = 0
         self._plan_margin = 1.2
+        # pad-trim shape quantum (smaller in tests to reach the path)
+        self._trim_quantum = 1 << 20
 
     # -- ingestion ------------------------------------------------------------
 
@@ -377,20 +405,22 @@ class SortedCountStore:
                 vg, off = valids[off:off + len(g)], off + len(g)
                 rows = sum(r.shape[0] for r in g)
                 plan = self._grain_plan(rows)
+                trim = self._pad_trim(rows)
                 k2, l2, n = _consolidate_compact_fn(
-                    len(g), self.key_bits, plan
+                    len(g), self.key_bits, plan, trim
                 )(*g)
-                # one [2] device vector = (n | ovf<<31, valid rows): a
-                # single host fetch at resolve drives both the overflow
-                # check and the coverage-model fit
+                # one [2] device vector = (n | flags, valid rows): a
+                # single host fetch at resolve drives the overflow/trim
+                # checks and the coverage-model fit
                 stats = _grain_stats_fn(len(vg))(n, *vg)
                 run = (k2, l2, None)
                 self.dedup_levels[0].append(run)
-                # non-empty plan => speculative: retain the raw runs so
-                # the resolve can recompute plan-free on the rare rowsort
-                # overflow
+                # plan or trim => speculative: retain the raw runs so
+                # the resolve can recompute conservatively on the rare
+                # rowsort overflow / trim misprediction
                 self._pending_shrinks.append(
-                    (0, run, stats, rows, list(g) if plan else None)
+                    (0, run, stats, rows,
+                     list(g) if (plan or trim) else None)
                 )
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
@@ -501,6 +531,17 @@ class SortedCountStore:
         # persistent mis-fit cannot keep halving throughput.
         return compaction_plan(min(1.0, self._plan_margin * d))
 
+    def _pad_trim(self, rows: int) -> int:
+        """Rows of inert PAD tail to slice off before a grain's compact
+        (85% of the modeled pad count, floor-quantized to 2^20 rows to
+        bound the set of compiled shapes; 0 when unknown/too small)."""
+        if self.density_est is not None or self._cov_model is None:
+            return 0
+        _, vf = self._cov_model
+        q = self._trim_quantum
+        trim = (int(rows * (1.0 - vf) * 0.85) // q) * q
+        return trim if trim >= q else 0
+
     def _fit_cov_model(self, n: int, valid: int, rows: int) -> None:
         """Fit (G, valid_frac) from one grain: n distinct segments out of
         `valid` real rows — solve n = G*(1-e^(-valid/G)) by bisection on
@@ -523,13 +564,14 @@ class SortedCountStore:
         pending, self._pending_shrinks = self._pending_shrinks, []
         for lvl, run, n_dev, src_rows, retained in pending:
             arr = np.asarray(n_dev)
-            if arr.ndim:  # grain entry: [2] = (n | ovf<<31, valid rows)
+            if arr.ndim:  # grain entry: [2] = (n | flags, valid rows)
                 n, valid = int(arr[0]), int(arr[1])
                 # bit 31 of the packed scalar is the rowsort overflow
-                # flag; the sliced result is then garbage and the grain
-                # recomputes plan-free from the retained raw runs
-                # (donating them this time)
-                ovf, n = bool(n >> 31), n & 0x7FFFFFFF
+                # flag, bit 30 the pad-trim misprediction flag; either
+                # way the sliced result is garbage and the grain
+                # recomputes plan-free/trim-free from the retained raw
+                # runs (donating them this time)
+                ovf, n = bool(n >> 30), n & 0x3FFFFFFF
                 if ovf:
                     self.spec_overflows += 1
                     self._plan_margin = min(self._plan_margin * 1.25, 2.5)

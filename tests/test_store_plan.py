@@ -93,6 +93,58 @@ def test_clustered_overflow_recovers_exact(rng):
     assert store.spec_overflows == 1
 
 
+def test_pad_trim_exact(rng):
+    # grain 1 (30% pads) seeds the model's valid fraction; grain 2 must
+    # trim its inert pad tail before the compact and stay exact
+    M = 16384
+    npads = M * 3 // 10
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    store._trim_quantum = 256
+    rng2 = np.random.default_rng(11)
+
+    def grain(seed):
+        v = np.random.default_rng(seed).integers(
+            0, (M - npads) // 4, size=M - npads, dtype=np.uint64
+        )
+        keys = np.concatenate([
+            np.asarray(_keys_of_values(v)),
+            np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32),
+        ])
+        keys = keys[rng2.permutation(M)]
+        store.insert_raw(jnp.asarray(keys), jnp.uint32(M - npads))
+        return v
+
+    v1 = grain(1)
+    v2 = grain(2)
+    assert store._pad_trim(M) >= 256  # the trim really engages
+    got = _finalize_dict(store)
+    exp = _expected(np.concatenate([v1, v2]), 2 * npads)
+    assert got == exp
+    assert store.spec_overflows == 0
+
+
+def test_pad_trim_misprediction_recovers(rng):
+    # a wildly wrong valid-fraction model (predicts 50% pads, stream has
+    # ~1.5%) makes the trim cut into real rows: the bad-trim bit must
+    # trip and the trim-free recompute must keep counts exact
+    M, npads = 16384, 256
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    store._trim_quantum = 256
+    store._cov_model = (float(M), 0.5)
+    vals = rng.integers(0, M // 4, size=M - npads, dtype=np.uint64)
+    keys = np.concatenate([
+        np.asarray(_keys_of_values(vals)),
+        np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32),
+    ])
+    keys = keys[np.random.default_rng(12).permutation(M)]
+    store.insert_raw(jnp.asarray(keys), jnp.uint32(M - npads))
+    got = _finalize_dict(store)
+    assert got == _expected(vals, npads)
+    assert store.spec_overflows >= 1
+
+
 def test_coverage_model_seeds_next_grain(rng):
     # two grains: grain 1 runs plan-free (no model), its (n, valid) fit
     # seeds grain 2's plan via the coverage model; outputs stay exact.
