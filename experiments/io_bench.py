@@ -111,8 +111,11 @@ def bench_cram():
 
 def bench_cram31():
     """End-to-end CRAM 3.1 ingest: tok3 names + rANS Nx16 sequences +
-    fqzcomp qualities, through the full container reader."""
-    from cram_writer import simple_cram, fqz_method, ByteArrayStop
+    fqzcomp qualities, through the full container reader. The fixture
+    is MULTI-SLICE (10k records per slice like htslib's default) so the
+    reader's slice-parallel thread pool has real work units; set
+    JF_CRAM_THREADS=1 to measure the sequential path."""
+    from cram_writer import fqz_method, ByteArrayStop
     import cram_writer as cw
     from jellyfish_tpu.io.cram import cram_records_to_fastx
 
@@ -129,11 +132,24 @@ def bench_cram31():
                      % (i, 1000 + i, 3 * i),
                      "seq": bytes(rng.choices(b"ACGT", k=100)),
                      "qual": bytes(qual)})
-    series = cw.default_series()
-    series["RN"] = ByteArrayStop(0, 6)
-    blob = simple_cram(recs, series=series, version=(3, 1), block_methods={
-        cw.CORE: "rans16", 8: "rans16-o1", 6: "tok3",
-        9: fqz_method([100] * n_rec)})
+    S = 10000
+    parts = [cw.file_definition(version=(3, 1)),
+             cw.sam_header_container(b"@HD\tVN:1.6\n")]
+    counter = 0
+    for i in range(0, n_rec, S):
+        chunk = recs[i:i + S]
+        series = cw.default_series()
+        series["RN"] = ByteArrayStop(0, 6)
+        comp = cw.compression_header(series)
+        sl = cw.encode_slice(
+            series, chunk, record_counter=counter,
+            block_methods={cw.CORE: "rans16", 8: "rans16-o1", 6: "tok3",
+                           9: fqz_method([100] * len(chunk))})
+        parts.append(cw.data_container(
+            comp, sl, 1 + cw.count_blocks(sl), len(chunk), counter))
+        counter += len(chunk)
+    parts.append(cw.eof_container())
+    blob = b"".join(parts)
     t0 = time.perf_counter()
     stream = io.BytesIO(blob)
     stream.read(4)
@@ -141,7 +157,9 @@ def bench_cram31():
     t1 = time.perf_counter()
     out("cram31_records_native", n_rec * 100 / 1e6, t1 - t0,
         rec_per_s=int(n_rec / (t1 - t0)), cram_mb=round(len(blob) / 1e6, 1),
-        out_bytes=total)
+        out_bytes=total,
+        threads=int(os.environ.get("JF_CRAM_THREADS",
+                                   min(4, os.cpu_count() or 1))))
 
 
 def bench_rans():

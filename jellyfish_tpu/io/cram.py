@@ -382,12 +382,16 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
 
 
 class Block:
-    __slots__ = ("method", "ctype", "cid", "data")
+    __slots__ = ("method", "ctype", "cid", "data", "_comp", "_raw_size")
 
     def __init__(self, cur: ByteCursor, verify_crc: bool = True,
-                 has_crc: bool = True):
+                 has_crc: bool = True, lazy: bool = False):
         """has_crc: CRAM 3.x appends a CRC32 to every block; 2.x framing
-        has none (htslib cram_read_block gates the read on major >= 3)."""
+        has none (htslib cram_read_block gates the read on major >= 3).
+
+        lazy=True defers the (expensive, GIL-releasing) decompression to
+        force() so the parallel slice reader can run it on a worker
+        thread; header parse + CRC stay on the caller's thread."""
         start = cur.pos
         self.method = cur.u8()
         self.ctype = cur.u8()
@@ -400,7 +404,18 @@ class Block:
             crc_stored = struct.unpack("<I", cur.take(4))[0]
             if verify_crc and crc_calc != crc_stored:
                 raise CramError("CRAM block CRC mismatch")
-        self.data = _decompress(self.method, comp, raw_size)
+        self._comp = comp
+        self._raw_size = raw_size
+        self.data = None if lazy else _decompress(
+            self.method, comp, raw_size
+        )
+
+    def force(self) -> bytes:
+        if self.data is None:
+            self.data = _decompress(self.method, self._comp,
+                                    self._raw_size)
+            self._comp = None
+        return self.data
 
 
 # --------------------------------------------------- compression header
@@ -977,11 +992,43 @@ class ContainerHeader:
         return self.n_records == 0 and self.start == EOF_POSITION
 
 
+def _decode_slice_unit(comp, sh, blocks, refs, counter):
+    """Worker-thread unit: force-decompress a slice's blocks (the
+    adaptive codecs — fqz/rans/arith/tok3 — run native with the GIL
+    released, so slices genuinely decode in parallel) then decode the
+    records. Returns one bytes blob (b"" for an empty slice)."""
+    core_data = b""
+    externals_raw = {}
+    for blk in blocks:
+        blk.force()
+        if blk.ctype == CT_CORE:
+            core_data = blk.data
+        elif blk.ctype == CT_EXTERNAL:
+            externals_raw[blk.cid] = blk.data
+        else:
+            raise CramError("unexpected block type inside slice")
+    native = _decode_slice_native(comp, sh, core_data, externals_raw,
+                                  refs, counter)
+    if native is not None:
+        return native
+    externals = {cid: ByteCursor(data)
+                 for cid, data in externals_raw.items()}
+    return b"".join(_decode_slice(comp, sh, BitReader(core_data),
+                                  externals, refs, counter))
+
+
 def cram_records_to_fastx(stream) -> Iterator[bytes]:
     """Yield chunks of FASTA/FASTQ record bytes from a CRAM stream
     positioned just after the 4-byte "CRAM" magic (how parse.py
     dispatches). Chunks split only at record boundaries: one chunk per
-    slice on the native path, one per record on the python path."""
+    slice.
+
+    Slices decode CONCURRENTLY on a small thread pool (the reference
+    gets this from htslib's own thread pool; here the native block
+    codecs release the GIL). The container walk, header parses and CRC
+    checks stay on the consumer thread; results are yielded strictly in
+    file order. JF_CRAM_THREADS overrides the pool width (<=1 =
+    sequential)."""
     ver = stream.read(2)
     if len(ver) != 2:
         raise CramError("truncated CRAM file definition")
@@ -999,53 +1046,83 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
     stream.read(20)  # file id
     refs: Optional[_RefStore] = None
     scur = StreamCursor(stream)
-    while True:
-        first4 = stream.read(4)
-        if len(first4) == 0:
-            return  # EOF container is recommended, not required
-        if len(first4) != 4:
-            raise CramError("truncated CRAM container")
-        ch = ContainerHeader(first4, scur, v3)
-        body = stream.read(ch.length)
-        if len(body) != ch.length:
-            raise CramError("truncated CRAM container body")
-        if ch.is_eof:
-            return
-        cur = ByteCursor(body)
-        first_block = Block(cur, has_crc=v3)
-        if first_block.ctype == CT_FILE_HEADER:
-            # SAM header text: int32 length + text
-            (text_len,) = struct.unpack_from("<i", first_block.data, 0)
-            refs = _RefStore(first_block.data[4:4 + text_len])
-            continue
-        if first_block.ctype != CT_COMPRESSION_HEADER:
-            raise CramError("container does not start with a "
-                            "compression header block")
-        comp = CompressionHeader(first_block.data)
-        counter = ch.record_counter
-        while not cur.eof():
-            sh_block = Block(cur, has_crc=v3)
-            if sh_block.ctype != CT_SLICE_HEADER:
-                raise CramError("expected a slice header block")
-            sh = SliceHeader(sh_block.data, v3)
-            core_data = b""
-            externals_raw = {}
-            for _ in range(sh.n_blocks):
-                blk = Block(cur, has_crc=v3)
-                if blk.ctype == CT_CORE:
-                    core_data = blk.data
-                elif blk.ctype == CT_EXTERNAL:
-                    externals_raw[blk.cid] = blk.data
-                else:
-                    raise CramError("unexpected block type inside slice")
-            native = _decode_slice_native(comp, sh, core_data,
-                                          externals_raw, refs, counter)
-            if native is not None:
-                if native:
-                    yield native  # one blob per slice
-            else:
-                externals = {cid: ByteCursor(data)
-                             for cid, data in externals_raw.items()}
-                yield from _decode_slice(comp, sh, BitReader(core_data),
-                                         externals, refs, counter)
-            counter += sh.n_records
+
+    import os as _os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_threads = int(_os.environ.get(
+        "JF_CRAM_THREADS", min(4, _os.cpu_count() or 1)
+    ))
+    pool = ThreadPoolExecutor(n_threads) if n_threads > 1 else None
+    pending: deque = deque()
+    window = 2 * n_threads
+
+    def units():
+        nonlocal refs
+        while True:
+            first4 = stream.read(4)
+            if len(first4) == 0:
+                return  # EOF container is recommended, not required
+            if len(first4) != 4:
+                raise CramError("truncated CRAM container")
+            ch = ContainerHeader(first4, scur, v3)
+            body = stream.read(ch.length)
+            if len(body) != ch.length:
+                raise CramError("truncated CRAM container body")
+            if ch.is_eof:
+                return
+            cur = ByteCursor(body)
+            first_block = Block(cur, has_crc=v3)
+            if first_block.ctype == CT_FILE_HEADER:
+                # SAM header text: int32 length + text
+                (text_len,) = struct.unpack_from(
+                    "<i", first_block.data, 0
+                )
+                refs = _RefStore(first_block.data[4:4 + text_len])
+                continue
+            if first_block.ctype != CT_COMPRESSION_HEADER:
+                raise CramError("container does not start with a "
+                                "compression header block")
+            comp = CompressionHeader(first_block.data)
+            counter = ch.record_counter
+            while not cur.eof():
+                sh_block = Block(cur, has_crc=v3)
+                if sh_block.ctype != CT_SLICE_HEADER:
+                    raise CramError("expected a slice header block")
+                sh = SliceHeader(sh_block.data, v3)
+                blocks = [Block(cur, has_crc=v3, lazy=True)
+                          for _ in range(sh.n_blocks)]
+                # warm the ref cache on THIS thread so _RefStore stays
+                # single-writer (workers then only read the dict)
+                if (refs is not None and comp.rr and sh.ref_id >= 0
+                        and sh.embedded_ref_id < 0):
+                    try:
+                        refs.get(sh.ref_id)
+                    except CramError:
+                        pass  # worker's decode raises the precise error
+                yield comp, sh, blocks, refs, counter
+                counter += sh.n_records
+
+    try:
+        for unit in units():
+            if pool is None:
+                blob = _decode_slice_unit(*unit)
+                if blob:
+                    yield blob
+                continue
+            pending.append(pool.submit(_decode_slice_unit, *unit))
+            while pending and (len(pending) >= window
+                               or pending[0].done()):
+                blob = pending.popleft().result()
+                if blob:
+                    yield blob
+        while pending:
+            blob = pending.popleft().result()
+            if blob:
+                yield blob
+    finally:
+        if pool is not None:
+            for f in pending:
+                f.cancel()
+            pool.shutdown(wait=True, cancel_futures=True)
