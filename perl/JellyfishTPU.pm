@@ -54,6 +54,15 @@ sub shift_left  { my ($s, $b) = @_; $s->{s} = substr($s->{s}, 1) . uc($b); $s }
 sub shift_right { my ($s, $b) = @_;
                   $s->{s} = uc($b) . substr($s->{s}, 0, -1); $s }
 
+# re-roll to a uniform random mer in place (SWIG MerDNA::randomize,
+# used by the reference's hash tests); $k overrides the current length
+sub randomize {
+    my ($self, $k) = @_;
+    $k //= CORE::length($self->{s}) || 16;
+    $self->{s} = join '', map { ('A','C','G','T')[int(rand(4))] } 1 .. $k;
+    return $self;
+}
+
 # 2-bit code (A0 C1 G2 T3, mer_dna.hpp:38-55) of base at string index i
 my %CODE = (A => 0, C => 1, G => 2, T => 3);
 sub code { $CODE{ substr($_[0]->{s}, $_[1], 1) } }
@@ -278,5 +287,78 @@ sub string_mers {
 }
 
 sub string_canonicals { string_mers($_[0], $_[1], 1) }
+
+# ---------------------------------------------------- in-memory counting
+
+# Counting hash on mer keys — the reference's SWIG HashCounter proxy
+# (swig/hash_counter.i:13-58) for scripting-scale counting. Semantics
+# match the SWIG tests (swig/perl5/t/test_hash_counter.t): add() always
+# accumulates and returns TRUE iff the mer was new; update_add() adds
+# only to existing mers; get() returns the count or undef; size() is
+# the power-of-2 table size and doubles as the hash fills (the
+# reference's cooperative size-doubling, host-dict-backed here).
+
+package JellyfishTPU::HashCounter;
+
+sub new {
+    my ($class, $size, $val_len, $nb_threads) = @_;
+    my $s = 1;
+    $s <<= 1 while $s < ($size // 1024);
+    return bless { size => $s, val_len => $val_len // 4, h => {} }, $class;
+}
+sub size    { $_[0]->{size} }
+sub val_len { $_[0]->{val_len} }
+
+sub add {
+    my ($self, $mer, $v) = @_;
+    my $k = "$mer";
+    my $new = !exists $self->{h}{$k};
+    $self->{h}{$k} += $v;
+    $self->_grow;
+    return $new;
+}
+
+sub update_add {
+    my ($self, $mer, $v) = @_;
+    my $k = "$mer";
+    return 0 unless exists $self->{h}{$k};
+    $self->{h}{$k} += $v;
+    return 1;
+}
+
+sub get { my ($self, $mer) = @_; return $self->{h}{"$mer"} }
+
+sub _grow {
+    my ($self) = @_;
+    $self->{size} <<= 1
+        while scalar(keys %{ $self->{h} }) > $self->{size} * 0.7;
+}
+
+# Mer set — the reference's SWIG HashSet proxy (swig/hash_set.i:13-43):
+# add() returns TRUE iff newly inserted; get() membership.
+
+package JellyfishTPU::HashSet;
+
+sub new {
+    my ($class, $size, $nb_threads) = @_;
+    my $s = 1;
+    $s <<= 1 while $s < ($size // 1024);
+    return bless { size => $s, h => {} }, $class;
+}
+sub size { $_[0]->{size} }
+
+sub add {
+    my ($self, $mer) = @_;
+    my $k = "$mer";
+    my $new = !exists $self->{h}{$k};
+    $self->{h}{$k} = 1;
+    $self->{size} <<= 1
+        while scalar(keys %{ $self->{h} }) > $self->{size} * 0.7;
+    return $new;
+}
+
+sub get { my ($self, $mer) = @_; return exists $self->{h}{"$mer"} ? 1 : 0 }
+
+package JellyfishTPU;
 
 1;

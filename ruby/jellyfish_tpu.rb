@@ -54,6 +54,14 @@ module JellyfishTPU
       self
     end
 
+    # re-roll to a uniform random mer in place (SWIG MerDNA#randomize!,
+    # used by the reference's hash tests); k overrides current length
+    def randomize!(k = nil)
+      k ||= (@s.empty? ? 16 : @s.length)
+      @s = Array.new(k) { 'ACGT'[rand(4)] }.join
+      self
+    end
+
     # sliding-window shifts (mer_dna.hpp:322-370 role, string-domain)
     def shift_left(base)
       @s = @s[1..] + base.upcase
@@ -271,5 +279,71 @@ module JellyfishTPU
 
   def string_canonicals(seq, k)
     string_mers(seq, k, canonical: true)
+  end
+
+  # Counting hash on mer keys — the reference's SWIG HashCounter proxy
+  # (swig/hash_counter.i:13-58) for scripting-scale counting. Semantics
+  # match swig/ruby/test_hash_counter.rb: add always accumulates and
+  # returns true iff the mer was new; update_add adds only to existing
+  # mers; get/[] return the count or nil; size is the power-of-2 table
+  # size and doubles as the hash fills.
+  class HashCounter
+    attr_reader :val_len
+
+    def initialize(size, val_len = 4, _nb_threads = 1)
+      @size = 1
+      @size <<= 1 while @size < size
+      @val_len = val_len
+      @h = {}
+    end
+
+    def size = @size
+
+    def add(mer, val)
+      k = mer.to_s
+      was_new = !@h.key?(k)
+      @h[k] = (@h[k] || 0) + val
+      grow
+      was_new
+    end
+
+    def update_add(mer, val)
+      k = mer.to_s
+      return false unless @h.key?(k)
+
+      @h[k] += val
+      true
+    end
+
+    def get(mer) = @h[mer.to_s]
+    def [](mer) = @h[mer.to_s]
+
+    private
+
+    def grow
+      @size <<= 1 while @h.size > @size * 0.7
+    end
+  end
+
+  # Mer set — the reference's SWIG HashSet proxy (swig/hash_set.i:13-43)
+  class HashSet
+    def initialize(size, _nb_threads = 1)
+      @size = 1
+      @size <<= 1 while @size < size
+      @h = {}
+    end
+
+    def size = @size
+
+    def add(mer)
+      k = mer.to_s
+      was_new = !@h.key?(k)
+      @h[k] = true
+      @size <<= 1 while @h.size > @size * 0.7
+      was_new
+    end
+
+    def get(mer) = @h.key?(mer.to_s)
+    def [](mer) = get(mer)
   end
 end

@@ -138,3 +138,53 @@ def test_mer_dna_ops():
     assert canon == "ACGTA"
     assert shifted == "CGTAC"
     assert roundtrip == shifted
+
+
+def test_hash_counter_and_set():
+    """Mirror of the reference's swig/perl5/t/test_hash_counter.t
+    semantics: add accumulates + reports newness, update_add only
+    touches existing mers, get returns undef for absent mers; HashSet
+    add/get membership; size() doubles as the hash fills."""
+    out = run_perl(
+        'use JellyfishTPU;'
+        'srand(42);'
+        'my $h = JellyfishTPU::HashCounter->new(1024, 5);'
+        'print $h->size, " ", $h->val_len, "\n";'
+        'my %oracle;'
+        'my $ok = 1;'
+        'my $m = JellyfishTPU::MerDNA->new("A" x 25);'
+        'for my $i (0 .. 999) {'
+        '  $m->randomize;'
+        '  my $val = int(rand(1000));'
+        '  my $was_new = !exists $oracle{"$m"};'
+        '  $ok &&= ($h->add($m, $val) ? 1 : 0) == ($was_new ? 1 : 0);'
+        '  $oracle{"$m"} += $val;'
+        '  if ($i % 3 == 1) { my $nv = int(rand(1000));'
+        '    $ok &&= !$h->add($m, $nv); $oracle{"$m"} += $nv; }'
+        '  elsif ($i % 3 == 2) { my $nv = int(rand(1000));'
+        '    $ok &&= $h->update_add($m, $nv); $oracle{"$m"} += $nv; }'
+        '  $ok &&= $h->get($m) == $oracle{"$m"};'
+        '}'
+        'for my $k (keys %oracle) {'
+        '  $ok &&= $h->get(JellyfishTPU::MerDNA->new($k)) == $oracle{$k};'
+        '}'
+        'my $absent = JellyfishTPU::MerDNA->new("N" x 25);'
+        '$ok &&= !defined $h->get($absent);'
+        '$ok &&= !$h->update_add($absent, 1);'
+        '$ok &&= !defined $h->get($absent);'
+        'print $ok ? "OK" : "FAIL", "\n";'
+        'my $s = JellyfishTPU::HashSet->new(16);'
+        'my $sok = 1;'
+        '$sok &&= $s->add(JellyfishTPU::MerDNA->new("ACGT"));'
+        '$sok &&= !$s->add(JellyfishTPU::MerDNA->new("ACGT"));'
+        '$sok &&= $s->get(JellyfishTPU::MerDNA->new("ACGT"));'
+        '$sok &&= !$s->get(JellyfishTPU::MerDNA->new("TTTT"));'
+        'for my $i (1 .. 100) { $s->add(JellyfishTPU::MerDNA->new('
+        '  JellyfishTPU::MerDNA->new("A" x 10)->randomize . "")); }'
+        '$sok &&= $s->size >= 128;'
+        'print $sok ? "OK" : "FAIL", "\n";'
+    )
+    first, ok, sok = out.split("\n")[:3]
+    assert first == "1024 5"
+    assert ok == "OK"
+    assert sok == "OK"

@@ -130,3 +130,44 @@ def test_mer_dna_ops():
     assert canon == "ACGTA"
     assert shifted == "CGTAC"
     assert roundtrip == shifted
+
+
+def test_hash_counter_and_set():
+    """Mirror of the reference's swig/ruby/test_hash_counter.rb
+    semantics (add newness + accumulate, update_add existing-only,
+    get/[] nil for absent; HashSet membership; size doubling)."""
+    out = run_ruby(
+        'require "jellyfish_tpu"; include JellyfishTPU;'
+        'srand(42);'
+        'h = HashCounter.new(1024, 5);'
+        'puts "#{h.size} #{h.val_len}";'
+        'oracle = Hash.new(0); ok = true;'
+        'm = MerDNA.new("A" * 25);'
+        '1000.times do |i|'
+        '  m.randomize!;'
+        '  val = rand(1000);'
+        '  was_new = !oracle.key?(m.to_s);'
+        '  ok &&= (h.add(m, val) == was_new);'
+        '  oracle[m.to_s] += val;'
+        '  if i % 3 == 1 then nv = rand(1000);'
+        '    ok &&= !h.add(m, nv); oracle[m.to_s] += nv;'
+        '  elsif i % 3 == 2 then nv = rand(1000);'
+        '    ok &&= h.update_add(m, nv); oracle[m.to_s] += nv; end;'
+        '  ok &&= (h.get(m) == oracle[m.to_s]) && (h[m] == oracle[m.to_s]);'
+        'end;'
+        'absent = MerDNA.new("N" * 25);'
+        'ok &&= h.get(absent).nil? && !h.update_add(absent, 1);'
+        'puts(ok ? "OK" : "FAIL");'
+        's = HashSet.new(16); sok = true;'
+        'sok &&= s.add(MerDNA.new("ACGT"));'
+        'sok &&= !s.add(MerDNA.new("ACGT"));'
+        'sok &&= s.get(MerDNA.new("ACGT")) && s[MerDNA.new("ACGT")];'
+        'sok &&= !s.get(MerDNA.new("TTTT"));'
+        '100.times { s.add(MerDNA.new("A" * 10).randomize!.to_s) };'
+        'sok &&= s.size >= 128;'
+        'puts(sok ? "OK" : "FAIL")'
+    )
+    first, ok, sok = out.split("\n")[:3]
+    assert first == "1024 5"
+    assert ok == "OK"
+    assert sok == "OK"
