@@ -196,6 +196,44 @@ def _shrink_fn(cap: int, has_hi: bool):
     return f
 
 
+@functools.lru_cache(maxsize=32)
+def _final_compact_fn(key_bits, plan, has_hi: bool, donate: bool):
+    """Planned compaction of finalize's MASKED K-way merge output.
+
+    The final combine merges ~branch deduplicated runs, so its distinct
+    density is ~1/branch — exactly where the rowsort plan shines
+    (compact 1.41 vs 4.74 ms/M at 0.125 density, fused_plan_probe).
+    finalize() is synchronous (it fetches n right after), so the ovf
+    check costs nothing extra: on the rare overflow it recomputes from
+    the retained masked arrays with plan=() (donating them then).
+
+    Returns (keys, lo, hi, n_packed) with n_packed = n | (ovf << 31);
+    n is computed from the PRE-compact masked counts so it is exact
+    even when the sliced result overflowed."""
+    dn = ((0, 1, 2) if has_hi else (0, 1)) if donate else ()
+
+    if has_hi:
+        @functools.partial(jax.jit, donate_argnums=dn)
+        def f(keys, lo, hi):
+            n = jnp.sum(((lo | hi) != 0).astype(jnp.uint32))
+            k2, l2, h2, ovf = compact_counted(
+                keys, lo, hi, key_bits, assume_masked=True, plan=plan
+            )
+            return (k2, l2, h2,
+                    n | (ovf.astype(jnp.uint32) << jnp.uint32(31)))
+    else:
+        @functools.partial(jax.jit, donate_argnums=dn)
+        def f(keys, lo):
+            n = jnp.sum((lo != 0).astype(jnp.uint32))
+            k2, l2, _, ovf = compact_counted(
+                keys, lo, None, key_bits, assume_masked=True, plan=plan
+            )
+            return (k2, l2, None,
+                    n | (ovf.astype(jnp.uint32) << jnp.uint32(31)))
+
+    return f
+
+
 @functools.lru_cache(maxsize=16)
 def _grain_stats_fn(n_valid: int):
     """Stack a grain's packed n|ovf scalar with the sum of its runs'
@@ -531,6 +569,21 @@ class SortedCountStore:
         # persistent mis-fit cannot keep halving throughput.
         return compaction_plan(min(1.0, self._plan_margin * d))
 
+    def _final_plan(self, rows: int) -> tuple:
+        """Rowsort plan for finalize's K-way merge compaction. The
+        distinct union is bounded by the coverage model's universe G
+        (whatever the number of merged runs), so density <= (G+1)/rows
+        — at branch-many saturated runs that is ~1/branch, the plan's
+        sweet spot. Model-only on purpose: density_est describes RAW
+        grain density, not merge density."""
+        import os
+
+        if os.environ.get("JF_NO_PLAN") or self._cov_model is None:
+            return ()
+        G, _ = self._cov_model
+        d = min(1.0, (G + 1.0) / max(rows, 1))
+        return compaction_plan(min(1.0, self._plan_margin * d))
+
     def _pad_trim(self, rows: int) -> int:
         """Rows of inert PAD tail to slice off before a grain's compact
         (85% of the modeled pad count, floor-quantized to 2^20 rows to
@@ -668,7 +721,32 @@ class SortedCountStore:
             return keys, z, z, 0, 0
         arity = tuple(len(r) for r in runs)
         args = [x for r in runs for x in r]
-        k2, l2, h2, n = _merge_general_fn(arity, True, self.key_bits)(*args)
+        plan = self._final_plan(sum(r[0].shape[0] for r in runs))
+        if plan:
+            # masked merge + planned compact (see _final_compact_fn);
+            # the synchronous n fetch doubles as the ovf check, and the
+            # masked arrays are retained until it passes
+            has_hi = any(a == 3 for a in arity)
+            mk, ml, mh, _ = _merge_general_fn(
+                arity, False, self.key_bits
+            )(*args)
+            margs = (mk, ml, mh) if has_hi else (mk, ml)
+            k2, l2, h2, n_dev = _final_compact_fn(
+                self.key_bits, plan, has_hi, False
+            )(*margs)
+            n_raw = int(n_dev)
+            if n_raw >> 31:  # rowsort overflow: recompute plan-free
+                self.spec_overflows += 1
+                self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                k2, l2, h2, n_dev = _final_compact_fn(
+                    self.key_bits, (), has_hi, True
+                )(*margs)
+                n_raw = int(n_dev)
+            n = n_raw & 0x7FFFFFFF
+        else:
+            k2, l2, h2, n = _merge_general_fn(
+                arity, True, self.key_bits
+            )(*args)
         if h2 is None:
             h2 = jnp.zeros_like(l2)
         self.raw, self.raw_rows = [], 0
