@@ -526,9 +526,26 @@ class SortedCountStore:
             # count, not total ingested rows; the run is then truncated to
             # a power-of-2 capacity (host fetch of n — once per branch^lvl
             # consolidations, negligible)
-            k2, l2, h2, n = _merge_general_fn(
-                arity, True, self.key_bits
-            )(*args)
+            plan = self._final_plan(sum(r[0].shape[0] for r in group))
+            retained = None
+            if plan:
+                # masked merge + planned compact (the merge's density is
+                # bounded by (G+1)/rows — the plan's sweet spot); the
+                # masked arrays are retained for the plan-free recompute
+                # if the overflow bit comes back set at resolve time
+                has_hi = any(a == 3 for a in arity)
+                mk, ml, mh, _ = _merge_general_fn(
+                    arity, False, self.key_bits
+                )(*args)
+                margs = (mk, ml, mh) if has_hi else (mk, ml)
+                k2, l2, h2, n = _final_compact_fn(
+                    self.key_bits, plan, has_hi, False
+                )(*margs)
+                retained = ("merge", has_hi, margs)
+            else:
+                k2, l2, h2, n = _merge_general_fn(
+                    arity, True, self.key_bits
+                )(*args)
             if h2 is not None and self.total_weight < (1 << 32):
                 h2 = None  # counts provably fit u32: drop the limb
             if lvl + 1 >= len(self.dedup_levels):
@@ -538,7 +555,7 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n, None, None))
+            self._pending_shrinks.append((lvl + 1, run, n, None, retained))
             lvl += 1
 
     def _grain_plan(self, rows: int) -> tuple:
@@ -640,6 +657,28 @@ class SortedCountStore:
                     n = int(n2)
                 if src_rows:
                     self._fit_cov_model(n, valid, src_rows)
+            elif (isinstance(retained, tuple) and retained
+                  and retained[0] == "merge"):
+                # planned level merge: packed scalar, retained masked
+                # arrays for the plan-free recompute on overflow
+                n = int(arr)
+                ovf, n = bool(n >> 31), n & 0x7FFFFFFF
+                if ovf:
+                    self.spec_overflows += 1
+                    self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                    _, has_hi, margs = retained
+                    k2, l2, h2, n2 = _final_compact_fn(
+                        self.key_bits, (), has_hi, True
+                    )(*margs)
+                    if run[2] is None:
+                        h2 = None  # keep the run's hi-drop decision
+                    level = self.dedup_levels[lvl]
+                    for j, r in enumerate(level):
+                        if r is run:
+                            run = (k2, l2, h2)
+                            level[j] = run
+                            break
+                    n = int(n2) & 0x7FFFFFFF
             else:
                 n = int(arr)
             level = self.dedup_levels[lvl]

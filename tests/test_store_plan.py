@@ -169,3 +169,59 @@ def test_coverage_model_seeds_next_grain(rng):
     got = _finalize_dict(store)
     assert got == _expected(np.concatenate([v1, v2]), 0)
     assert store.spec_overflows == 0
+
+
+def _dedup_run(vals_counts, cap):
+    """Dense-prefix deduplicated run (ascending unique keys + counts,
+    PAD rows after) as insert_run expects."""
+    vals = np.array(sorted(vals_counts), dtype=np.uint64)
+    keys = np.full((cap, W), 0xFFFFFFFF, dtype=np.uint32)
+    lo = np.zeros(cap, dtype=np.uint32)
+    keys[:len(vals)] = np.asarray(_keys_of_values(vals))
+    lo[:len(vals)] = [vals_counts[int(v)] for v in vals]
+    return jnp.asarray(keys), jnp.asarray(lo)
+
+
+def test_planned_level_merge_exact(rng):
+    # two deduplicated runs whose merge density matches the seeded
+    # coverage model: the level merge takes the masked+planned path and
+    # must stay exact with no overflow
+    universe = 1500
+    counts1 = {v: int(rng.integers(1, 9)) for v in
+               rng.choice(universe, size=1400, replace=False)}
+    counts2 = {v: int(rng.integers(1, 9)) for v in
+               rng.choice(universe, size=1450, replace=False)}
+    store = SortedCountStore(W, branch=2, consolidate_rows=1 << 30,
+                            key_bits=KEY_BITS)
+    store._cov_model = (float(universe), 1.0)
+    assert store._final_plan(4096) != ()  # the planned path is active
+    store.insert_run(*_dedup_run(counts1, 2048))
+    store.insert_run(*_dedup_run(counts2, 2048))
+    assert len(store.dedup_levels[1]) == 1  # the merge really happened
+    got = _finalize_dict(store)
+    exp = {}
+    for d in (counts1, counts2):
+        for v, c in d.items():
+            exp[int(v)] = exp.get(int(v), 0) + c
+    assert got == exp
+    assert store.spec_overflows == 0
+
+
+def test_planned_level_merge_overflow_recovers(rng):
+    # a wildly underestimated universe (G=64 vs real 1500) plans D=64
+    # while rows hold ~375 reals: the merge's ovf bit must trip and the
+    # plan-free recompute must keep counts exact
+    universe = 1500
+    counts1 = {v: 2 for v in range(universe)}
+    counts2 = {v: 3 for v in range(0, universe, 2)}
+    store = SortedCountStore(W, branch=2, consolidate_rows=1 << 30,
+                            key_bits=KEY_BITS)
+    store._cov_model = (64.0, 1.0)
+    plan = store._final_plan(4096)
+    assert plan and plan[0] <= 128, plan
+    store.insert_run(*_dedup_run(counts1, 2048))
+    store.insert_run(*_dedup_run(counts2, 2048))
+    got = _finalize_dict(store)
+    exp = {v: 2 + (3 if v % 2 == 0 else 0) for v in range(universe)}
+    assert got == exp
+    assert store.spec_overflows >= 1
