@@ -326,6 +326,8 @@ class SortedCountStore:
         # cap on accumulated sub-grain masked drain leftovers before they
         # are compacted into the dedup forest
         self.masked_rows_budget = 192 << 20
+        # cap on one merge's INPUT bytes (see _merge_rows_budget)
+        self._merge_bytes_budget = 2_400_000_000
         self.raw: list = []          # [(keys [M, W],)] premasked
         self.raw_rows = 0
         # masked sub-grain drain outputs: [(keys, counts)] — sorted,
@@ -487,6 +489,20 @@ class SortedCountStore:
             self.dedup_levels[0].append(run)
             self._pending_shrinks.append((0, run, n, rows, None))
 
+    def _merge_rows_budget(self) -> int:
+        """Max input rows for one merge_many call. The merge holds ~4-5x
+        its input bytes live (sort operands + sorted copy + masked +
+        compact); merge_probe measured OOM at 268M W=2 rows on the 16GB
+        chip. Oversized merges split into budget-sized stages instead of
+        dying — a billion-distinct-mer stream must not OOM at its first
+        branch^2 level merge."""
+        per_row = 4 * self.W + 4
+        return max(2048, self._merge_bytes_budget // per_row)
+
+    @staticmethod
+    def _run_rows(r) -> int:
+        return r.n if isinstance(r, PackedRun) else r[0].shape[0]
+
     def _materialize(self, run):
         """Dense (keys, lo, hi) view of a run; unpacks PackedRun lazily."""
         if isinstance(run, PackedRun):
@@ -516,17 +532,29 @@ class SortedCountStore:
                 for p in self._pending_shrinks
             ):
                 self._resolve_pending_shrinks()
-            group = [
-                self._materialize(r) for r in self.dedup_levels[lvl]
-            ]
-            self.dedup_levels[lvl] = []
+            # take a budget-bounded PREFIX of the level (normally all of
+            # it); the while loop keeps merging the remainder in further
+            # budget-sized groups until the level is below branch
+            level = self.dedup_levels[lvl]
+            budget = self._merge_rows_budget()
+            take, rows = [], 0
+            for r in level:
+                rr = self._run_rows(r)
+                if len(take) >= 2 and rows + rr > budget:
+                    break
+                take.append(r)
+                rows += rr
+            self.dedup_levels[lvl] = level[len(take):]
+            group = [self._materialize(r) for r in take]
             arity = tuple(2 if r[2] is None else 3 for r in group)
             args = [x for r in group for x in (r[:2] if r[2] is None else r)]
             # dedup merges COMPACT so device memory tracks the distinct
             # count, not total ingested rows; the run is then truncated to
             # a power-of-2 capacity (host fetch of n — once per branch^lvl
             # consolidations, negligible)
-            plan = self._final_plan(sum(r[0].shape[0] for r in group))
+            # the planned path RETAINS the masked merge (+16B/row live
+            # until resolve): only plan when the merge is inside budget
+            plan = self._final_plan(rows) if rows <= budget else ()
             retained = None
             if plan:
                 # masked merge + planned compact (the merge's density is
@@ -556,7 +584,10 @@ class SortedCountStore:
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
             self._pending_shrinks.append((lvl + 1, run, n, None, retained))
-            lvl += 1
+            # a budget-limited partial take can leave this level >= branch:
+            # keep merging here before moving up
+            if len(self.dedup_levels[lvl]) < self.branch:
+                lvl += 1
 
     def _grain_plan(self, rows: int) -> tuple:
         """Rowsort slice plan for a compaction of `rows` rows.
@@ -691,10 +722,15 @@ class SortedCountStore:
 
     @staticmethod
     def _shrink(keys, lo, hi, n: int):
-        """Truncate a compacted run to the next power-of-2 >= n (keeps the
-        set of jitted shapes small)."""
+        """Truncate a compacted run to a quarter-pow2 capacity >= n
+        (<= 1.25x n waste vs up to 2x for full pow2; the bounded
+        mantissa keeps the set of jitted shapes small). Tight caps are
+        what keep forced pair-merges of large runs inside the merge
+        memory budget."""
         M = keys.shape[0]
-        cap = 1 << max(10, (max(n, 1) - 1).bit_length())
+        bl = max(10, (max(n, 1) - 1).bit_length())
+        base = 1 << (bl - 2)
+        cap = base * ((max(n, 1) + base - 1) // base)
         if cap >= M:
             return keys, lo, hi
         fn = _shrink_fn(cap, hi is not None)
@@ -758,9 +794,42 @@ class SortedCountStore:
             keys = jnp.full((1, self.W), 0xFFFFFFFF, dtype=jnp.uint32)
             z = jnp.zeros(1, dtype=jnp.uint32)
             return keys, z, z, 0, 0
+        # staged pre-merges: one merge_many call must never exceed the
+        # input budget (_merge_rows_budget) — an oversized run list is
+        # first merged in budget-sized groups (each compacts toward the
+        # distinct count, so this converges in very few stages)
+        budget = self._merge_rows_budget()
+        while (len(runs) > 2
+               and sum(r[0].shape[0] for r in runs) > budget):
+            new_runs = []
+            i = 0
+            while i < len(runs):
+                grp, rows = [runs[i]], runs[i][0].shape[0]
+                i += 1
+                while i < len(runs) and (
+                    len(grp) < 2 or rows + runs[i][0].shape[0] <= budget
+                ):
+                    rows += runs[i][0].shape[0]
+                    grp.append(runs[i])
+                    i += 1
+                if len(grp) == 1:
+                    new_runs.append(grp[0])
+                    continue
+                ar = tuple(len(r) for r in grp)
+                ag = [x for r in grp for x in r]
+                k, l, h, nn = _merge_general_fn(
+                    ar, True, self.key_bits
+                )(*ag)
+                k, l, h = self._shrink(k, l, h, int(nn))
+                new_runs.append((k, l) if h is None else (k, l, h))
+            if len(new_runs) >= len(runs):
+                break  # runs individually huge: no further split possible
+            runs = new_runs
+
         arity = tuple(len(r) for r in runs)
         args = [x for r in runs for x in r]
-        plan = self._final_plan(sum(r[0].shape[0] for r in runs))
+        total_rows = sum(r[0].shape[0] for r in runs)
+        plan = self._final_plan(total_rows) if total_rows <= budget else ()
         if plan:
             # masked merge + planned compact (see _final_compact_fn);
             # the synchronous n fetch doubles as the ovf check, and the

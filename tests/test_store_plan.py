@@ -225,3 +225,21 @@ def test_planned_level_merge_overflow_recovers(rng):
     exp = {v: 2 + (3 if v % 2 == 0 else 0) for v in range(universe)}
     assert got == exp
     assert store.spec_overflows >= 1
+
+
+def test_merge_budget_staging_exact(rng):
+    # a tiny merge budget forces partial level merges AND staged
+    # finalize pre-merges; counts must stay exact throughout
+    universe = 700
+    store = SortedCountStore(W, branch=3, consolidate_rows=1 << 30,
+                            key_bits=KEY_BITS)
+    store._merge_bytes_budget = 2048 * (4 * W + 4)  # ~2048-row merges
+    exp = {}
+    for i in range(9):
+        cnts = {v: int(rng.integers(1, 5)) for v in
+                rng.choice(universe, size=600, replace=False)}
+        for v, c in cnts.items():
+            exp[int(v)] = exp.get(int(v), 0) + c
+        store.insert_run(*_dedup_run(cnts, 1024))
+    got = _finalize_dict(store)
+    assert got == exp
