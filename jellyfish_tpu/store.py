@@ -375,6 +375,16 @@ class SortedCountStore:
     def insert_raw(self, keys, n_valid_scalar) -> None:
         """Append a premasked raw run; n_valid_scalar is the device scalar
         count of non-PAD rows (for the all-ones correction)."""
+        # opportunistic resolve: when every pending stats scalar is
+        # already computed (its producing program finished), resolving
+        # now is stall-free — and it frees speculative grains' RETAINED
+        # raw runs a whole grain-period earlier than the next boundary
+        # sync (the peak-HBM lever that lets 2^28 grains fit)
+        if self._pending_shrinks and all(
+            getattr(p[2], "is_ready", lambda: False)()
+            for p in self._pending_shrinks
+        ):
+            self._resolve_pending_shrinks()
         self.raw.append(keys)
         self.raw_rows += keys.shape[0]
         self.raw_rows_ever += keys.shape[0]
@@ -392,15 +402,39 @@ class SortedCountStore:
             self._consolidate(compact=True)
 
     def _effective_grain(self) -> int:
-        """The FIRST grain runs at a quarter size: its compaction is
+        """The FIRST grain runs at 1/8 size: its compaction is
         necessarily plan-free (no coverage model yet — the one expensive
         global compacting sort), and a smaller cold grain both costs
         less per row and seeds the rowsort plan for the full-size grains
-        4x sooner. Steady-state cost is unchanged (one extra level-0
-        run)."""
+        8x sooner. Steady-state cost is unchanged (one extra level-0
+        run).
+
+        After the model exists, the grain DOUBLES (W <= 2, one doubling
+        — HBM-bounded) while the predicted in-grain density stays above
+        0.45: a large distinct universe (e.g. a 134M-base genome at 8x
+        coverage) makes small grains dense, where the compaction plan is
+        weak AND level-merge volume per mer is highest (see PERF.md's
+        long-stream scale curve)."""
         if self._cold and self.density_est is None:
             return max(self.consolidate_rows >> 3, 1024)
-        return self.consolidate_rows
+        grain = self.consolidate_rows
+        if self.density_est is None and self._cov_model is not None:
+            max_grain = (
+                2 * self.consolidate_rows if self.W <= 2
+                else self.consolidate_rows
+            )
+            while grain < max_grain and self._predict_density(grain) > 0.45:
+                grain *= 2
+        return grain
+
+    def _predict_density(self, rows: int) -> float:
+        """Coverage-model distinct/rows prediction for a compaction of
+        `rows` raw rows (1.0 when no model)."""
+        if self._cov_model is None:
+            return 1.0
+        G, vf = self._cov_model
+        r_real = max(rows * vf, 1.0)
+        return (G * (1.0 - float(np.exp(-r_real / G))) + 1.0) / rows
 
     def insert_run(self, keys, lo, hi=None, total: int | None = None) -> None:
         """Insert a deduplicated (or filtered) run; hi None when counts are
@@ -604,9 +638,7 @@ class SortedCountStore:
         if self.density_est is not None:
             d = self.density_est
         elif self._cov_model is not None:
-            G, vf = self._cov_model
-            r_real = max(rows * vf, 1.0)
-            d = (G * (1.0 - float(np.exp(-r_real / G))) + 1.0) / rows
+            d = self._predict_density(rows)
         else:
             return ()
         # headroom on top of the plan's own 6-sigma + 16 margin: the
