@@ -276,10 +276,11 @@ def run_generate(args, argv):
             print(f"Creating {ext} file '{path}'")
         with open(path, "wb") as f:
             if args.fastq:
+                read_len = args.read_length or 70
                 total = 0
                 rid = 0
                 while total < length:
-                    n = min(70, length - total)
+                    n = min(read_len, length - total)
                     seq = letters[rng.integers(0, 4, n)].tobytes()
                     # Illumina-range quality chars (generate_sequence.cc:22-41)
                     qual = (rng.integers(0, 41, n) + 66).astype(np.uint8).tobytes()

@@ -73,7 +73,8 @@ def _consolidate_fn(n_runs: int, key_bits):
 
 
 @functools.lru_cache(maxsize=64)
-def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0):
+def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0,
+                            preslice: int = 0):
     """Fused full-grain combine: consolidate + compact in one program
     (the steady-state grain path).
 
@@ -103,17 +104,47 @@ def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0):
     estimate overshot), bit 30 of the packed scalar reports it and the
     caller recomputes trim-free from the retained runs.
 
+    preslice in {512, 256} drops pad rows BEFORE the consolidate sort
+    for pad-dominated workloads (k=100 on 150-base reads: only 34% of
+    windows are valid): rowsort the RAW keys [R, 1024] and keep the
+    first `preslice` columns — pads (all-ones, the maximum) sort to
+    each row's end, so a row only loses real keys if it held more than
+    `preslice`, which the guard detects (the top limb at the cut column
+    must be all-ones in every row; real keys can never carry the PAD
+    top limb when key_bits % 32 != 0 — the caller gates on that). Only
+    the power-of-two keep ratios are offered so the sliced stream stays
+    pow2-aligned for the big sort. The caller must subtract the
+    statically-known dropped-row count from its pad bookkeeping IF the
+    guard stays clean (bit 30 again; the recompute path drops
+    nothing).
+
     Returns (keys, lo, n_packed) with n_packed = n | (ovf << 31) |
     (bad_trim << 30) — one scalar fetch resolves all (n counts the
     distinct segments of a <= 2^28 grain, so it always fits 30 bits)."""
-    donate = tuple(range(n_runs)) if not (plan or trim) else ()
+    donate = tuple(range(n_runs)) if not (plan or trim or preslice) else ()
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def f(*keys):
-        k2, c2, n = consolidate_premasked(
-            jnp.concatenate(keys, axis=0), key_bits, return_n=True
-        )
+        raw = jnp.concatenate(keys, axis=0)
         bad = jnp.bool_(False)
+        if preslice:
+            W = raw.shape[1]
+            C = 1024
+            R = raw.shape[0] // C
+            body = R * C
+            rs = jax.lax.sort(
+                [raw[:body, W - 1 - w].reshape(R, C) for w in range(W)],
+                dimension=1, num_keys=W, is_stable=False,
+            )
+            bad = ~jnp.all(rs[0][:, preslice] == jnp.uint32(0xFFFFFFFF))
+            kept = jnp.stack(
+                [rs[W - 1 - w][:, :preslice].reshape(R * preslice)
+                 for w in range(W)], axis=-1,
+            )
+            raw = jnp.concatenate([kept, raw[body:]], axis=0)
+        k2, c2, n = consolidate_premasked(
+            raw, key_bits, return_n=True
+        )
         if trim:
             # sound AND complete: count-0 rows are inert wherever they
             # sit, and any real segment intersecting the cut range has
@@ -122,7 +153,7 @@ def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0):
             # final row) — so "no nonzero count in the range" exactly
             # characterizes a safe trim
             M = k2.shape[0]
-            bad = jnp.any(c2[M - 1 - trim : M - 1] != 0)
+            bad = bad | jnp.any(c2[M - 1 - trim : M - 1] != 0)
             k2 = k2[: M - trim].at[-1].set(k2[M - 1])
             c2 = c2[: M - trim].at[-1].set(c2[M - 1])
         k3, l3, _, ovf = compact_counted(
@@ -478,10 +509,15 @@ class SortedCountStore:
             for g in _pow2_groups(runs):
                 vg, off = valids[off:off + len(g)], off + len(g)
                 rows = sum(r.shape[0] for r in g)
-                plan = self._grain_plan(rows)
-                trim = self._pad_trim(rows)
+                preslice = self._grain_preslice(rows)
+                dropped = 0
+                if preslice:
+                    body = (rows // 1024) * 1024
+                    dropped = body - (body // 1024) * preslice
+                trim = self._pad_trim(rows, dropped)
+                plan = self._grain_plan(rows, rows - dropped - trim)
                 k2, l2, n = _consolidate_compact_fn(
-                    len(g), self.key_bits, plan, trim
+                    len(g), self.key_bits, plan, trim, preslice
                 )(*g)
                 # one [2] device vector = (n | flags, valid rows): a
                 # single host fetch at resolve drives the overflow/trim
@@ -489,12 +525,13 @@ class SortedCountStore:
                 stats = _grain_stats_fn(len(vg))(n, *vg)
                 run = (k2, l2, None)
                 self.dedup_levels[0].append(run)
-                # plan or trim => speculative: retain the raw runs so
-                # the resolve can recompute conservatively on the rare
-                # rowsort overflow / trim misprediction
+                # plan/trim/preslice => speculative: retain the raw runs
+                # so the resolve can recompute conservatively on the
+                # rare rowsort overflow / slicing misprediction
+                spec = bool(plan or trim or preslice)
                 self._pending_shrinks.append(
                     (0, run, stats, rows,
-                     list(g) if (plan or trim) else None)
+                     list(g) if spec else None, dropped)
                 )
         else:
             # pow2-aligned grouping: XLA's sort pads to the next power of
@@ -521,7 +558,7 @@ class SortedCountStore:
             k2, l2, n = _compact_masked_fn(self.key_bits)(keys, counts)
             run = (k2, l2, None)
             self.dedup_levels[0].append(run)
-            self._pending_shrinks.append((0, run, n, rows, None))
+            self._pending_shrinks.append((0, run, n, rows, None, 0))
 
     def _merge_rows_budget(self) -> int:
         """Max input rows for one merge_many call. The merge holds ~4-5x
@@ -617,14 +654,19 @@ class SortedCountStore:
             # defer the truncation: fetching n here would stall the host on
             # the whole merge; resolve at the next insert/finalize, by when
             # the merge has overlapped with subsequent pipeline work
-            self._pending_shrinks.append((lvl + 1, run, n, None, retained))
+            self._pending_shrinks.append(
+                (lvl + 1, run, n, None, retained, 0)
+            )
             # a budget-limited partial take can leave this level >= branch:
             # keep merging here before moving up
             if len(self.dedup_levels[lvl]) < self.branch:
                 lvl += 1
 
-    def _grain_plan(self, rows: int) -> tuple:
-        """Rowsort slice plan for a compaction of `rows` rows.
+    def _grain_plan(self, rows: int, compact_rows: int | None = None) -> tuple:
+        """Rowsort slice plan for the compaction of a grain of `rows`
+        RAW rows whose compact input holds `compact_rows` rows (fewer
+        when a preslice/trim removed pads — the same distinct keys in a
+        shorter array is a proportionally DENSER compact).
 
         Density comes from the fitted coverage model evaluated AT THIS
         row count (distinct saturates with coverage, so a 134M-row grain
@@ -639,6 +681,8 @@ class SortedCountStore:
             d = self.density_est
         elif self._cov_model is not None:
             d = self._predict_density(rows)
+            if compact_rows and compact_rows < rows:
+                d = min(1.0, d * rows / compact_rows)
         else:
             return ()
         # headroom on top of the plan's own 6-sigma + 16 margin: the
@@ -664,16 +708,39 @@ class SortedCountStore:
         d = min(1.0, (G + 1.0) / max(rows, 1))
         return compaction_plan(min(1.0, self._plan_margin * d))
 
-    def _pad_trim(self, rows: int) -> int:
+    def _pad_trim(self, rows: int, dropped: int = 0) -> int:
         """Rows of inert PAD tail to slice off before a grain's compact
-        (85% of the modeled pad count, floor-quantized to 2^20 rows to
-        bound the set of compiled shapes; 0 when unknown/too small)."""
+        (85% of the modeled pad count LEFT after any preslice already
+        dropped `dropped` pads, floor-quantized to 2^20 rows to bound
+        the set of compiled shapes; 0 when unknown/too small)."""
         if self.density_est is not None or self._cov_model is None:
             return 0
         _, vf = self._cov_model
         q = self._trim_quantum
-        trim = (int(rows * (1.0 - vf) * 0.85) // q) * q
+        pads_left = rows * (1.0 - vf) - dropped
+        trim = (int(max(pads_left, 0.0) * 0.85) // q) * q
         return trim if trim >= q else 0
+
+    def _grain_preslice(self, rows: int) -> int:
+        """Pre-consolidate pad slicing width (512, 256 or 0 = off). Only
+        pays on pad-DOMINATED workloads (k close to the read length, or
+        N-heavy input): the kept fraction must cover the real rows per
+        1024-row window at 6 sigma, and only power-of-two keep ratios
+        preserve the big sort's pow2 alignment. Needs key_bits % 32 !=
+        0 (the guard relies on real keys never carrying the PAD top
+        limb) and enough rows to slice."""
+        if (self.density_est is not None or self._cov_model is None
+                or self.key_bits is None or self.key_bits % 32 == 0
+                or rows < 4096):
+            return 0
+        _, vf = self._cov_model
+        mean = 1024.0 * vf
+        need = mean + 6.0 * (1024.0 * vf * (1.0 - vf)) ** 0.5 + 16.0
+        if need <= 256.0:
+            return 256
+        if need <= 512.0:
+            return 512
+        return 0
 
     def _fit_cov_model(self, n: int, valid: int, rows: int) -> None:
         """Fit (G, valid_frac) from one grain: n distinct segments out of
@@ -695,7 +762,7 @@ class SortedCountStore:
 
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
-        for lvl, run, n_dev, src_rows, retained in pending:
+        for lvl, run, n_dev, src_rows, retained, dropped in pending:
             arr = np.asarray(n_dev)
             if arr.ndim:  # grain entry: [2] = (n | flags, valid rows)
                 n, valid = int(arr[0]), int(arr[1])
@@ -718,6 +785,12 @@ class SortedCountStore:
                             level[j] = run
                             break
                     n = int(n2)
+                elif dropped:
+                    # clean preslice: the statically-dropped rows were
+                    # verified pads that never reached the consolidate —
+                    # remove them from the pad bookkeeping (total_pads =
+                    # raw_rows_ever - valid must match the device counts)
+                    self.raw_rows_ever -= dropped
                 if src_rows:
                     self._fit_cov_model(n, valid, src_rows)
             elif (isinstance(retained, tuple) and retained
@@ -809,13 +882,15 @@ class SortedCountStore:
         real entries in the ascending dense prefix [0, n); `pads` must be
         subtracted from the trailing all-ones entry by the caller (and the
         entry dropped if it reaches zero)."""
-        pads = self.residual_pads + self.total_pads()
         # raw rows have unbounded duplicates: consolidate them first so the
         # final combine only sees deduplicated runs (bounded duplicates for
         # merge_many's log-scan)
         self._consolidate()
-        # resolve BEFORE the final merge so it sees the smallest shapes
+        # resolve BEFORE the final merge so it sees the smallest shapes —
+        # and BEFORE the pad total: a clean presliced grain adjusts
+        # raw_rows_ever at resolve time
         self._resolve_pending_shrinks()
+        pads = self.residual_pads + self.total_pads()
         # masked drain leftovers are valid deduplicated merge inputs
         runs = list(self.masked0) + [
             (r[:2] if r[2] is None else r)

@@ -389,3 +389,20 @@ def test_if_all_n_input_dumps_primed_zeros(tmp_path, capsys):
     got = _dump_dict(capsys, str(db))
     want = {str(m): 0 for m in string_canonicals("ACGTACGTACGTACGTA", 13)}
     assert got == want
+
+
+def test_generate_fastq_read_length(tmp_path):
+    """-r/--read-length must apply to FASTQ output too (it was silently
+    ignored: every read came out 70 bases regardless)."""
+    out = str(tmp_path / "g150")
+    run_cli(["generate", "-s", "42", "-q", "-m", "3000", "-r", "150",
+             "-o", out])
+    lens = []
+    with open(out + ".fq") as f:
+        lines = f.read().splitlines()
+    for i in range(0, len(lines), 4):
+        assert lines[i].startswith("@")
+        lens.append(len(lines[i + 1]))
+        assert len(lines[i + 3]) == lens[-1]  # qual matches seq
+    assert set(lens[:-1]) == {150}  # full reads; the tail may be short
+    assert sum(lens) == 3000

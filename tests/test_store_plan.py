@@ -243,3 +243,56 @@ def test_merge_budget_staging_exact(rng):
         store.insert_run(*_dedup_run(cnts, 1024))
     got = _finalize_dict(store)
     assert got == exp
+
+
+def test_preslice_pad_dominated_exact(rng):
+    # 70% pads (k near the read length): grain 1 seeds the model, grain
+    # 2 must pre-slice half its rows away before the consolidate and
+    # stay exact INCLUDING the pad accounting (raw_rows_ever adjusts)
+    M = 16384
+    nvalid = M * 3 // 10
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    rng2 = np.random.default_rng(21)
+
+    def grain(seed):
+        v = np.random.default_rng(seed).integers(
+            0, 1200, size=nvalid, dtype=np.uint64
+        )
+        keys = np.concatenate([
+            np.asarray(_keys_of_values(v)),
+            np.full((M - nvalid, W), 0xFFFFFFFF, dtype=np.uint32),
+        ])
+        keys = keys[rng2.permutation(M)]
+        store.insert_raw(jnp.asarray(keys), jnp.uint32(nvalid))
+        return v
+
+    v1 = grain(1)
+    assert store._grain_preslice(M) == 0  # cold: no model yet
+    v2 = grain(2)
+    store._resolve_pending_shrinks()
+    assert store._grain_preslice(M) == 512  # model seeded: slicing on
+    got = _finalize_dict(store)
+    assert got == _expected(np.concatenate([v1, v2]), 2 * (M - nvalid))
+    assert store.spec_overflows == 0
+
+
+def test_preslice_misprediction_recovers(rng):
+    # the model claims 30% valid (preslice 512) but the stream is ~97%
+    # real: rows hold ~990 reals >> 512, the guard bit must trip and
+    # the slice-free recompute must keep counts AND pads exact
+    M, npads = 16384, 512
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    store._cov_model = (1e9, 0.3)
+    assert store._grain_preslice(M) == 512
+    vals = rng.integers(0, 1 << 40, size=M - npads, dtype=np.uint64)
+    keys = np.concatenate([
+        np.asarray(_keys_of_values(vals)),
+        np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32),
+    ])
+    keys = keys[np.random.default_rng(31).permutation(M)]
+    store.insert_raw(jnp.asarray(keys), jnp.uint32(M - npads))
+    got = _finalize_dict(store)
+    assert got == _expected(vals, npads)
+    assert store.spec_overflows >= 1
