@@ -10,21 +10,33 @@ sorting: ~1 sort pass per ingested mer in steady state.
     already set to the all-ones PAD pattern) — keys only, no payload, no
     per-chunk device work at all;
   - raw rows accumulate to the LARGEST affordable grain
-    (`consolidate_rows`, default 2^27); ONE jitted program then sorts the
-    whole backlog keys-only, counts segments by LENGTH
-    (ops/count.consolidate_premasked — the cheapest possible combine) and
-    compacts with a single fused count-tiebreak sort (compact_counted).
-    Big grain is the cost lever: raw rows carry implicit weight 1 (no
-    count operand through the sort), and level-merge volume divides by it;
+    (`consolidate_rows`, default 2^27; the first grain runs at 1/8 size
+    and the grain doubles adaptively for dense universes); ONE jitted
+    program then sorts the whole backlog keys-only, counts segments by
+    LENGTH (ops/count.consolidate_premasked — the cheapest possible
+    combine) and compacts with a single fused count-tiebreak sort
+    (compact_counted). Big grain is the cost lever: raw rows carry
+    implicit weight 1 (no count operand through the sort), and
+    level-merge volume divides by it;
+  - a COVERAGE MODEL (universe size G fitted from each grain's distinct
+    count) drives three SPECULATIVE slicings, each guarded by a flag bit
+    in the grain's packed stats scalar and recovered by a conservative
+    recompute from retained inputs at the next resolve sync: the rowsort
+    compaction plan (compact_counted plan=), the inert pad-tail trim
+    before the compact, and the pad PRESLICE before the consolidate on
+    pad-dominated workloads (k close to the read length);
   - sub-grain DRAINS (stream tails) stay masked in place (compaction
     deferred to finalize/a budget trigger) — a masked run is already a
     valid deduplicated merge_many input;
   - compacted runs collect in a branch-8 forest merged with
-    ops/count.merge_many (64-bit exact counts), truncated to ~distinct
-    size;
-  - finalize() K-way combines everything, compacts, and is the reference's
-    dump order (compare sorted_dumper.hpp:57-101's mer_heap + token-ring
-    recovery — here hash order is the resting state).
+    ops/count.merge_many (64-bit exact counts, planned compaction when
+    the model bounds the merge density), truncated to ~distinct size;
+    one merge's input is capped by a memory budget (oversized levels
+    merge in budget-sized groups);
+  - finalize() K-way combines everything (staged when over budget),
+    compacts, and is the reference's dump order (compare
+    sorted_dumper.hpp:57-101's mer_heap + token-ring recovery — here
+    hash order is the resting state).
 
 PAD accounting: premasked PAD rows carry implicit weight 1 through raw
 sorts, inflating the all-ones segment. The store tracks the exact number
@@ -760,6 +772,23 @@ class SortedCountStore:
         c = 0.5 * (lo_c + hi_c)
         self._cov_model = (r_real / c, valid / rows)
 
+    def _note_overflow(self) -> None:
+        """A speculative slicing mispredicted: count it and widen the
+        planning margin so a persistently mis-fit stream converges to
+        plan-free behavior instead of recomputing every grain."""
+        self.spec_overflows += 1
+        self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+
+    def _replace_run(self, lvl: int, run, new_run):
+        """Swap a level's run in place (identity match); returns
+        new_run either way — a consumed run just skips the shrink."""
+        level = self.dedup_levels[lvl]
+        for j, r in enumerate(level):
+            if r is run:
+                level[j] = new_run
+                break
+        return new_run
+
     def _resolve_pending_shrinks(self) -> None:
         pending, self._pending_shrinks = self._pending_shrinks, []
         for lvl, run, n_dev, src_rows, retained, dropped in pending:
@@ -767,23 +796,17 @@ class SortedCountStore:
             if arr.ndim:  # grain entry: [2] = (n | flags, valid rows)
                 n, valid = int(arr[0]), int(arr[1])
                 # bit 31 of the packed scalar is the rowsort overflow
-                # flag, bit 30 the pad-trim misprediction flag; either
-                # way the sliced result is garbage and the grain
-                # recomputes plan-free/trim-free from the retained raw
-                # runs (donating them this time)
+                # flag, bit 30 the trim/preslice misprediction flag;
+                # either way the sliced result is garbage and the grain
+                # recomputes slice-free from the retained raw runs
+                # (donating them this time)
                 ovf, n = bool(n >> 30), n & 0x3FFFFFFF
                 if ovf:
-                    self.spec_overflows += 1
-                    self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                    self._note_overflow()
                     k2, l2, n2 = _consolidate_compact_fn(
                         len(retained), self.key_bits
                     )(*retained)
-                    level = self.dedup_levels[lvl]
-                    for j, r in enumerate(level):
-                        if r is run:
-                            run = (k2, l2, None)
-                            level[j] = run
-                            break
+                    run = self._replace_run(lvl, run, (k2, l2, None))
                     n = int(n2)
                 elif dropped:
                     # clean preslice: the statically-dropped rows were
@@ -800,20 +823,14 @@ class SortedCountStore:
                 n = int(arr)
                 ovf, n = bool(n >> 31), n & 0x7FFFFFFF
                 if ovf:
-                    self.spec_overflows += 1
-                    self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                    self._note_overflow()
                     _, has_hi, margs = retained
                     k2, l2, h2, n2 = _final_compact_fn(
                         self.key_bits, (), has_hi, True
                     )(*margs)
                     if run[2] is None:
                         h2 = None  # keep the run's hi-drop decision
-                    level = self.dedup_levels[lvl]
-                    for j, r in enumerate(level):
-                        if r is run:
-                            run = (k2, l2, h2)
-                            level[j] = run
-                            break
+                    run = self._replace_run(lvl, run, (k2, l2, h2))
                     n = int(n2) & 0x7FFFFFFF
             else:
                 n = int(arr)
@@ -951,8 +968,7 @@ class SortedCountStore:
             )(*margs)
             n_raw = int(n_dev)
             if n_raw >> 31:  # rowsort overflow: recompute plan-free
-                self.spec_overflows += 1
-                self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+                self._note_overflow()
                 k2, l2, h2, n_dev = _final_compact_fn(
                     self.key_bits, (), has_hi, True
                 )(*margs)
