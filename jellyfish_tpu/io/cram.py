@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import os
 import struct
+import threading
 import zlib
 from typing import Iterator, Optional
 
@@ -577,6 +578,11 @@ class _RefStore:
         self._seqs = {}
         self._checked = set()
         self._env_loaded = False
+        # multi-ref slices bypass the single-thread cache warm-up and
+        # call get() from concurrent decode workers: serialize the LOAD
+        # path so a reference is read+M5-checked exactly once (the hit
+        # path stays lock-free — dict reads are GIL-atomic)
+        self._load_lock = threading.Lock()
 
     @staticmethod
     def _cache_path(template: str, m5: str) -> str:
@@ -670,23 +676,26 @@ class _RefStore:
             # re-check: bulk fasta loads cache sequences before their
             # first (validating) use
             return self._check_m5(name, self._seqs[name])
-        env = os.environ.get("JF_CRAM_REF")
-        if env and not self._env_loaded:
-            self._seqs.update(self._read_fasta(env))
-            self._env_loaded = True
-            if name in self._seqs:
+        with self._load_lock:
+            if name in self._seqs:  # loaded while we waited
                 return self._check_m5(name, self._seqs[name])
-        cached = self._from_cache(name)
-        if cached is not None:
-            self._seqs[name] = cached
-            return cached
-        ur = self.ur.get(name)
-        if ur:
-            path = ur[7:] if ur.startswith("file://") else ur
-            if os.path.exists(path):
-                self._seqs.update(self._read_fasta(path))
+            env = os.environ.get("JF_CRAM_REF")
+            if env and not self._env_loaded:
+                self._seqs.update(self._read_fasta(env))
+                self._env_loaded = True
                 if name in self._seqs:
                     return self._check_m5(name, self._seqs[name])
+            cached = self._from_cache(name)
+            if cached is not None:
+                self._seqs[name] = cached
+                return cached
+            ur = self.ur.get(name)
+            if ur:
+                path = ur[7:] if ur.startswith("file://") else ur
+                if os.path.exists(path):
+                    self._seqs.update(self._read_fasta(path))
+                    if name in self._seqs:
+                        return self._check_m5(name, self._seqs[name])
         raise CramError(
             f"reference sequence {name!r} needed to decode this CRAM: "
             "set JF_CRAM_REF=<fasta>, JF_CRAM_REF_CACHE/REF_CACHE=<M5 "

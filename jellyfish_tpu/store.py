@@ -48,6 +48,7 @@ entry — the sortkey is a bijection, so at most one REAL mer maps there.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -643,8 +644,13 @@ class SortedCountStore:
                 # masked merge + planned compact (the merge's density is
                 # bounded by (G+1)/rows — the plan's sweet spot); the
                 # masked arrays are retained for the plan-free recompute
-                # if the overflow bit comes back set at resolve time
-                has_hi = any(a == 3 for a in arity)
+                # if the overflow bit comes back set at resolve time.
+                # has_hi must ALSO trip on total_weight: merge_many's
+                # log-scan carries into the hi limb even when every input
+                # is a 2-tuple (grain outputs always are), and dropping
+                # that limb would wrap counts >= 2^32 mod 2^32
+                has_hi = (any(a == 3 for a in arity)
+                          or self.total_weight >= (1 << 32))
                 mk, ml, mh, _ = _merge_general_fn(
                     arity, False, self.key_bits
                 )(*args)
@@ -685,8 +691,6 @@ class SortedCountStore:
         is ~2x denser in pads than a 34M warmup — a flat estimate would
         mis-plan one of them). density_est overrides when a caller/test
         knows better; JF_NO_PLAN=1 disables planning (A/B runs)."""
-        import os
-
         if os.environ.get("JF_NO_PLAN"):
             return ()
         if self.density_est is not None:
@@ -712,8 +716,6 @@ class SortedCountStore:
         — at branch-many saturated runs that is ~1/branch, the plan's
         sweet spot. Model-only on purpose: density_est describes RAW
         grain density, not merge density."""
-        import os
-
         if os.environ.get("JF_NO_PLAN") or self._cov_model is None:
             return ()
         G, _ = self._cov_model
@@ -844,14 +846,14 @@ class SortedCountStore:
 
     @staticmethod
     def _shrink(keys, lo, hi, n: int):
-        """Truncate a compacted run to a quarter-pow2 capacity >= n
-        (<= 1.25x n waste vs up to 2x for full pow2; the bounded
-        mantissa keeps the set of jitted shapes small). Tight caps are
-        what keep forced pair-merges of large runs inside the merge
-        memory budget."""
+        """Truncate a compacted run to an eighth-pow2 capacity >= n
+        (base 2^(bl-3) gives cap/n < 1 + 2^(bl-3)/2^(bl-1) = 1.25x true
+        worst-case waste; the bounded mantissa keeps the set of jitted
+        shapes small). Tight caps are what keep forced pair-merges of
+        large runs inside the merge memory budget."""
         M = keys.shape[0]
         bl = max(10, (max(n, 1) - 1).bit_length())
-        base = 1 << (bl - 2)
+        base = 1 << max(8, bl - 3)
         cap = base * ((max(n, 1) + base - 1) // base)
         if cap >= M:
             return keys, lo, hi
@@ -957,8 +959,11 @@ class SortedCountStore:
         if plan:
             # masked merge + planned compact (see _final_compact_fn);
             # the synchronous n fetch doubles as the ovf check, and the
-            # masked arrays are retained until it passes
-            has_hi = any(a == 3 for a in arity)
+            # masked arrays are retained until it passes. has_hi gates on
+            # total_weight too — see _maybe_merge_dedup (the hi carry of
+            # all-2-tuple merges would otherwise be discarded)
+            has_hi = (any(a == 3 for a in arity)
+                      or self.total_weight >= (1 << 32))
             mk, ml, mh, _ = _merge_general_fn(
                 arity, False, self.key_bits
             )(*args)

@@ -296,3 +296,51 @@ def test_preslice_misprediction_recovers(rng):
     got = _finalize_dict(store)
     assert got == _expected(vals, npads)
     assert store.spec_overflows >= 1
+
+
+def test_planned_merge_u64_carry(rng):
+    # ADVICE r4 high: merge_many's log-scan carries into the hi limb
+    # even when every merged run is a 2-tuple; the planned level merge
+    # must not discard it — a per-key sum >= 2^32 has to survive both
+    # the level merge and finalize exactly (the store's documented
+    # 64-bit invariant, binary_dumper.hpp:36-40 saturation happens at
+    # WRITE time only)
+    big = 3_000_000_000  # fits u32; twice does not
+    universe = 1500
+    counts1 = {v: int(rng.integers(1, 9)) for v in
+               rng.choice(universe, size=1400, replace=False)}
+    counts2 = {v: int(rng.integers(1, 9)) for v in
+               rng.choice(universe, size=1450, replace=False)}
+    counts1[7] = big
+    counts2[7] = big
+    store = SortedCountStore(W, branch=2, consolidate_rows=1 << 30,
+                            key_bits=KEY_BITS)
+    store._cov_model = (float(universe), 1.0)
+    assert store._final_plan(4096) != ()  # the planned path is active
+    store.insert_run(*_dedup_run(counts1, 2048), total=big + 1400)
+    store.insert_run(*_dedup_run(counts2, 2048), total=big + 1450)
+    assert len(store.dedup_levels[1]) == 1  # the merge really happened
+    got = _finalize_dict(store)
+    assert got[7] == 2 * big
+    exp = {}
+    for d in (counts1, counts2):
+        for v, c in d.items():
+            exp[int(v)] = exp.get(int(v), 0) + c
+    assert got == exp
+    assert store.spec_overflows == 0
+
+
+def test_planned_finalize_u64_carry(rng):
+    # same carry invariant through finalize's OWN planned K-way path
+    # (branch large enough that no level merge happens first)
+    big = 3_000_000_000
+    counts1 = {3: big, 11: 5}
+    counts2 = {3: big, 12: 6}
+    store = SortedCountStore(W, branch=64, consolidate_rows=1 << 30,
+                            key_bits=KEY_BITS)
+    store._cov_model = (16.0, 1.0)
+    store.insert_run(*_dedup_run(counts1, 2048), total=big + 5)
+    store.insert_run(*_dedup_run(counts2, 2048), total=big + 6)
+    assert store._final_plan(4096) != ()
+    got = _finalize_dict(store)
+    assert got == {3: 2 * big, 11: 5, 12: 6}
