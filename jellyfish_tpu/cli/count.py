@@ -249,12 +249,11 @@ def run(args, argv):
         if n_devices > avail:
             die(f"count: --devices {n_devices} exceeds the {avail} "
                 "visible devices")
-        if getattr(args, "packed_store", False):
-            die("count: --packed-store is single-chip for now")
         counter = ShardedMerCounter(
             k, size=args.size, mesh=make_mesh(n_devices),
             canonical=args.canonical, rng=rng,
             mer_filter=filt,
+            pack_resting=bool(getattr(args, "packed_store", False)),
         )
     else:
         counter = MerCounter(

@@ -39,7 +39,10 @@ import numpy as np
 
 from jellyfish_tpu.ops import multiword as mw
 
-__all__ = ["pack_run", "unpack_run", "packed_nbytes", "PackedRun"]
+__all__ = [
+    "pack_run", "unpack_run", "packed_nbytes", "PackedRun",
+    "pack_run_batched", "unpack_run_batched", "PackedRunBatch",
+]
 
 
 class PackedRun:
@@ -216,6 +219,98 @@ def unpack_run(run: PackedRun):
     return _unpack_fn(
         run.stream, run.index, run.esc_pos, run.esc_lo, run.esc_hi,
         run.key_bits, run.p, run.cbits, run.W, run.n,
+    )
+
+
+class PackedRunBatch:
+    """Sharded variant of PackedRun: every buffer carries a leading [P]
+    shard axis (kept sharded on the mesh by the caller). All shards pack
+    at the COMMON capacity n_cap — rows past a shard's own occupancy are
+    the inert PAD pattern (all-ones key, count 0), which packs into the
+    last bucket with no escapes and unpacks back to canonical PADs, so
+    per-shard occupancy differences cost only the capacity slack."""
+
+    __slots__ = ("stream", "index", "esc_pos", "esc_lo", "esc_hi",
+                 "n_cap", "key_bits", "p", "cbits", "W", "P")
+
+    def __init__(self, stream, index, esc_pos, esc_lo, esc_hi, n_cap,
+                 key_bits, p, cbits, W, P):
+        self.stream = stream
+        self.index = index
+        self.esc_pos = esc_pos
+        self.esc_lo = esc_lo
+        self.esc_hi = esc_hi
+        self.n_cap = int(n_cap)
+        self.key_bits = int(key_bits)
+        self.p = int(p)
+        self.cbits = int(cbits)
+        self.W = int(W)
+        self.P = int(P)
+
+    def device_bytes(self) -> int:
+        total = 0
+        for x in (self.stream, self.index, self.esc_pos, self.esc_lo,
+                  self.esc_hi):
+            total += int(np.prod(x.shape)) * 4
+        return total
+
+
+@functools.partial(
+    jax.jit, static_argnames=("key_bits", "p", "cbits", "n_cap", "esc_cap")
+)
+def _pack_batched_jit(keys, lo, hi, key_bits, p, cbits, n_cap, esc_cap):
+    def per_shard(k_, l_, h_):
+        return _pack_fn(k_, l_, h_, key_bits, p, cbits, n_cap, esc_cap)
+
+    s, i, ep, el, eh, ovf = jax.vmap(per_shard)(keys, lo, hi)
+    # replicated scalar: every process reads the same global any-reduce,
+    # so the host retry decision stays consistent on multi-host meshes
+    return s, i, ep, el, eh, jnp.any(ovf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("key_bits", "p", "cbits", "W", "n_cap")
+)
+def _unpack_batched_jit(stream, index, esc_pos, esc_lo, esc_hi, key_bits,
+                        p, cbits, W, n_cap):
+    def per_shard(s_, i_, ep_, el_, eh_):
+        return _unpack_fn(s_, i_, ep_, el_, eh_, key_bits, p, cbits, W,
+                          n_cap)
+
+    return jax.vmap(per_shard)(stream, index, esc_pos, esc_lo, esc_hi)
+
+
+def pack_run_batched(keys, lo, hi, n_cap: int, key_bits: int, *,
+                     p: int | None = None, cbits: int = 7,
+                     esc_cap: int | None = None) -> PackedRunBatch:
+    """Pack a sharded compacted run ([P, M, W] keys, [P, M] counts, hi
+    may be None) at the common capacity n_cap (every shard's occupancy
+    <= n_cap; rows in [n_shard, n_cap) must already be PAD)."""
+    P, M, W = keys.shape
+    if hi is None:
+        hi = jnp.zeros_like(lo)
+    if p is None:
+        p = min(20, key_bits - 1, max(1, max(n_cap, 2).bit_length() - 5))
+    if esc_cap is None:
+        esc_cap = max(1024, n_cap // 64)
+    esc_cap = min(esc_cap, max(n_cap, 1))
+    while True:
+        s, i, ep, el, eh, ovf = _pack_batched_jit(
+            keys, lo, hi, key_bits, p, cbits, n_cap, esc_cap
+        )
+        if not bool(ovf):
+            return PackedRunBatch(s, i, ep, el, eh, n_cap, key_bits, p,
+                                  cbits, W, P)
+        if esc_cap >= n_cap:
+            raise AssertionError("escape capacity cannot exceed n_cap")
+        esc_cap = min(4 * esc_cap, n_cap)
+
+
+def unpack_run_batched(run: PackedRunBatch):
+    """Inverse of pack_run_batched: ([P, n_cap, W] keys, lo, hi)."""
+    return _unpack_batched_jit(
+        run.stream, run.index, run.esc_pos, run.esc_lo, run.esc_hi,
+        run.key_bits, run.p, run.cbits, run.W, run.n_cap,
     )
 
 

@@ -40,6 +40,7 @@ remains selectable as compact_exchange=False.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +50,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jellyfish_tpu.gf2 import GF2Matrix
 from jellyfish_tpu.counter import ceil_log2
 from jellyfish_tpu.ops import multiword as mw
-from jellyfish_tpu.ops.count import compact_counted, merge_many, merge_raw
+from jellyfish_tpu.ops.count import (
+    compact_counted,
+    compaction_plan,
+    merge_many,
+    merge_raw,
+)
+from jellyfish_tpu.ops.packed_run import (
+    PackedRunBatch,
+    pack_run_batched,
+    unpack_run_batched,
+)
 from jellyfish_tpu.ops.hashing import (
     inverse_masks_of_matrix,
     masks_of_matrix,
@@ -371,11 +382,15 @@ def _merge_raw_batched_fn(n_runs: int, use_vword: bool):
 
 @functools.lru_cache(maxsize=64)
 def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool,
-                              max_dups: int | None = None):
+                              max_dups: int | None = None,
+                              key_bits=None, with_hi: bool = True):
     """max_dups: bound on occurrences of one key in the concatenation
     (defaults to len(arity) — every run deduplicated). Compact-exchange
     level-1 runs are P concatenated sender segments, so they contribute P
-    potential duplicates each."""
+    potential duplicates each. with_hi=False (compact=False only) drops
+    the masked hi limb from the output — callers may do so ONLY when
+    total weight provably fits u32 (the single-chip store's hi-drop
+    rule, see SortedCountStore._maybe_merge_dedup)."""
     n_args = sum(arity)
     any_hi = any(a == 3 for a in arity)
     nd = len(arity) if max_dups is None else int(max_dups)
@@ -395,18 +410,126 @@ def _merge_general_batched_fn(arity: tuple, use_vword: bool, compact: bool,
             off += a
         kk = jnp.concatenate(keys, axis=1)
         ll = jnp.concatenate(lo, axis=1)
+        # per-shard REAL input rows (count != 0): receives are mostly
+        # segment-capacity PAD, so the store's density estimator must be
+        # fitted against real rows, not total rows (reals concentrate in
+        # the real-keyed region of the sorted merge output — a
+        # total-rows ratio would under-plan it by the pad factor)
+        nz = ll != 0
         if any_hi:
             hh = jnp.concatenate(hi, axis=1)
-            return jax.vmap(
+            nz = nz | (hh != 0)
+        real_in = jnp.sum(nz.astype(jnp.uint32), axis=1)
+        if any_hi:
+            out = jax.vmap(
                 lambda a_, b_, c_: merge_many(
-                    a_, b_, c_, max_dups=nd, compact=compact
+                    a_, b_, c_, max_dups=nd, compact=compact,
+                    key_bits=key_bits,
                 )
             )(kk, ll, hh)
-        return jax.vmap(
-            lambda a_, b_: merge_many(
-                a_, b_, None, max_dups=nd, compact=compact
-            )
-        )(kk, ll)
+        else:
+            out = jax.vmap(
+                lambda a_, b_: merge_many(
+                    a_, b_, None, max_dups=nd, compact=compact,
+                    key_bits=key_bits,
+                )
+            )(kk, ll)
+        if not with_hi and not compact:
+            return out[0], out[1], None, None, real_in
+        return out[0], out[1], out[2], out[3], real_in
+
+    return f
+
+
+@functools.lru_cache(maxsize=64)
+def _compact_batched_fn(key_bits, plan: tuple, has_hi: bool, donate: bool):
+    """Vmapped (planned) compaction of a sharded MASKED counted run.
+
+    The multi-chip carrier of the single-chip _final_compact_fn: per
+    shard, count the real rows from the pre-compact masked counts, then
+    compact_counted with the shared rowsort plan. Returns (keys, lo,
+    hi|None, ns_packed [P] u32) with per-shard n | (ovf << 31) — the
+    caller any-reduces the ovf bits (one tiny jitted reduce, identical
+    on every process of a multi-host mesh) and recomputes plan-free from
+    the retained masked arrays when any shard's rowsort overflowed."""
+    dn = ((0, 1, 2) if has_hi else (0, 1)) if donate else ()
+
+    if has_hi:
+        @functools.partial(jax.jit, donate_argnums=dn)
+        def f(keys, lo, hi):
+            def per(k_, l_, h_):
+                n = jnp.sum(((l_ | h_) != 0).astype(jnp.uint32))
+                k2, l2, h2, ovf = compact_counted(
+                    k_, l_, h_, key_bits, assume_masked=True, plan=plan
+                )
+                return k2, l2, h2, (
+                    n | (ovf.astype(jnp.uint32) << jnp.uint32(31))
+                )
+            return jax.vmap(per)(keys, lo, hi)
+    else:
+        @functools.partial(jax.jit, donate_argnums=dn)
+        def f(keys, lo):
+            def per(k_, l_):
+                n = jnp.sum((l_ != 0).astype(jnp.uint32))
+                k2, l2, _, ovf = compact_counted(
+                    k_, l_, None, key_bits, assume_masked=True, plan=plan
+                )
+                return k2, l2, (
+                    n | (ovf.astype(jnp.uint32) << jnp.uint32(31))
+                )
+            k2, l2, nn = jax.vmap(per)(keys, lo)
+            return k2, l2, None, nn
+
+    return f
+
+
+@jax.jit
+def _stats_reduce(ns):
+    """[max real n over shards, any ovf bit] as one replicated [2] u32
+    vector — a single fetch that is identical on every process (the
+    reduces are global collectives under pjit), so shrink caps and
+    recompute decisions stay consistent on multi-host meshes."""
+    ns = ns.astype(jnp.uint32)
+    return jnp.stack([
+        jnp.max(ns & jnp.uint32(0x7FFFFFFF)),
+        jnp.any((ns >> jnp.uint32(31)) != 0).astype(jnp.uint32),
+    ])
+
+
+@jax.jit
+def _stats_ratio_reduce(ns, real_in):
+    """[max n, any ovf, max per-shard n/real_in as 2^20 fixed-point] —
+    the density ratio is reduced PER SHARD on device (max of quotients,
+    not quotient of maxes) so it upper-bounds every shard's real-region
+    density; replicated like _stats_reduce."""
+    ns = ns.astype(jnp.uint32)
+    n = ns & jnp.uint32(0x7FFFFFFF)
+    r = jnp.maximum(real_in.astype(jnp.float32), 1.0)
+    ratio = jnp.max(n.astype(jnp.float32) / r)
+    fxp = jnp.minimum(ratio * jnp.float32(1 << 20),
+                      jnp.float32(1 << 21)).astype(jnp.uint32)
+    return jnp.stack([
+        jnp.max(n),
+        jnp.any((ns >> jnp.uint32(31)) != 0).astype(jnp.uint32),
+        fxp,
+    ])
+
+
+@jax.jit
+def _strip_ovf_bits(ns):
+    """Clear the packed ovf flag from a [P] occupancy vector."""
+    return (
+        ns.astype(jnp.uint32) & jnp.uint32(0x7FFFFFFF)
+    ).astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=64)
+def _shrink_batched_fn(cap: int, has_hi: bool):
+    n_args = 3 if has_hi else 2
+
+    @functools.partial(jax.jit, donate_argnums=tuple(range(n_args)))
+    def f(*args):
+        return tuple(x[:, :cap] for x in args)
 
     return f
 
@@ -417,20 +540,56 @@ class _ShardedStore:
     (keys [P, M, W], lo [P, M], hi [P, M] | None, dups) where `dups`
     bounds how many rows one key may occupy in the run (1 for merged
     output; n_senders for a compact-exchange receive; None for raw {0,1}
-    runs, whose duplicates are unbounded)."""
+    runs, whose duplicates are unbounded) — or a PackedRunBatch (always
+    deduplicated, dups=1).
+
+    Round-4 single-chip machinery carried to the mesh (VERDICT r4 task
+    1): every merge level >= 1 COMPACTS (with a rowsort plan when a
+    density estimate exists — ovf any-reduced across shards, plan-free
+    recompute from retained masked arrays on any trip), shrinks to an
+    eighth-pow2 common capacity, drops the hi limb while total weight
+    provably fits u32, stages over-budget merges in budget-sized groups
+    (the single-chip _merge_rows_budget semantics, per-device rows along
+    axis 1), and optionally bit-packs resting runs (pack_resting) so
+    --packed-store composes with -d. Shrinks/ovf checks are DEFERRED via
+    a pending list and resolved from one replicated [2] u32 reduce
+    (_stats_reduce), keeping host syncs off the dispatch path and every
+    decision identical across processes of a multi-host mesh."""
 
     def __init__(self, W: int, key_bits: int, branch: int = 8,
-                 max_levels: int = 16):
+                 max_levels: int = 16, pack_resting: bool = False,
+                 multiprocess: bool = False):
         self.W = W
+        self.key_bits = int(key_bits)
         self.branch = int(branch)
         self.use_vword = key_bits % 32 == 0
         self.levels: list[list] = [[] for _ in range(max_levels)]
         self.total_weight = 0
+        self.pack_resting = bool(pack_resting)
+        self._pack_level = 2
+        self.multiprocess = bool(multiprocess)
+        # per-DEVICE cap on one merge's input bytes (rows along axis 1;
+        # same budget/semantics as SortedCountStore._merge_bytes_budget)
+        self._merge_bytes_budget = 2_400_000_000
+        # deferred resolution: (lvl, run, ns_dev, src_rows, retained)
+        # where retained = ("merge", has_hi, margs) for planned merges
+        self._pending: list = []
+        # density estimators (see _plan_for): per-level observed
+        # max-shard density of the most recent resolved compacting merge
+        self._ratios: dict[int, float] = {}
+        self._max_n = 0   # largest per-shard occupancy ever resolved
+        self.density_est: float | None = None
+        self.spec_overflows = 0
+        self._plan_margin = 1.2
+        self.plans_engaged = 0
+
+    # -- ingestion ----------------------------------------------------------
 
     def insert_raw(self, keys, weights, max_weight: int) -> None:
         """Raw run (weights in {0,1}, unbounded duplicates — the masked
         exchange's output). Lives at level 0 and combines via the
         segment-length kernel."""
+        self._opportunistic_resolve()
         self.levels[0].append((keys, weights, None, None))
         self.total_weight += int(max_weight)
         self._cascade(0)
@@ -440,43 +599,221 @@ class _ShardedStore:
         exchange receive: `dups` concatenated deduplicated sender
         segments). Enters above the raw level so it only ever meets
         merge_many's bounded log-scan."""
+        self._opportunistic_resolve()
         self.levels[1].append((keys, lo, None, int(dups)))
         self.total_weight += int(max_weight)
         self._cascade(1)
 
+    def _opportunistic_resolve(self) -> None:
+        """Resolve pending shrinks stall-free once their stats vectors
+        are computed (single-process only: readiness differs across
+        hosts, and divergent dispatch orders would deadlock a multi-host
+        mesh — there, resolution happens at the deterministic forced
+        points: speculative-consume, depth overflow, finalize)."""
+        if self.multiprocess or not self._pending:
+            if len(self._pending) > 8:
+                self._resolve_pending()
+            return
+        if all(
+            getattr(p[2], "is_ready", lambda: False)()
+            for p in self._pending
+        ) or len(self._pending) > 8:
+            self._resolve_pending()
+
+    def _merge_rows_budget(self) -> int:
+        """Max per-device input rows (axis 1) for one merge call —
+        mirrors SortedCountStore._merge_rows_budget."""
+        per_row = 4 * self.W + 8
+        return max(2048, self._merge_bytes_budget // per_row)
+
+    @staticmethod
+    def _run_rows(r) -> int:
+        return r.n_cap if isinstance(r, PackedRunBatch) else r[0].shape[1]
+
+    def _materialize(self, run):
+        """(keys, lo, hi, dups) view of a run; unpacks PackedRunBatch."""
+        if isinstance(run, PackedRunBatch):
+            k, l, h = unpack_run_batched(run)
+            return (k, l, h, 1)
+        return run
+
+    def _maybe_pack(self, lvl: int, run):
+        """Bit-pack a freshly shrunk run when the capacity mode is on and
+        the run rests high enough in the forest."""
+        if not (self.pack_resting and lvl >= self._pack_level):
+            return run
+        k, l, h, _ = run
+        return pack_run_batched(k, l, h, k.shape[1], self.key_bits)
+
     def _cascade(self, lvl: int) -> None:
         while len(self.levels[lvl]) >= self.branch:
-            group = self.levels[lvl]
-            self.levels[lvl] = []
-            if lvl >= 2:
-                # high-level merges COMPACT and truncate to occupancy so
-                # device memory tracks the distinct (post-filter) count,
-                # not total ingested rows — the sharded analogue of
-                # SortedCountStore's shrink (the int(max(ns)) fetch syncs
-                # once per branch^2 inserts, negligible)
-                merged, ns = self._merge_group(group, raw=False,
-                                               compact=True)
-                merged = self._shrink_run(merged, ns)
+            # a merge must never consume an unresolved SPECULATIVE run
+            # (its rowsort overflow bit is still unchecked): resolve
+            # first — deterministic across processes (triggered by the
+            # shared insert sequence alone)
+            if any(
+                p[4] is not None
+                and any(p[1] is r for r in self.levels[lvl])
+                for p in self._pending
+            ):
+                self._resolve_pending()
+            level = self.levels[lvl]
+            budget = self._merge_rows_budget()
+            take, rows = [], 0
+            for r in level:
+                rr = self._run_rows(r)
+                if len(take) >= 2 and rows + rr > budget:
+                    break
+                take.append(r)
+                rows += rr
+            self.levels[lvl] = level[len(take):]
+            if lvl == 0:
+                merged = self._merge_group(take, raw=True)
+                if lvl + 1 >= len(self.levels):
+                    raise RuntimeError(
+                        "forest store exceeded maximum level count"
+                    )
+                self.levels[lvl + 1].append(merged)
             else:
-                merged = self._merge_group(group, raw=(lvl == 0))
-            if lvl + 1 >= len(self.levels):
-                raise RuntimeError("forest store exceeded maximum level count")
-            self.levels[lvl + 1].append(merged)
-            lvl += 1
+                group = [self._materialize(r) for r in take]
+                run, ns, retained, ri = self._merge_compact(group, rows)
+                if lvl + 1 >= len(self.levels):
+                    raise RuntimeError(
+                        "forest store exceeded maximum level count"
+                    )
+                self.levels[lvl + 1].append(run)
+                self._pending.append(
+                    (lvl + 1, run, ns, rows, retained, ri)
+                )
+            # a budget-limited partial take can leave this level >=
+            # branch: keep merging here before moving up
+            if len(self.levels[lvl]) < self.branch:
+                lvl += 1
 
-    def _shrink_run(self, run, ns):
-        """Truncate a compacted [P, M, ...] run to the next power of two
-        >= every shard's occupancy (keeps jitted shapes few)."""
+    def _merge_compact(self, group, rows: int):
+        """Compacting merge of materialized dedup runs; planned when a
+        density estimate exists. Returns (run, ns_dev, retained) where
+        retained is the planned path's masked arrays (for the plan-free
+        recompute) or None."""
+        arity = tuple(2 if r[2] is None else 3 for r in group)
+        max_dups = sum(r[3] for r in group)
+        args = []
+        for r in group:
+            args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
+        # the single-chip hi rule (incl. the round-5 carry fix): keep the
+        # hi limb whenever any input carries one OR total weight may
+        # exceed u32 — merge_many's log-scan carries into hi even when
+        # every input is a 2-tuple
+        has_hi = (any(a == 3 for a in arity)
+                  or self.total_weight >= (1 << 32))
+        plan = self._plan_for(group, rows)
+        if plan:
+            self.plans_engaged += 1
+            mk, ml, mh, _, ri = _merge_general_batched_fn(
+                arity, self.use_vword, False, max_dups, self.key_bits,
+                with_hi=has_hi,
+            )(*args)
+            margs = (mk, ml, mh) if has_hi else (mk, ml)
+            k2, l2, h2, ns = _compact_batched_fn(
+                self.key_bits, plan, has_hi, False
+            )(*margs)
+            retained = ("merge", has_hi, margs)
+        else:
+            k2, l2, h2, ns, ri = _merge_general_batched_fn(
+                arity, self.use_vword, True, max_dups, self.key_bits
+            )(*args)
+            retained = None
+        if h2 is not None and self.total_weight < (1 << 32):
+            h2 = None  # counts provably fit u32: drop the limb
+        return (k2, l2, h2, 1), ns, retained, ri
+
+    def _plan_for(self, group, rows: int) -> tuple:
+        """Rowsort slice plan for a merge of `rows` per-shard rows.
+
+        Level-1 receives (uncompacted segments) plan from the observed
+        max-shard density of the most recent same-class merge (coverage
+        saturation makes earlier ratios over-estimates — conservative);
+        groups of compacted runs plan from the union bound
+        (2*max_n + 1)/rows (distinct saturates toward the per-shard
+        universe; the 2x allows growth, and a misprediction costs one
+        plan-free recompute, never correctness — the vmapped ovf bit).
+        JF_NO_PLAN=1 disables planning for A/B runs."""
+        if os.environ.get("JF_NO_PLAN"):
+            return ()
+        if self.density_est is not None:
+            d = self.density_est
+        else:
+            compacted = all(r[3] == 1 for r in group)
+            if compacted and self._max_n:
+                d = (2.0 * self._max_n + 1.0) / max(rows, 1)
+            elif not compacted and 1 in self._ratios:
+                d = self._ratios[1]
+            else:
+                return ()
+        return compaction_plan(min(1.0, self._plan_margin * d))
+
+    def _note_overflow(self) -> None:
+        self.spec_overflows += 1
+        self._plan_margin = min(self._plan_margin * 1.25, 2.5)
+
+    def _replace_run(self, lvl: int, run, new_run):
+        level = self.levels[lvl]
+        for j, r in enumerate(level):
+            if r is run:
+                level[j] = new_run
+                break
+        return new_run
+
+    def _resolve_pending(self) -> None:
+        pending, self._pending = self._pending, []
+        for lvl, run, ns_dev, src_rows, retained, ri_dev in pending:
+            stats = np.asarray(_stats_ratio_reduce(ns_dev, ri_dev))
+            max_n, ovf = int(stats[0]), bool(stats[1])
+            ratio = int(stats[2]) / (1 << 20)
+            if ovf and retained is not None:
+                self._note_overflow()
+                _, has_hi, margs = retained
+                k2, l2, h2, ns2 = _compact_batched_fn(
+                    self.key_bits, (), has_hi, True
+                )(*margs)
+                if run[2] is None:
+                    h2 = None  # keep the run's hi-drop decision
+                run = self._replace_run(lvl, run, (k2, l2, h2, 1))
+                stats = np.asarray(_stats_ratio_reduce(ns2, ri_dev))
+                max_n = int(stats[0])
+                ratio = int(stats[2]) / (1 << 20)
+            if src_rows:
+                # key by the INPUT level (pending lvl is the output):
+                # _plan_for predicts a level's next merge from the most
+                # recent same-class observation. The ratio is distinct /
+                # REAL input rows (real-region density of the masked
+                # merge output — see _merge_general_batched_fn)
+                self._ratios[lvl - 1] = max(ratio, 1e-6)
+            self._max_n = max(self._max_n, max_n)
+            level = self.levels[lvl]
+            try:
+                i = next(j for j, r in enumerate(level) if r is run)
+            except StopIteration:
+                continue  # already consumed by a further merge
+            shrunk = self._shrink_run(run, max_n)
+            level[i] = self._maybe_pack(lvl, shrunk)
+
+    def _shrink_run(self, run, n: int):
+        """Truncate a compacted [P, M, ...] run to an eighth-pow2 common
+        capacity >= the global max shard occupancy (same cap everywhere:
+        jitted shapes stay few and identical across processes)."""
         k2, l2, h2, dups = run
         M = k2.shape[1]
-        n = int(np.max([np.asarray(sh.data).max()
-                        for sh in ns.addressable_shards]))
-        cap = 1 << max(10, (max(n, 1) - 1).bit_length())
+        bl = max(10, (max(n, 1) - 1).bit_length())
+        base = 1 << max(8, bl - 3)
+        cap = base * ((max(n, 1) + base - 1) // base)
         if cap >= M:
             return run
-        sl = (slice(None), slice(0, cap))
-        h2c = None if h2 is None else h2[sl]
-        return (k2[sl], l2[sl], h2c, dups)
+        if h2 is None:
+            k3, l3 = _shrink_batched_fn(cap, False)(k2, l2)
+            return (k3, l3, None, dups)
+        k3, l3, h3 = _shrink_batched_fn(cap, True)(k2, l2, h2)
+        return (k3, l3, h3, dups)
 
     def _merge_group(self, group, raw: bool, compact: bool = False):
         # raw groups ALWAYS take the segment-length kernel: merge_raw's
@@ -495,12 +832,11 @@ class _ShardedStore:
         args = []
         for r in group:
             args += [r[0], r[1]] + ([] if r[2] is None else [r[2]])
-        out = _merge_general_batched_fn(
-            arity, self.use_vword, compact, max_dups
+        k2, l2, h2, ns, _ = _merge_general_batched_fn(
+            arity, self.use_vword, compact, max_dups, self.key_bits
         )(*args)
-        k2, l2, h2 = out[0], out[1], out[2]
         if compact:
-            return (k2, l2, h2, 1), out[3]
+            return (k2, l2, h2, 1), ns
         return (k2, l2, h2, 1)
 
     def occupied_runs(self):
@@ -509,6 +845,9 @@ class _ShardedStore:
     def device_bytes(self) -> int:
         total = 0
         for r in self.occupied_runs():
+            if isinstance(r, PackedRunBatch):
+                total += r.device_bytes()
+                continue
             for x in r[:3]:
                 if x is not None:
                     total += int(np.prod(x.shape)) * 4
@@ -521,22 +860,82 @@ class _ShardedStore:
         if self.levels[0]:
             group, self.levels[0] = self.levels[0], []
             self.levels[1].append(self._merge_group(group, raw=True))
+        self._resolve_pending()
         runs = self.occupied_runs()
         if not runs:
             return None
-        (k2, l2, h2, _), ns = self._merge_group(runs, raw=False,
-                                                compact=True)
-        # merge_many's compact path always materializes the hi limbs
-        assert h2 is not None
+        runs = [self._materialize(r) for r in runs]
+        # staged pre-merges: one merge call must never exceed the
+        # per-device input budget (each stage compacts toward the
+        # distinct count, so this converges in very few stages)
+        budget = self._merge_rows_budget()
+        while (len(runs) > 2
+               and sum(r[0].shape[1] for r in runs) > budget):
+            new_runs = []
+            i = 0
+            while i < len(runs):
+                grp, rows = [runs[i]], runs[i][0].shape[1]
+                i += 1
+                while i < len(runs) and (
+                    len(grp) < 2 or rows + runs[i][0].shape[1] <= budget
+                ):
+                    rows += runs[i][0].shape[1]
+                    grp.append(runs[i])
+                    i += 1
+                if len(grp) == 1:
+                    new_runs.append(grp[0])
+                    continue
+                run, ns, retained, _ = self._merge_compact(grp, rows)
+                stats = np.asarray(_stats_reduce(ns))
+                if bool(stats[1]) and retained is not None:
+                    self._note_overflow()
+                    _, has_hi, margs = retained
+                    k2, l2, h2, ns2 = _compact_batched_fn(
+                        self.key_bits, (), has_hi, True
+                    )(*margs)
+                    run = (k2, l2, h2 if run[2] is not None else None, 1)
+                    stats = np.asarray(_stats_reduce(ns2))
+                new_runs.append(self._shrink_run(run, int(stats[0])))
+            if len(new_runs) >= len(runs):
+                break  # runs individually huge: no further split possible
+            runs = new_runs
+        total_rows = sum(r[0].shape[1] for r in runs)
+        run, ns, retained, _ = self._merge_compact(runs, total_rows)
+        k2, l2, h2, _ = run
+        ns_clean = ns
+        if retained is not None:
+            stats = np.asarray(_stats_reduce(ns))
+            if bool(stats[1]):
+                self._note_overflow()
+                _, has_hi, margs = retained
+                k2, l2, h2, ns_clean = _compact_batched_fn(
+                    self.key_bits, (), has_hi, True
+                )(*margs)
+            else:
+                ns_clean = _strip_ovf_bits(ns)
+        if h2 is None:
+            h2 = jnp.zeros_like(l2)
+        self._pending = []
         for level in self.levels:
             level.clear()
-        self.levels[-1].append((k2, l2, h2, 1))
-        return k2, l2, h2, ns
+        resting = (k2, l2, h2, 1)
+        if self.pack_resting:
+            resting = pack_run_batched(k2, l2, h2, k2.shape[1],
+                                       self.key_bits)
+        self.levels[-1].append(resting)
+        return k2, l2, h2, ns_clean
 
     def reset(self):
         for level in self.levels:
             level.clear()
         self.total_weight = 0
+        self._pending = []
+        self._ratios = {}
+        self._max_n = 0
+        self.density_est = None
+        self.spec_overflows = 0
+        self._plan_margin = 1.2
+        self.plans_engaged = 0
 
 
 class ShardedMerCounter:
@@ -556,6 +955,7 @@ class ShardedMerCounter:
         rng: np.random.Generator | None = None,
         compact_exchange: bool = True,
         mer_filter=None,
+        pack_resting: bool = False,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = int(self.mesh.devices.size)
@@ -614,7 +1014,10 @@ class ShardedMerCounter:
         self._retain_ring: list = []
         self._overflow_ring_depth = 16
         self.overflow_retries = 0
-        self.store = _ShardedStore(self.W, key_bits=c)
+        self.store = _ShardedStore(
+            self.W, key_bits=c, pack_resting=pack_resting,
+            multiprocess=self.multiprocess,
+        )
         self._restrict_store: _ShardedStore | None = None
         # bloom-mode filter f(mers, counts) -> counts, applied ONCE per
         # shard at finalize. Output-equivalent to the single-chip
@@ -719,7 +1122,9 @@ class ShardedMerCounter:
         allowed key lands on the shard that owns it in the main table;
         finalize intersects the two per-shard sorted runs. Allowed-but-
         unseen mers dump with count 0, everything else is dropped."""
-        self._restrict_store = _ShardedStore(self.W, key_bits=2 * self.k)
+        self._restrict_store = _ShardedStore(
+            self.W, key_bits=2 * self.k, multiprocess=self.multiprocess
+        )
         rows = self._local_rows if self.multiprocess else self.n_shards
         sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
         batch: list = []
