@@ -192,14 +192,16 @@ def run(args, argv):
         if args.num_processes is None or args.process_id is None:
             die("count: --coordinator requires --num-processes and "
                 "--process-id")
-        for flag, name in [
-            (args.disk, "--disk"), (args.if_files, "--if"),
-            (args.bc, "--bc"), (args.bf_size is not None, "--bf-size"),
-            (args.text, "--text"), (args.lower_count, "-L"),
-            (args.upper_count, "-U"), (args.sam, "--sam"),
-        ]:
-            if flag:
-                die(f"count: {name} is not supported with --coordinator")
+        # --if would need a lockstep PRIME loop across processes (its
+        # exchange steps are collectives); everything else is per-shard/
+        # per-process-local and composes (count_main.cc:99-131's filter
+        # chain works under any parallelism): -L/-U and --text apply per
+        # dump segment, --disk spills per-rank partial DBs merged
+        # locally, --bc/--bf load the filter in every process and apply
+        # at finalize (each mer exactly once, at its owner shard; --bf
+        # multihost is the false-positive-free finalize semantics).
+        if args.if_files:
+            die("count: --if is not supported with --coordinator")
         from jellyfish_tpu.parallel.multihost import init_multihost
 
         init_multihost(
@@ -423,6 +425,30 @@ def _run_counting_multihost(args, argv, k, counter, chunker, t_start):
     )
 
     t_init = time.perf_counter()
+    rank = jax.process_index()
+    prefix = args.output + ".mh"
+    spill_entries = args.size if args.disk else None
+    spills: list = []  # THIS rank's spill DBs (standalone, header-embedded)
+
+    def maybe_spill():
+        # deterministic across processes: device_bytes sums GLOBAL
+        # shapes and every process steps in lockstep, so the trigger
+        # fires on the same step everywhere (the spill finalize is a
+        # collective program)
+        if spill_entries is None:
+            return
+        if counter.store.device_bytes() // 16 >= 2 * spill_entries:
+            path = f"{prefix}.spill{len(spills)}.rank{rank}.jf"
+            write_local_segments(
+                counter, prefix,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len,
+                max_reprobe=args.reprobes, cmdline=argv,
+                text=args.text, part_path=path, embed_header=True,
+            )
+            counter.reset()
+            spills.append(path)
+
     rows = counter._local_rows
     L = args.chunk_len
     # every counting step is a COLLECTIVE program (the routed all-to-all
@@ -460,25 +486,70 @@ def _run_counting_multihost(args, argv, k, counter, chunker, t_start):
             add(batch)
         else:
             add_pad()
+        maybe_spill()
 
     t_count = time.perf_counter()
 
     if not args.no_write:
-        prefix = args.output + ".mh"
-        write_local_segments(
-            counter, prefix,
-            counter_len_bytes=args.out_counter_len,
-            val_len_bits=args.counter_len,
-            max_reprobe=args.reprobes,
-            cmdline=argv,
-        )
-        mu.sync_global_devices("jellyfish-count-dump-done")
-        if jax.process_index() == 0:
-            assemble_db(prefix, args.num_processes, args.output)
+        if spills:
+            # --disk: dump the final partial, then each rank k-way
+            # merges ITS OWN spill DBs (all cover the same contiguous
+            # shard range in the same hash order — a purely local merge,
+            # no cross-host motion; -L/-U apply at the merge like the
+            # single-process intermediates flow, count_main.cc:348-373)
+            from jellyfish_tpu.merge import merge_files
+
+            path = f"{prefix}.spill{len(spills)}.rank{rank}.jf"
+            write_local_segments(
+                counter, prefix,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len,
+                max_reprobe=args.reprobes, cmdline=argv,
+                text=args.text, part_path=path, embed_header=True,
+            )
+            spills.append(path)
+            merged = f"{prefix}.rank{rank}.jf"
+            merge_files(
+                spills, merged,
+                min_count=args.lower_count or 0,
+                max_count=args.upper_count,
+                out_header_extra={"cmdline": list(argv)},
+            )
             if not args.no_unlink:
-                os.unlink(f"{prefix}.header")
-                for r in range(args.num_processes):
-                    os.unlink(f"{prefix}.part{r}")
+                for p in spills:
+                    os.unlink(p)
+            mu.sync_global_devices("jellyfish-count-dump-done")
+            if rank == 0:
+                from jellyfish_tpu.parallel.multihost import (
+                    assemble_db_full_parts,
+                )
+
+                assemble_db_full_parts(
+                    [f"{prefix}.rank{r}.jf"
+                     for r in range(args.num_processes)],
+                    args.output,
+                )
+                if not args.no_unlink:
+                    for r in range(args.num_processes):
+                        os.unlink(f"{prefix}.rank{r}.jf")
+        else:
+            write_local_segments(
+                counter, prefix,
+                counter_len_bytes=args.out_counter_len,
+                val_len_bits=args.counter_len,
+                max_reprobe=args.reprobes,
+                cmdline=argv,
+                text=args.text,
+                lower_count=args.lower_count or 0,
+                upper_count=args.upper_count,
+            )
+            mu.sync_global_devices("jellyfish-count-dump-done")
+            if rank == 0:
+                assemble_db(prefix, args.num_processes, args.output)
+                if not args.no_unlink:
+                    os.unlink(f"{prefix}.header")
+                    for r in range(args.num_processes):
+                        os.unlink(f"{prefix}.part{r}")
         mu.sync_global_devices("jellyfish-count-assemble-done")
 
     t_write = time.perf_counter()

@@ -27,6 +27,7 @@ __all__ = [
     "init_multihost",
     "write_local_segments",
     "assemble_db",
+    "assemble_db_full_parts",
 ]
 
 
@@ -48,38 +49,82 @@ def init_multihost(coordinator_address: str, num_processes: int,
     )
 
 
+def _segment_header(counter, *, counter_len_bytes, val_len_bits,
+                    max_reprobe, text, cmdline):
+    from jellyfish_tpu.io.files import make_count_header
+    from jellyfish_tpu.io.header import FileHeader
+
+    fmt = FileHeader.FORMAT_TEXT if text else FileHeader.FORMAT_BINARY
+    return make_count_header(
+        k=counter.k, size=counter.size, matrix=counter.matrix,
+        canonical=counter.canonical, val_len_bits=val_len_bits,
+        counter_len_bytes=counter_len_bytes, max_reprobe=max_reprobe,
+        fmt=fmt, cmdline=cmdline,
+    )
+
+
 def write_local_segments(counter, prefix: str,
                          counter_len_bytes: int = 4,
                          val_len_bits: int = 7,
                          max_reprobe: int = 126,
-                         cmdline=None) -> int:
+                         cmdline=None,
+                         text: bool = False,
+                         lower_count: int = 0,
+                         upper_count: int | None = None,
+                         part_path: str | None = None,
+                         embed_header: bool = False) -> int:
     """Write THIS process's contiguous dump segment to
-    `{prefix}.part{rank}`; rank 0 also writes `{prefix}.header`. Returns
-    the number of records written locally."""
+    `{prefix}.part{rank}` (or `part_path`); rank 0 also writes
+    `{prefix}.header` — unless embed_header, where EVERY rank prepends
+    the header to its own part, making it a standalone database (the
+    --disk spill flow merges per-rank spill DBs locally). -L/-U filters
+    are applied per segment (count filters are per-record, dumper.hpp:
+    26-93); --text writes text/sorted records. Returns #records."""
     import jax
 
     from jellyfish_tpu.io.files import (
         encode_binary_records_np,
-        make_count_header,
+        mer_strings_np,
     )
 
     rank = jax.process_index()
     parts = counter.finalize_local_np()
     n = 0
-    with open(f"{prefix}.part{rank}", "wb") as f:
+    path = part_path if part_path is not None else f"{prefix}.part{rank}"
+    hi = (np.uint64(upper_count) if upper_count is not None
+          else np.iinfo(np.uint64).max)
+    with open(path, "wb") as f:
+        if embed_header:
+            _segment_header(
+                counter, counter_len_bytes=counter_len_bytes,
+                val_len_bits=val_len_bits, max_reprobe=max_reprobe,
+                text=text, cmdline=cmdline,
+            ).write(f)
         for _, mers, counts in parts:
-            f.write(
-                encode_binary_records_np(
-                    mers, counts, counter.k, counter_len_bytes
+            if lower_count or upper_count is not None:
+                sel = ((counts >= np.uint64(lower_count))
+                       & (counts <= hi))
+                mers, counts = mers[sel], counts[sel]
+            if text:
+                chars = mer_strings_np(mers, counter.k)
+                f.write(
+                    b"".join(
+                        b"%s %d\n" % (chars[i].tobytes(), counts[i])
+                        for i in range(len(counts))
+                    )
                 )
-            )
+            else:
+                f.write(
+                    encode_binary_records_np(
+                        mers, counts, counter.k, counter_len_bytes
+                    )
+                )
             n += len(counts)
-    if rank == 0:
-        header = make_count_header(
-            k=counter.k, size=counter.size, matrix=counter.matrix,
-            canonical=counter.canonical, val_len_bits=val_len_bits,
-            counter_len_bytes=counter_len_bytes, max_reprobe=max_reprobe,
-            cmdline=cmdline,
+    if rank == 0 and not embed_header:
+        header = _segment_header(
+            counter, counter_len_bytes=counter_len_bytes,
+            val_len_bits=val_len_bits, max_reprobe=max_reprobe,
+            text=text, cmdline=cmdline,
         )
         with open(f"{prefix}.header", "wb") as f:
             header.write(f)
@@ -96,4 +141,20 @@ def assemble_db(prefix: str, num_processes: int, out_path: str) -> None:
             shutil.copyfileobj(f, out)
         for r in range(num_processes):
             with open(f"{prefix}.part{r}", "rb") as f:
+                shutil.copyfileobj(f, out)
+
+
+def assemble_db_full_parts(part_paths, out_path: str) -> None:
+    """Assemble standalone per-rank DBs (each header + its shard-range
+    records, rank order = global hash order) into one database: rank 0's
+    file is copied whole, later ranks contribute records only (their
+    headers carry identical hash parameters, dropped)."""
+    import shutil
+
+    with open(out_path, "wb") as out:
+        for i, p in enumerate(part_paths):
+            with open(p, "rb") as f:
+                if i > 0:
+                    hlen = int(f.read(9))
+                    f.read(hlen)  # skip the duplicate header
                 shutil.copyfileobj(f, out)

@@ -122,11 +122,77 @@ def test_multihost_flag_validation(tmp_path):
     )
     assert r.returncode != 0
     assert b"--num-processes" in r.stderr
+    # --if is the one remaining restriction (its PRIME pass would need
+    # its own lockstep collective loop); --disk/-L/-U/--text/--bc now
+    # compose with --coordinator
     r = subprocess.run(
         [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "21",
          "-s", "4k", "--coordinator", "localhost:1", "--num-processes",
-         "2", "--process-id", "0", "--disk", "x.fa"],
+         "2", "--process-id", "0", "--if", "y.fa", "x.fa"],
         env=env, capture_output=True, timeout=120,
     )
     assert r.returncode != 0
-    assert b"--disk" in r.stderr
+    assert b"--if" in r.stderr
+
+
+@pytest.mark.slow
+def test_multihost_cli_disk_filters_text(tmp_path):
+    """VERDICT r4 #4: --disk and -L/-U (and --text) compose with
+    --coordinator — the 2-process spill+local-merge+assemble flow must
+    be byte-equal (past provenance) to the single-process run with the
+    same matrix and filters."""
+    rng = np.random.default_rng(777)
+    files = []
+    all_seqs = []
+    for pid, n_seqs in [(0, 3), (1, 2)]:
+        # duplicated reads so -L 2 keeps a nontrivial subset
+        seqs = [random_dna(rng, 1500, with_n=True) for _ in range(n_seqs)]
+        seqs = seqs + [seqs[0]]
+        path = tmp_path / f"in{pid}.fa"
+        _write_fasta(path, seqs)
+        files.append(str(path))
+        all_seqs.extend(seqs)
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JF_MH_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env1 = dict(env)
+    env1.pop("JF_MH_PLATFORM")
+    env1["JAX_PLATFORMS"] = "cpu"
+
+    for extra, name in [
+        (["--disk", "-L", "2"], "disk_L"),
+        (["--text", "-U", "1"], "text_U"),
+    ]:
+        port = _free_port()
+        base = [
+            sys.executable, "-m", "jellyfish_tpu", "count",
+            "-m", "21", "-s", "4k", "-C", "--matrix-seed", "11",
+            "--chunk-len", "2048",
+            "--coordinator", f"localhost:{port}", "--num-processes", "2",
+        ] + extra
+        out_mh = tmp_path / f"mh_{name}.jf"
+        procs = [
+            subprocess.Popen(
+                base + ["--process-id", str(pid), "-o", str(out_mh),
+                        files[pid]],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+            for pid in range(2)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (o, e) in zip(procs, outs):
+            assert p.returncode == 0, e.decode()[-2000:]
+
+        out_1 = tmp_path / f"single_{name}.jf"
+        r = subprocess.run(
+            [sys.executable, "-m", "jellyfish_tpu", "count",
+             "-m", "21", "-s", "4k", "-C", "--matrix-seed", "11",
+             "--chunk-len", "2048", "-o", str(out_1)] + extra + files,
+            env=env1, capture_output=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+        assert _body(out_mh) == _body(out_1), name
+        assert len(_body(out_mh)) > 0, name
