@@ -364,6 +364,10 @@ def load_count_filter(*, bc_path=None, bf_size=None, bf_fp=0.01, k=21,
             out[sel] = np.where(bc.check(mers[sel]) > 1, counts[sel], 0)
             return out
 
+        # capability tags: the sharded counter promotes taggable filters
+        # to fully on-device application (no per-chunk host round trip)
+        filt_bc.kind = "bc"
+        filt_bc.bloom = bc
         return filt_bc
 
     bf = BloomFilter.from_size(bf_size, bf_fp, k, rng=rng, canonical=canonical)
@@ -378,4 +382,6 @@ def load_count_filter(*, bc_path=None, bf_size=None, bf_fp=0.01, k=21,
         out[sel] = np.where(present, c, c - 1)
         return out
 
+    filt_bf.kind = "bf"
+    filt_bf.bloom = bf
     return filt_bf

@@ -200,3 +200,85 @@ def test_sharded_packed_runs_at_levels_exact(rng):
     got = {int(m): int(c) for m, c in zip(mers, counts)}
     assert saw_packed, "no mid-stream run was ever packed"
     assert got == oracle_counts(seqs, k, False)
+
+
+def test_sharded_device_filter_no_host_fetch(rng, tmp_path, monkeypatch):
+    """VERDICT r4 #5: with a promotable --bc/--bf filter the ingest path
+    must stay fully on device — zero per-chunk host fetches (the
+    _addressable_rows hook counts them); fetches happen only at
+    finalize. Counts must still match the filter semantics."""
+    import jax
+
+    import jellyfish_tpu.parallel.sharded as sh
+    from jellyfish_tpu.bloom import (
+        BloomCounter2,
+        load_count_filter,
+        write_bloom_counter,
+    )
+    from jellyfish_tpu.mer import string_canonicals
+    from jellyfish_tpu.parallel import ShardedMerCounter, make_mesh
+
+    P, k = len(jax.devices()), 15
+    uniq = [random_dna(rng, 500) for _ in range(P)]
+    seqs = uniq + uniq[:3]  # three reads repeat -> their mers count 2
+
+    # build a bc (two-pass) filter over the same reads
+    bc = BloomCounter2.from_fpr(0.001, 20000, k,
+                                rng=np.random.default_rng(5),
+                                canonical=True, device=True)
+    # pow2 m (from_fpr device rounding) so the device promotion engages
+    assert bc.m & (bc.m - 1) == 0
+    from jellyfish_tpu.ops import multiword as mw
+
+    for s in seqs:
+        mers = [m.bits for m in string_canonicals(s, k)]
+        arr = mw.from_ints(mers, mw.nwords(2 * k))
+        bc.insert_counts(arr, np.ones(len(mers), dtype=np.uint32))
+    bcf = tmp_path / "f.bc"
+    write_bloom_counter(bc, str(bcf))
+
+    fetches = []
+    orig = sh._addressable_rows
+    monkeypatch.setattr(
+        sh, "_addressable_rows",
+        lambda arr: fetches.append(1) or orig(arr),
+    )
+
+    for mode_kw in (
+        dict(bc_path=str(bcf)),
+        dict(bf_size=1 << 14, bf_fp=0.001, rng=np.random.default_rng(6)),
+    ):
+        filt = load_count_filter(k=k, canonical=True, **mode_kw)
+        counter = ShardedMerCounter(k, size=1 << 13, mesh=make_mesh(),
+                                    canonical=True,
+                                    rng=np.random.default_rng(7),
+                                    mer_filter=filt)
+        assert counter._dev_filter is not None, "promotion did not engage"
+        fetches.clear()
+        for i in range(0, len(seqs), P):
+            counter.add_chunks(_chunks_from_seqs(seqs[i : i + P], P, 640))
+            assert not fetches, "ingest fetched device data to host"
+        mers, counts = counter.finalize()
+        got = {int(m): int(c) for m, c in zip(mers, counts)}
+        full = oracle_counts(seqs, k, True)
+        if "bc_path" in mode_kw:
+            # must equal the HOST filter decision exactly (bloom false
+            # positives included — the reference's bc mode admits them)
+            hfilt = load_count_filter(k=k, canonical=True, **mode_kw)
+            hc = ShardedMerCounter(k, size=1 << 13, mesh=make_mesh(),
+                                   canonical=True,
+                                   rng=np.random.default_rng(7),
+                                   mer_filter=hfilt)
+            hc._dev_filter = None  # force the host round-trip path
+            for i in range(0, len(seqs), P):
+                hc.add_chunks(_chunks_from_seqs(seqs[i : i + P], P, 640))
+            hmers, hcounts = hc.finalize()
+            hgot = {int(m): int(c) for m, c in zip(hmers, hcounts)}
+            assert got == hgot
+            assert got  # kept the repeated mers
+        else:
+            for m, c in got.items():
+                assert c > 0 and c in (full[m], full[m] - 1)
+            for m, c in full.items():
+                if c >= 2:
+                    assert got.get(m) in (c, c - 1)
