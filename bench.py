@@ -121,8 +121,11 @@ def main():
     # JF_BENCH_CHUNKS=96 to reproduce the burst figure)
     n_chunks = int(os.environ.get("JF_BENCH_CHUNKS", 256))
     counter = MerCounter(
-        k, size=1 << 22, canonical=True, rng=np.random.default_rng(42)
+        k, size=1 << 22, canonical=True, rng=np.random.default_rng(42),
+        pack_resting=bool(os.environ.get("JF_BENCH_PACKED")),
     )
+    if os.environ.get("JF_BENCH_PACK_LEVEL"):
+        counter.store._pack_level = int(os.environ["JF_BENCH_PACK_LEVEL"])
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
 

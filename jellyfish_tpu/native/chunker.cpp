@@ -948,21 +948,50 @@ struct RangeDecoder {
   }
 };
 
+struct ModelArena {
+  // bump allocator for model frequency tables: adaptive decoders touch
+  // thousands of contexts (fqz qualities key on a 16-bit context), and
+  // alphabet-sized tables keep the whole model working set cache-
+  // resident (a fixed 256-entry layout costs 1 KB/context — ~64 MB of
+  // scattered heap at full context spread, which is what capped
+  // jf_fqz_decode at ~40 MB/s)
+  std::vector<std::unique_ptr<uint8_t[]>> blocks;
+  size_t off = 0, cap = 0;
+  uint8_t* cur = nullptr;
+  uint16_t* alloc_u16(size_t n) {
+    size_t bytes = (n * sizeof(uint16_t) + 7) & ~size_t(7);
+    if (off + bytes > cap) {
+      cap = std::max<size_t>(size_t(256) << 10, bytes);
+      blocks.emplace_back(new uint8_t[cap]);
+      cur = blocks.back().get();
+      off = 0;
+    }
+    uint16_t* p = reinterpret_cast<uint16_t*>(cur + off);
+    off += bytes;
+    return p;
+  }
+};
+
 struct SimpleModel {
-  // inline fixed storage (no per-model heap vectors): totals stay
-  // under 2^16 by the kMaxFreq renormalisation, so uint16 frequencies
-  // are exact
-  std::array<uint16_t, 256> freqs;
-  std::array<uint16_t, 256> syms;
-  uint32_t total;
-  int nsym;
-  explicit SimpleModel(int n) : total(n), nsym(n) {
+  // POD handle; storage (freqs then syms, each nsym uint16) lives in
+  // the caller's arena. totals stay under 2^16 by the kMaxFreq
+  // renormalisation, so uint16 frequencies are exact. nsym == 0 marks
+  // an uninitialized context (lazy init at first decode).
+  uint16_t* freqs = nullptr;
+  uint32_t total = 0;
+  uint16_t nsym = 0;
+  void init(ModelArena& a, int n) {
+    freqs = a.alloc_u16(2 * static_cast<size_t>(n));
+    total = static_cast<uint32_t>(n);
+    nsym = static_cast<uint16_t>(n);
+    uint16_t* syms = freqs + n;
     for (int i = 0; i < n; ++i) {
       freqs[i] = 1;
       syms[i] = static_cast<uint16_t>(i);
     }
   }
   void bump(int i) {
+    uint16_t* syms = freqs + nsym;
     freqs[i] = static_cast<uint16_t>(freqs[i] + kStep);
     total += kStep;
     if (i > 0 && freqs[i] > freqs[i - 1]) {
@@ -978,16 +1007,24 @@ struct SimpleModel {
     }
   }
   int decode(RangeDecoder& rc) {
-    uint32_t f = rc.get_freq(total);
+    // one division per symbol: instead of f = code / r_ followed by a
+    // cumulative-frequency scan against f, scan with the multiplied
+    // threshold (acc+freq)*r_ <= code — exactly equivalent in integer
+    // arithmetic (X > floor(c/r) <=> X*r > c), including the f >= tot
+    // clamp (the scan cap at nsym-1 lands on the same last symbol).
+    // Products stay in u32: (acc+freq) <= tot and tot*(range/tot) <=
+    // range < 2^32.
+    uint32_t r = rc.range / total;
+    rc.r_ = r;
     uint32_t acc = 0;
     int i = 0;
-    while (i < nsym && acc + freqs[i] <= f) {
+    const int last = nsym - 1;
+    while (i < last && (acc + freqs[i]) * r <= rc.code) {
       acc += freqs[i];
       ++i;
     }
-    if (i >= nsym) return -1;
     if (!rc.decode(acc, freqs[i])) return -1;
-    int sym = syms[i];
+    int sym = freqs[nsym + i];  // syms array
     bump(i);
     return sym;
   }
@@ -996,14 +1033,13 @@ struct SimpleModel {
 static long decode(In& in, uint8_t* out, long out_len,
                    int depth = 0);  // fwd
 
-static long decode_run(RangeDecoder& rc,
-                       std::vector<std::unique_ptr<SimpleModel>>& run_m,
-                       int first_ctx) {
+static long decode_run(RangeDecoder& rc, ModelArena& arena,
+                       std::vector<SimpleModel>& run_m, int first_ctx) {
   long run = 0;
   int ctx = first_ctx;
   for (;;) {
-    if (!run_m[ctx]) run_m[ctx] = std::make_unique<SimpleModel>(256);
-    int r = run_m[ctx]->decode(rc);
+    if (!run_m[ctx].nsym) run_m[ctx].init(arena, 256);
+    int r = run_m[ctx].decode(rc);
     if (r < 0) return -1;
     run += r;
     if (r != 255) return run;
@@ -1016,20 +1052,21 @@ static long decode_stream(In& in, uint8_t* out, long n, bool order1,
   int max_sym = in.u8();
   if (!in.ok) return -1;
   if (max_sym == 0) max_sym = 256;
-  std::vector<std::unique_ptr<SimpleModel>> lit(order1 ? 256 : 1);
-  std::vector<std::unique_ptr<SimpleModel>> run_m(rle ? 257 : 0);
+  ModelArena arena;
+  std::vector<SimpleModel> lit(order1 ? 256 : 1);
+  std::vector<SimpleModel> run_m(rle ? 257 : 0);
   RangeDecoder rc(&in);
   if (!in.ok) return -1;
   int ctx = 0;
   long i = 0;
   while (i < n) {
-    if (!lit[ctx]) lit[ctx] = std::make_unique<SimpleModel>(max_sym);
-    int b = lit[ctx]->decode(rc);
+    if (!lit[ctx].nsym) lit[ctx].init(arena, max_sym);
+    int b = lit[ctx].decode(rc);
     if (b < 0 || b > 255) return -1;
     out[i++] = static_cast<uint8_t>(b);
     if (rle) {
-      if (!run_m[256]) run_m[256] = std::make_unique<SimpleModel>(256);
-      long run = decode_run(rc, run_m, b);
+      if (!run_m[256].nsym) run_m[256].init(arena, 256);
+      long run = decode_run(rc, arena, run_m, b);
       if (run < 0 || i + run > n) return -1;
       std::memset(out + i, b, run);
       i += run;
@@ -1144,6 +1181,7 @@ extern "C" long jf_arith_decode(const uint8_t* data, long len, uint8_t* out,
 // fqzcomp (method 7) — mirrors io/fqzcomp.py
 namespace fqz {
 
+using ar::ModelArena;
 using ar::RangeDecoder;
 using ar::SimpleModel;
 using r16::In;
@@ -1255,12 +1293,13 @@ static long decode(In& in, uint8_t* out, long out_len) {
     max_sym = std::max(max_sym, params[x].max_sym);
   }
 
-  std::vector<std::unique_ptr<SimpleModel>> qual(1u << 16);
-  SimpleModel len_m[4] = {SimpleModel(256), SimpleModel(256),
-                          SimpleModel(256), SimpleModel(256)};
-  SimpleModel rev_m(2), dup_m(2);
-  std::unique_ptr<SimpleModel> sel_m;
-  if (max_sel > 0) sel_m = std::make_unique<SimpleModel>(max_sel + 1);
+  ModelArena arena;
+  std::vector<SimpleModel> qual(1u << 16);
+  SimpleModel len_m[4], rev_m, dup_m, sel_m;
+  for (int j = 0; j < 4; ++j) len_m[j].init(arena, 256);
+  rev_m.init(arena, 2);
+  dup_m.init(arena, 2);
+  if (max_sel > 0) sel_m.init(arena, max_sel + 1);
   RangeDecoder rc(&in);
   if (!in.ok) return -1;
 
@@ -1274,8 +1313,8 @@ static long decode(In& in, uint8_t* out, long out_len) {
   long last_len = 0;
   while (i < out_len) {
     int sel = 0;
-    if (sel_m) {
-      sel = sel_m->decode(rc);
+    if (sel_m.nsym) {
+      sel = sel_m.decode(rc);
       if (sel < 0) return -1;
     }
     uint32_t x = stab[std::min(sel, 255)];
@@ -1316,9 +1355,8 @@ static long decode(In& in, uint8_t* out, long out_len) {
     int prevq = 0;
     uint32_t ctx = p.context;
     for (long j = 0; j < ln; ++j) {
-      if (!qual[ctx])
-        qual[ctx] = std::make_unique<SimpleModel>(max_sym);
-      int q = qual[ctx]->decode(rc);
+      if (!qual[ctx].nsym) qual[ctx].init(arena, max_sym);
+      int q = qual[ctx].decode(rc);
       if (q < 0) return -1;
       // q comes from a model sized by the GLOBAL max_sym; qmap is
       // only p.max_sym entries, so bound it like python's qmap[q]

@@ -76,6 +76,85 @@ def _field_width(key_bits: int, p: int, cbits: int) -> int:
     return key_bits - p + cbits
 
 
+# slice rows for the bit fold/unfold: the naive [n, width] u32 bit
+# matrix costs n*width*4 bytes (12 GB at a 100M-row resting run) — the
+# fold instead lax.maps over row slices, bounding temporaries at
+# ~S*width*4 bytes. S % 32 == 0 keeps every slice's bit count
+# word-aligned for any width.
+_FOLD_ROWS = 1 << 15
+
+
+def _fold_one(lowk, cfield, kbits_low: int, cbits: int):
+    """[S, W] low key bits + [S] count field -> [S*width/32] u32 words
+    (LSB-first per record, rows concatenated)."""
+    cols = []
+    for j in range(kbits_low):
+        cols.append((lowk[:, j // 32] >> jnp.uint32(j % 32)) & 1)
+    for j in range(cbits):
+        cols.append((cfield >> jnp.uint32(j)) & 1)
+    bits = jnp.stack(cols, axis=1).astype(jnp.uint32)
+    flat = bits.reshape(-1)
+    pad = (-flat.shape[0]) % 32
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, dtype=jnp.uint32)])
+    words = flat.reshape(-1, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(words * weights[None, :], axis=1, dtype=jnp.uint32)
+
+
+def _fold_bits(lowk, cfield, kbits_low: int, cbits: int):
+    n, W = lowk.shape
+    width = kbits_low + cbits
+    if n <= _FOLD_ROWS:
+        return _fold_one(lowk, cfield, kbits_low, cbits)
+    S = _FOLD_ROWS
+    padded = (n + S - 1) // S * S
+    lowk_p = jnp.concatenate(
+        [lowk, jnp.zeros((padded - n, W), dtype=jnp.uint32)]
+    )
+    cf_p = jnp.concatenate(
+        [cfield, jnp.zeros(padded - n, dtype=jnp.uint32)]
+    )
+    words = jax.lax.map(
+        lambda sl: _fold_one(sl[0], sl[1], kbits_low, cbits),
+        (lowk_p.reshape(-1, S, W), cf_p.reshape(-1, S)),
+    ).reshape(-1)
+    # zero-padded tail rows fold to zero words; the true stream is the
+    # aligned prefix (identical to the single-shot zero pad)
+    return words[: (n * width + 31) // 32]
+
+
+def _unfold_bits(stream, n: int, W: int, kbits_low: int, cbits: int):
+    """Inverse of _fold_bits: -> (lowk [n, W], cfield [n])."""
+    width = kbits_low + cbits
+
+    def one(words, rows):
+        weights = jnp.arange(32, dtype=jnp.uint32)
+        bits = ((words[:, None] >> weights[None, :]) & 1).reshape(-1)
+        bits = bits[: rows * width].reshape(rows, width)
+        lowk = jnp.zeros((rows, W), dtype=jnp.uint32)
+        for j in range(kbits_low):
+            lowk = lowk.at[:, j // 32].add(bits[:, j] << jnp.uint32(j % 32))
+        cfield = jnp.zeros(rows, dtype=jnp.uint32)
+        for j in range(cbits):
+            cfield = cfield + (bits[:, kbits_low + j] << jnp.uint32(j))
+        return lowk, cfield
+
+    if n <= _FOLD_ROWS:
+        return one(stream, n)
+    S = _FOLD_ROWS
+    padded = (n + S - 1) // S * S
+    wps = S * width // 32
+    need = padded * width // 32
+    stream_p = jnp.concatenate(
+        [stream, jnp.zeros(need - stream.shape[0], dtype=jnp.uint32)]
+    )
+    lowk, cfield = jax.lax.map(
+        lambda ws: one(ws, S), stream_p.reshape(-1, wps)
+    )
+    return lowk.reshape(padded, W)[:n], cfield.reshape(-1)[:n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("key_bits", "p", "cbits", "n_cap", "esc_cap")
 )
@@ -108,20 +187,7 @@ def _pack_fn(keys, lo, hi, key_bits, p, cbits, n_cap, esc_cap):
     esc_max = jnp.uint32((1 << cbits) - 1)
     big = (hi_s != 0) | (lo_s >= esc_max)
     cfield = jnp.where(big, esc_max, lo_s)
-
-    # bits [n_cap, width], LSB-first per record
-    cols = []
-    for j in range(key_bits - p):
-        cols.append((lowk[:, j // 32] >> jnp.uint32(j % 32)) & 1)
-    for j in range(cbits):
-        cols.append((cfield >> jnp.uint32(j)) & 1)
-    bits = jnp.stack(cols, axis=1).astype(jnp.uint32)  # [n_cap, width]
-    flat = bits.reshape(-1)
-    pad = (-flat.shape[0]) % 32
-    flat = jnp.concatenate([flat, jnp.zeros(pad, dtype=jnp.uint32)])
-    words = flat.reshape(-1, 32)
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
-    stream = jnp.sum(words * weights[None, :], axis=1, dtype=jnp.uint32)
+    stream = _fold_bits(lowk, cfield, key_bits - p, cbits)
 
     # escape list: positions of big counts in the dense prefix, packed
     # to a static capacity via a compacting sort on (is_big, position)
@@ -140,21 +206,8 @@ def _pack_fn(keys, lo, hi, key_bits, p, cbits, n_cap, esc_cap):
 )
 def _unpack_fn(stream, index, esc_pos, esc_lo, esc_hi, key_bits, p,
                cbits, W, n_cap):
-    width = _field_width(key_bits, p, cbits)
     iota = jnp.arange(n_cap, dtype=jnp.uint32)
-
-    # u32 words -> bit matrix -> [n_cap, width]
-    words = stream
-    weights = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((words[:, None] >> weights[None, :]) & 1).reshape(-1)
-    bits = bits[: n_cap * width].reshape(n_cap, width)
-
-    lowk = jnp.zeros((n_cap, W), dtype=jnp.uint32)
-    for j in range(key_bits - p):
-        lowk = lowk.at[:, j // 32].add(bits[:, j] << jnp.uint32(j % 32))
-    cfield = jnp.zeros(n_cap, dtype=jnp.uint32)
-    for j in range(cbits):
-        cfield = cfield + (bits[:, key_bits - p + j] << jnp.uint32(j))
+    lowk, cfield = _unfold_bits(stream, n_cap, W, key_bits - p, cbits)
 
     # top-p bits from the bucket index: bucket of entry i = #edges whose
     # prefix-count <= i (searchsorted on the monotone index)
