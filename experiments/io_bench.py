@@ -160,6 +160,20 @@ def bench_cram31():
         out_bytes=total,
         threads=int(os.environ.get("JF_CRAM_THREADS",
                                    min(4, os.cpu_count() or 1))))
+    # the plain-counting ingest path (no -Q): quality blocks are never
+    # decoded (cram_records_to_fastx need_quals=False) — fqz decode is
+    # the dominant cost of quality-heavy CRAMs, so this is the headline
+    # "count a CRAM archive" rate
+    t0 = time.perf_counter()
+    stream = io.BytesIO(blob)
+    stream.read(4)
+    total = sum(len(c)
+                for c in cram_records_to_fastx(stream, need_quals=False))
+    t1 = time.perf_counter()
+    out("cram31_records_native_noqual", n_rec * 100 / 1e6, t1 - t0,
+        rec_per_s=int(n_rec / (t1 - t0)), out_bytes=total,
+        threads=int(os.environ.get("JF_CRAM_THREADS",
+                                   min(4, os.cpu_count() or 1))))
 
 
 def bench_rans():

@@ -329,6 +329,33 @@ def make_codec(codec_id: int, params: ByteCursor):
     return c
 
 
+def _codec_cids(codec) -> set:
+    """All external content ids a codec (recursively) reads from."""
+    out = set()
+    cid = getattr(codec, "cid", None)
+    if cid is not None:
+        out.add(cid)
+    for sub in ("len_codec", "val_codec"):
+        c = getattr(codec, sub, None)
+        if c is not None:
+            out |= _codec_cids(c)
+    return out
+
+
+def _codec_uses_core(codec) -> bool:
+    """Whether decoding through this codec consumes CORE bits (skipping
+    it would then desync every other core consumer)."""
+    if isinstance(codec, _Huffman):
+        return codec.const is None
+    if isinstance(codec, (_Beta, _Gamma, _SubExp)):
+        return True
+    for sub in ("len_codec", "val_codec"):
+        c = getattr(codec, sub, None)
+        if c is not None and _codec_uses_core(c):
+            return True
+    return False
+
+
 # --------------------------------------------------------------- blocks
 
 METHOD_RAW = 0
@@ -480,6 +507,32 @@ class CompressionHeader:
             self.tags[key] = make_codec(codec_id, params)
         self.raw_tags = data[start:cur.pos]
         self._subst_table()
+
+    def qual_skip_cids(self):
+        """External content ids safe to leave UNDECODED when the caller
+        does not need qualities (the htslib CRAM_OPT_REQUIRED_FIELDS
+        optimization, sam_format.hpp's backing library): the QS/QQ
+        codecs' cids, provided those codecs touch no core bits and no
+        other series or tag reads the same cids. Returns None when
+        skipping is unsafe (decode everything), possibly-empty set
+        otherwise."""
+        qual_keys = [key for key in ("QS", "QQ") if key in self.series]
+        qual_cids: set = set()
+        for key in qual_keys:
+            c = self.series[key]
+            if _codec_uses_core(c):
+                return None
+            qual_cids |= _codec_cids(c)
+        others: set = set()
+        for key, c in self.series.items():
+            if key in ("QS", "QQ"):
+                continue
+            others |= _codec_cids(c)
+        for c in self.tags.values():
+            others |= _codec_cids(c)
+        if qual_cids & others:
+            return None
+        return qual_cids
 
     def _subst_table(self):
         """matrix[ref_base_index]['code'] -> substituted base.
@@ -715,7 +768,11 @@ CF_NO_SEQ = 8
 
 def _decode_slice(comp: CompressionHeader, sh: SliceHeader, core: BitReader,
                   externals, refs: Optional[_RefStore],
-                  counter_base: int) -> Iterator[bytes]:
+                  counter_base: int,
+                  no_qual: bool = False) -> Iterator[bytes]:
+    # no_qual: the caller verified (qual_skip_cids) that the QS/QQ
+    # streams are exclusive, so skipping their reads desyncs nothing —
+    # records emit as FASTA (the htslib required-fields optimization)
     ctx = _SliceCtx(core, externals)
     s = comp.series
 
@@ -811,8 +868,9 @@ def _decode_slice(comp: CompressionHeader, sh: SliceHeader, core: BitReader,
                     read_i = idx
                 if fc == 0x42:  # 'B' read base + quality
                     seq[read_i] = bytev("BA")
-                    qual[read_i] = bytev("QS")
-                    have_qual = True
+                    if not no_qual:
+                        qual[read_i] = bytev("QS")
+                        have_qual = True
                     read_i += 1
                     ref_pos += 1
                 elif fc == 0x58:  # 'X' substitution
@@ -847,24 +905,28 @@ def _decode_slice(comp: CompressionHeader, sh: SliceHeader, core: BitReader,
                     read_i += len(bb)
                     ref_pos += len(bb)
                 elif fc == 0x71:  # 'q' quality stretch (no seq advance)
-                    qq = arrv("QQ")
-                    qual[idx:idx + len(qq)] = qq
-                    have_qual = True
+                    if no_qual:
+                        pass
+                    else:
+                        qq = arrv("QQ")
+                        qual[idx:idx + len(qq)] = qq
+                        have_qual = True
                 elif fc == 0x51:  # 'Q' single quality
-                    qual[idx] = bytev("QS")
-                    have_qual = True
+                    if not no_qual:
+                        qual[idx] = bytev("QS")
+                        have_qual = True
                 else:
                     raise CramError(f"unknown CRAM feature code {fc:#x}")
             if read_i < rl:  # trailing reference-match run
                 seq[read_i:rl] = ref_fetch(ref_id, ref_pos, rl - read_i)
             intv("MQ")
-            if cf & CF_QUAL_ARRAY:
+            if cf & CF_QUAL_ARRAY and not no_qual:
                 qual = bytearray(s["QS"].read_bytes(ctx, rl))
                 have_qual = True
         else:
             if not cf & CF_NO_SEQ:
                 seq = bytearray(s["BA"].read_bytes(ctx, rl))
-            if cf & CF_QUAL_ARRAY:
+            if cf & CF_QUAL_ARRAY and not no_qual:
                 qual = bytearray(s["QS"].read_bytes(ctx, rl))
                 have_qual = True
         if cf & CF_NO_SEQ and bf & BAM_FUNMAP:
@@ -887,7 +949,8 @@ def _emit(name: bytes, seq: bytes, qual) -> bytes:
 
 def _decode_slice_native(comp: CompressionHeader, sh: SliceHeader,
                          core_data: bytes, externals_raw,
-                         refs: Optional[_RefStore], counter_base: int):
+                         refs: Optional[_RefStore], counter_base: int,
+                         no_qual: bool = False):
     """Decode a whole slice via native/chunker.cpp jf_cram_slice;
     returns the concatenated FASTA/FASTQ record bytes, or None to fall
     back to the python reference path (multi-ref slices, exotic input,
@@ -936,7 +999,7 @@ def _decode_slice_native(comp: CompressionHeader, sh: SliceHeader,
         ctypes.cast(ptrs, ctypes.c_void_p),
         ctypes.cast(lens, ctypes.c_void_p), n,
         ref if have_ref else None, len(ref) if have_ref else 0, ref_off,
-        sh.n_records, sh.start, counter_base)
+        sh.n_records, sh.start, counter_base, int(no_qual))
     if not handle:
         return None
     try:
@@ -1001,14 +1064,23 @@ class ContainerHeader:
         return self.n_records == 0 and self.start == EOF_POSITION
 
 
-def _decode_slice_unit(comp, sh, blocks, refs, counter):
+def _decode_slice_unit(comp, sh, blocks, refs, counter, skip_cids=None):
     """Worker-thread unit: force-decompress a slice's blocks (the
     adaptive codecs — fqz/rans/arith/tok3 — run native with the GIL
     released, so slices genuinely decode in parallel) then decode the
-    records. Returns one bytes blob (b"" for an empty slice)."""
+    records. Returns one bytes blob (b"" for an empty slice).
+
+    skip_cids (a set => quality-free mode): external blocks with these
+    content ids are left COMPRESSED and never decoded — on
+    quality-heavy CRAMs (fqzcomp) this removes the dominant decode cost
+    when the consumer only needs sequence (count without -Q)."""
+    no_qual = skip_cids is not None
     core_data = b""
     externals_raw = {}
     for blk in blocks:
+        if (no_qual and blk.ctype == CT_EXTERNAL
+                and blk.cid in skip_cids):
+            continue  # quality stream: stays compressed, never read
         blk.force()
         if blk.ctype == CT_CORE:
             core_data = blk.data
@@ -1017,20 +1089,27 @@ def _decode_slice_unit(comp, sh, blocks, refs, counter):
         else:
             raise CramError("unexpected block type inside slice")
     native = _decode_slice_native(comp, sh, core_data, externals_raw,
-                                  refs, counter)
+                                  refs, counter, no_qual=no_qual)
     if native is not None:
         return native
     externals = {cid: ByteCursor(data)
                  for cid, data in externals_raw.items()}
     return b"".join(_decode_slice(comp, sh, BitReader(core_data),
-                                  externals, refs, counter))
+                                  externals, refs, counter,
+                                  no_qual=no_qual))
 
 
-def cram_records_to_fastx(stream) -> Iterator[bytes]:
+def cram_records_to_fastx(stream, need_quals: bool = True) -> Iterator[bytes]:
     """Yield chunks of FASTA/FASTQ record bytes from a CRAM stream
     positioned just after the 4-byte "CRAM" magic (how parse.py
     dispatches). Chunks split only at record boundaries: one chunk per
     slice.
+
+    need_quals=False: when the compression header proves the quality
+    streams exclusive (qual_skip_cids), their blocks are never even
+    DECOMPRESSED and records emit as FASTA — the htslib
+    required-fields optimization; on fqzcomp-quality CRAMs this removes
+    the dominant decode cost for plain counting (no -Q filtering).
 
     Slices decode CONCURRENTLY on a small thread pool (the reference
     gets this from htslib's own thread pool; here the native block
@@ -1094,6 +1173,9 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
                 raise CramError("container does not start with a "
                                 "compression header block")
             comp = CompressionHeader(first_block.data)
+            skip_cids = None
+            if not need_quals:
+                skip_cids = comp.qual_skip_cids()  # None => unsafe
             counter = ch.record_counter
             while not cur.eof():
                 sh_block = Block(cur, has_crc=v3)
@@ -1110,7 +1192,7 @@ def cram_records_to_fastx(stream) -> Iterator[bytes]:
                         refs.get(sh.ref_id)
                     except CramError:
                         pass  # worker's decode raises the precise error
-                yield comp, sh, blocks, refs, counter
+                yield comp, sh, blocks, refs, counter, skip_cids
                 counter += sh.n_records
 
     try:

@@ -238,7 +238,7 @@ def _bam_records_to_fastx(stream) -> Iterator[bytes]:
             yield b"@" + name + b"\n" + seq + b"\n+\n" + q33 + b"\n"
 
 
-def sam_records_to_fastx(stream) -> Iterator[bytes]:
+def sam_records_to_fastx(stream, need_quals: bool = True) -> Iterator[bytes]:
     """Adapt SAM/BAM to FASTA/FASTQ record bytes (sam_format.hpp role).
 
     Text SAM: SEQ (col 10) / QUAL (col 11) of each alignment line become
@@ -256,7 +256,10 @@ def sam_records_to_fastx(stream) -> Iterator[bytes]:
     if first.startswith(b"CRAM"):
         from jellyfish_tpu.io.cram import cram_records_to_fastx
 
-        yield from cram_records_to_fastx(stream)
+        # counting without -Q never looks at qualities: let the CRAM
+        # reader skip decoding the quality blocks outright (fqz decode
+        # dominates quality-heavy CRAMs)
+        yield from cram_records_to_fastx(stream, need_quals=need_quals)
         return
     buf = first + stream.readline()
     while True:
@@ -361,7 +364,9 @@ class SequenceChunker:
         for path in self.paths:
             yield open_stream(path), None
         for path in self.sam_paths:
-            yield _IterStream(sam_records_to_fastx(open_stream(path))), None
+            yield _IterStream(sam_records_to_fastx(
+                open_stream(path), need_quals=self.min_qual is not None
+            )), None
         # -G: keep nb_generators subprocesses alive at once (the reference's
         # generator_manager runs G children concurrently into fifos,
         # generator_manager.hpp:62-162); later commands pre-start while an

@@ -95,6 +95,7 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int,      # ext lens, count
                 ctypes.c_char_p, ctypes.c_long, ctypes.c_long,  # reference
                 ctypes.c_long, ctypes.c_long, ctypes.c_longlong,
+                ctypes.c_int,                       # no_qual
             ]
             lib.jf_cram_out_len.restype = ctypes.c_long
             lib.jf_cram_out_len.argtypes = [ctypes.c_void_p]

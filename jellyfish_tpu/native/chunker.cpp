@@ -921,15 +921,21 @@ constexpr uint8_t F_ORDER1 = 0x01, F_EXT = 0x04, F_STRIPE = 0x08,
 
 struct RangeDecoder {
   // carry-propagating (LZMA-style) coder: the decoder needs only
-  // (code, range); mirrors io/arith.py RangeDecoder
-  In* in;
+  // (code, range); mirrors io/arith.py RangeDecoder. Reads are
+  // UNCHECKED inside a symbol (the jf_arith/jf_fqz entry points copy
+  // the input into a 64-byte zero-padded buffer) and validated ONCE per
+  // symbol — a renorm consumes <= 4 bytes, so an overrun is caught
+  // within the pad, and the caller's length checks bound every write.
+  const uint8_t* p;
+  const uint8_t* end;
   uint32_t range = 0xFFFFFFFFu;
   uint32_t code = 0;
   uint32_t r_ = 0;
-  explicit RangeDecoder(In* i) : in(i) {
+  explicit RangeDecoder(In* i) : p(i->p), end(i->end) {
     uint64_t c = 0;
-    for (int k = 0; k < 5; ++k) c = (c << 8) | in->u8();
+    for (int k = 0; k < 5; ++k) c = (c << 8) | *p++;
     code = static_cast<uint32_t>(c);
+    // a truncated header leaves p > end: the first decode() reports it
   }
   uint32_t get_freq(uint32_t tot) {
     r_ = range / tot;
@@ -939,12 +945,19 @@ struct RangeDecoder {
   bool decode(uint32_t cum, uint32_t freq) {
     code -= cum * r_;
     range = r_ * freq;
-    while (range < kTop) {
-      code = (code << 8) | in->u8();
-      range <<= 8;
-      if (!in->ok) return false;
-    }
-    return true;
+    // branchless renorm: range = r_*freq with r_ >= 2^8 (range >= 2^24,
+    // tot < 2^16), so at most TWO byte pulls are ever needed — read
+    // both unconditionally (padded buffer) and select, instead of a
+    // data-dependent loop whose mispredict dominated the symbol cost
+    uint32_t lt1 = range < kTop;
+    uint32_t lt2 = range < (kTop >> 8);
+    uint32_t b0 = p[0], b1 = p[1];
+    uint32_t pulled = lt2 ? ((b0 << 8) | b1) : (lt1 ? b0 : 0u);
+    uint32_t shift = (lt1 + lt2) * 8;
+    code = (code << shift) | pulled;
+    range <<= shift;
+    p += lt1 + lt2;
+    return p <= end;
   }
 };
 
@@ -1171,7 +1184,11 @@ extern "C" long jf_arith_decode(const uint8_t* data, long len, uint8_t* out,
                                 long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
   try {
-    ar::In in{data, data + len};
+    // zero-padded copy: RangeDecoder reads unchecked within a symbol
+    // (validated once per symbol, overrun <= ~9 bytes — see its doc)
+    std::vector<uint8_t> padded(static_cast<size_t>(len) + 64, 0);
+    std::memcpy(padded.data(), data, len);
+    ar::In in{padded.data(), padded.data() + len};
     return ar::decode(in, out, out_cap);
   } catch (...) {
     return -1;
@@ -1390,7 +1407,9 @@ extern "C" long jf_fqz_decode(const uint8_t* data, long len, uint8_t* out,
                               long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
   try {
-    fqz::In in{data, data + len};
+    std::vector<uint8_t> padded(static_cast<size_t>(len) + 64, 0);
+    std::memcpy(padded.data(), data, len);
+    fqz::In in{padded.data(), padded.data() + len};
     return fqz::decode(in, out, out_cap);
   } catch (...) {
     return -1;
@@ -1625,7 +1644,11 @@ extern "C" long jf_tok3_decode(const uint8_t* data, long len, uint8_t* out,
                                long out_cap) {
   if (len < 1 || out_cap < 0) return -1;
   try {
-    return tok3::decode(data, len, out, out_cap);
+    // padded like jf_arith_decode: tok3 sub-streams may route through
+    // the unchecked-read RangeDecoder (use_arith containers)
+    std::vector<uint8_t> padded(static_cast<size_t>(len) + 64, 0);
+    std::memcpy(padded.data(), data, len);
+    return tok3::decode(padded.data(), len, out, out_cap);
   } catch (...) {
     return -1;
   }
@@ -2016,7 +2039,10 @@ extern "C" void* jf_cram_slice(
     long core_len, const int* ext_ids, const uint8_t* const* ext_ptrs,
     const long* ext_lens, int n_ext, const uint8_t* ref, long ref_len,
     long ref_off, long n_records, long slice_start,
-    long long counter_base) {
+    long long counter_base, int no_qual) {
+  // no_qual: caller proved the QS/QQ streams exclusive (cram.py
+  // qual_skip_cids) and withheld their blocks — skip every quality
+  // read (nothing else consumes those streams) and emit FASTA
   using namespace cram;
   Decoder d;
   d.rn_preserved = rn_preserved;
@@ -2196,8 +2222,10 @@ extern "C" void* jf_cram_slice(
           case 'B':
             if (read_i >= rl) return nullptr;
             sq[read_i] = bv(S_BA);
-            qq[read_i] = bv(S_QS);
-            have_qual = true;
+            if (!no_qual) {
+              qq[read_i] = bv(S_QS);
+              have_qual = true;
+            }
             ++read_i;
             ++ref_pos;
             break;
@@ -2255,6 +2283,7 @@ extern "C" void* jf_cram_slice(
             break;
           }
           case 'q': {
+            if (no_qual) break;
             scratch.clear();
             long n = av(S_QQ, scratch);
             if (n < 0 || idx + n > rl) return nullptr;
@@ -2263,6 +2292,7 @@ extern "C" void* jf_cram_slice(
             break;
           }
           case 'Q':
+            if (no_qual) break;
             if (idx >= rl) return nullptr;
             qq[idx] = bv(S_QS);
             have_qual = true;
@@ -2274,7 +2304,7 @@ extern "C" void* jf_cram_slice(
       if (!x.ok) return nullptr;
       if (read_i < rl) ref_fill(sq + read_i, ref_pos, rl - read_i);
       iv(S_MQ);
-      if (cf & 1) {
+      if ((cf & 1) && !no_qual) {
         const Codec* c = d.get(S_QS);
         if (!c || !read_bytes(*c, x, qq, rl)) return nullptr;
         have_qual = true;
@@ -2284,7 +2314,7 @@ extern "C" void* jf_cram_slice(
         const Codec* c = d.get(S_BA);
         if (!c || !read_bytes(*c, x, sq, rl)) return nullptr;
       }
-      if (cf & 1) {
+      if ((cf & 1) && !no_qual) {
         const Codec* c = d.get(S_QS);
         if (!c || !read_bytes(*c, x, qq, rl)) return nullptr;
         have_qual = true;

@@ -725,3 +725,96 @@ def test_cram31_sharded_devices_matches_single(tmp_path):
     one = run_count(tmp_path / "one.jf", "1")
     eight = run_count(tmp_path / "eight.jf", "8")
     assert one and eight == one
+
+
+def _seqs_of_fastx(buf: bytes):
+    out = []
+    lines = buf.split(b"\n")
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
+        if lines[i][:1] == b"@":
+            out.append(lines[i + 1])
+            i += 4
+        elif lines[i][:1] == b">":
+            out.append(lines[i + 1])
+            i += 2
+        else:
+            raise AssertionError(lines[i][:40])
+    return out
+
+
+def test_cram31_noqual_skips_quality_blocks():
+    """need_quals=False: identical sequences, FASTA output, and the
+    quality blocks are provably never decompressed (the htslib
+    required-fields optimization) — on both the native and python
+    paths."""
+    import os
+
+    rng = random.Random(77)
+    recs = []
+    for i in range(300):
+        recs.append({
+            "name": b"r%d" % i,
+            "seq": bytes(rng.choices(b"ACGT", k=90)),
+            "qual": bytes(rng.choices(range(30, 41), k=90)),
+        })
+    series = cw.default_series()
+    series["RN"] = ByteArrayStop(0, 6)
+    comp = cw.compression_header(series)
+    sl = cw.encode_slice(
+        series, recs,
+        block_methods={cw.CORE: "rans16", 8: "rans16-o1",
+                       9: fqz_method([90] * len(recs))})
+    blob = b"".join([
+        cw.file_definition(version=(3, 1)),
+        cw.sam_header_container(b"@HD\tVN:1.6\n"),
+        cw.data_container(comp, sl, 1 + cw.count_blocks(sl), len(recs), 0),
+        cw.eof_container(),
+    ])
+
+    def run(need_quals, native):
+        old = os.environ.get("JF_NO_NATIVE")
+        try:
+            if not native:
+                os.environ["JF_NO_NATIVE"] = "1"
+            elif old:
+                del os.environ["JF_NO_NATIVE"]
+            s = io.BytesIO(blob)
+            s.read(4)
+            return b"".join(cram_records_to_fastx(s, need_quals=need_quals))
+        finally:
+            if old is None:
+                os.environ.pop("JF_NO_NATIVE", None)
+            else:
+                os.environ["JF_NO_NATIVE"] = old
+
+    full_n = run(True, True)
+    noq_n = run(False, True)
+    noq_p = run(False, False)
+    assert noq_n[:1] == b">"  # FASTA (no qualities reconstructed)
+    assert _seqs_of_fastx(full_n) == _seqs_of_fastx(noq_n)
+    assert noq_p == noq_n  # python reference path agrees byte-for-byte
+
+    # the fqz quality block really is never decompressed in no-qual
+    # mode: count _decompress calls by method
+    import jellyfish_tpu.io.cram as cram_mod
+
+    methods = []
+    orig = cram_mod._decompress
+
+    def counting(method, data, raw_size):
+        methods.append(method)
+        return orig(method, data, raw_size)
+
+    cram_mod._decompress = counting
+    try:
+        run(False, True)
+        assert cram_mod.METHOD_FQZ not in methods
+        methods.clear()
+        run(True, True)
+        assert cram_mod.METHOD_FQZ in methods
+    finally:
+        cram_mod._decompress = orig
