@@ -344,3 +344,64 @@ def test_planned_finalize_u64_carry(rng):
     assert store._final_plan(4096) != ()
     got = _finalize_dict(store)
     assert got == {3: 2 * big, 11: 5, 12: 6}
+
+
+def test_grain_u16_escape_counts_exact(rng):
+    # production escape case: a pad segment whose count exceeds 0xFFFE
+    # (any billion-mer grain) escapes the u16-narrowed compact sort and
+    # must be restored exactly — pad accounting included. Model path:
+    # grain 1 seeds the coverage model, grain 2 trims its pad tail
+    # (spec => u16 counts + escapes)
+    M = 1 << 17
+    npads = 80000  # pad-segment count > 0xFFFE => escapes
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    store._trim_quantum = 1 << 12
+    all_vals = []
+
+    def grain(seed):
+        vals = np.random.default_rng(seed).integers(
+            0, 1 << 40, size=M - npads, dtype=np.uint64
+        )
+        keys = np.concatenate([
+            np.asarray(_keys_of_values(vals)),
+            np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32),
+        ])
+        keys = keys[np.random.default_rng(seed + 1).permutation(M)]
+        store.insert_raw(jnp.asarray(keys), jnp.uint32(M - npads))
+        all_vals.append(vals)
+
+    grain(3)
+    store._resolve_pending_shrinks()
+    assert store._pad_trim(M) > 0  # grain 2 really takes the spec path
+    grain(5)
+    got = _finalize_dict(store)
+    assert got == _expected(np.concatenate(all_vals), 2 * npads)
+    assert store.spec_overflows == 0
+
+
+def test_grain_u16_homopolymer_recovers_exact(rng):
+    # a key with > 0xFFFE occurrences clusters its masked duplicates in
+    # the sorted grain, concentrating real rows elsewhere — the plan's
+    # hash-spread assumption breaks, the ovf bit trips, and the
+    # retained-input u32 recompute must restore exact counts
+    M = 1 << 17
+    npads = 3000
+    big_n = 80000
+    vals = np.concatenate([
+        np.repeat(np.uint64(12345), big_n),
+        rng.integers(0, 1 << 40, size=M - npads - big_n, dtype=np.uint64),
+    ])
+    store = SortedCountStore(W, branch=64, consolidate_rows=M,
+                            key_bits=KEY_BITS)
+    store.density_est = 0.35
+    keys = np.concatenate([
+        np.asarray(_keys_of_values(vals)),
+        np.full((npads, W), 0xFFFFFFFF, dtype=np.uint32),
+    ])
+    keys = keys[np.random.default_rng(3).permutation(M)]
+    store.insert_raw(jnp.asarray(keys), jnp.uint32(M - npads))
+    got = _finalize_dict(store)
+    assert got[12345] == big_n
+    assert got == _expected(vals, npads)
+    assert store.spec_overflows >= 1  # the recovery really engaged
