@@ -55,11 +55,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from jellyfish_tpu.ops.count import (
-    apply_escapes,
     compact_counted,
     compaction_plan,
     consolidate_premasked,
-    count_escapes,
     merge_many,
 )
 from jellyfish_tpu.ops.packed_run import PackedRun, pack_run, unpack_run
@@ -171,23 +169,31 @@ def _consolidate_compact_fn(n_runs: int, key_bits, plan=(), trim: int = 0,
             bad = bad | jnp.any(c2[M - 1 - trim : M - 1] != 0)
             k2 = k2[: M - trim].at[-1].set(k2[M - 1])
             c2 = c2[: M - trim].at[-1].set(c2[M - 1])
-        # u16 count tie-break (-20% compact traffic at W=2): counts
-        # >= 0xFFFE (incl. the pad segment's huge count) escape to a
-        # static side list and are restored by key binary search after
-        # the compact; an escape-capacity overflow folds into the bad
-        # bit (same retained-input recovery as a mispredicted trim).
-        # ONLY on speculative paths: the donating path (cold grains,
-        # recoveries) has no retained inputs, so it must stay exact u32
+        # u16 count tie-break (-20% compact traffic at W=2). The ONE
+        # structurally-big count is the pad segment's (>= 0xFFFE at any
+        # real scale): it always sits on the LAST masked row (all-ones
+        # is the maximum key) and its entry compacts to prefix position
+        # n-1, so it is saved as a scalar and patched back — no side
+        # sort, no gathers (a full count_escapes side sort measured
+        # -40% end-to-end). Any OTHER >= 0xFFFE count (genuine 65k+
+        # multiplicity mers — absent from coverage-shaped data) folds
+        # into the bad bit and recovers via the retained-input u32
+        # recompute. Speculative (retained) paths only: the donating
+        # path must stay exact u32.
         spec = bool(plan or trim or preslice)
         if spec:
-            esc_k, esc_c, esc_ovf = count_escapes(k2, c2)
-            bad = bad | esc_ovf
+            M2 = k2.shape[0]
+            last_cnt = c2[M2 - 1]
+            bad = bad | jnp.any(c2[: M2 - 1] >= jnp.uint32(0xFFFE))
         k3, l3, _, ovf = compact_counted(
             k2, c2, None, key_bits, assume_masked=True, plan=plan,
             cnt16=spec,
         )
         if spec:
-            l3 = apply_escapes(k3, l3, esc_k, esc_c)
+            iota = jnp.arange(l3.shape[0], dtype=jnp.uint32)
+            l3 = jnp.where(
+                (iota == n - 1) & (last_cnt > 0), last_cnt, l3
+            )
         n_packed = (
             n
             | (ovf.astype(jnp.uint32) << jnp.uint32(31))
