@@ -937,11 +937,6 @@ struct RangeDecoder {
     code = static_cast<uint32_t>(c);
     // a truncated header leaves p > end: the first decode() reports it
   }
-  uint32_t get_freq(uint32_t tot) {
-    r_ = range / tot;
-    uint32_t f = code / r_;
-    return f >= tot ? tot - 1 : f;
-  }
   bool decode(uint32_t cum, uint32_t freq) {
     code -= cum * r_;
     range = r_ * freq;

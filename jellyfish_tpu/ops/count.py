@@ -286,57 +286,6 @@ def _compact_sort(limbs, cnt_inv, plan=(), row_c: int = 1024):
     return tuple(out), ovf
 
 
-def count_escapes(keys, counts, esc_cap: int = 1024):
-    """Escape list for u16-narrowed compaction: the (key, exact count)
-    of every row whose count >= 0xFFFE, packed to a static capacity via
-    a compacting sort (the packed_run escape idiom applied to sort
-    operands). Returns (esc_keys [esc_cap, W], esc_cnt [esc_cap],
-    overflowed bool) — unused slots have count 0."""
-    M, W = keys.shape
-    iota = jnp.arange(M, dtype=jnp.uint32)
-    big = counts >= jnp.uint32(0xFFFE)
-    rank = jnp.where(big, iota, jnp.uint32(0xFFFFFFFF))
-    ops = [rank, counts] + [keys[:, w] for w in range(W)]
-    s = jax.lax.sort(ops, num_keys=1, is_stable=False)
-    esc_cnt = jnp.where(s[0][:esc_cap] != jnp.uint32(0xFFFFFFFF),
-                        s[1][:esc_cap], 0)
-    esc_keys = jnp.stack([s[2 + w][:esc_cap] for w in range(W)], axis=-1)
-    n_big = jnp.sum(big.astype(jnp.uint32))
-    return esc_keys, esc_cnt, n_big > jnp.uint32(esc_cap)
-
-
-def apply_escapes(keys, lo, esc_keys, esc_cnt):
-    """Restore exact counts after a u16-narrowed compaction: for each
-    escape, lexicographic binary search of its key in the ascending
-    compacted run (PAD rows are all-ones and sort last, so the array is
-    globally ascending), then scatter the exact count. Unused slots
-    (count 0) are dropped. ~esc_cap * log2(M) * W gathers — noise."""
-    M, W = keys.shape
-    E = esc_keys.shape[0]
-    # binary search: lexicographic row < escape-key via
-    # first-differing-limb logic (MSW first)
-    lo_idx = jnp.zeros(E, dtype=jnp.int32)
-    hi_idx = jnp.full(E, M, dtype=jnp.int32)
-    steps = max(1, (M - 1).bit_length())
-    for _ in range(steps):
-        mid = (lo_idx + hi_idx) // 2
-        row = keys[mid]  # [E, W] gather
-        # row < esc ? (strictly less, MSW-first)
-        lt = jnp.zeros(E, dtype=bool)
-        eq = jnp.ones(E, dtype=bool)
-        for w in range(W - 1, -1, -1):
-            rw, ew = row[:, w], esc_keys[:, w]
-            lt = lt | (eq & (rw < ew))
-            eq = eq & (rw == ew)
-        lo_idx = jnp.where(lt, mid + 1, lo_idx)
-        hi_idx = jnp.where(lt, hi_idx, mid)
-    # lo_idx = first position with key >= esc key; escapes are present,
-    # so keys[lo_idx] == esc key for valid slots
-    valid = esc_cnt != 0
-    dst = jnp.where(valid, lo_idx, M)
-    return lo.at[dst].set(esc_cnt, mode="drop")
-
-
 def compact_counted(keys, lo, hi=None, key_bits=None, *,
                     assume_masked: bool = False, plan=(), cnt16: bool = False):
     """Compact a DEDUPLICATED counted run.
@@ -359,9 +308,11 @@ def compact_counted(keys, lo, hi=None, key_bits=None, *,
     (min(count, 0xFFFE)) — 20% less sort traffic at W=2. Ordering is
     unaffected (the tie-break only separates real from count-0 rows
     within equal keys), but the returned lo is CLAMPED: the caller must
-    collect count_escapes() from its pre-compact input and
-    apply_escapes() afterward (big counts are rare by coverage; the pad
-    segment's huge count is just another escape).
+    restore any count >= 0xFFFE itself. The store does so with a scalar
+    patch of the one structurally-big count (the pad segment's, whose
+    entry compacts to prefix position n-1) and folds any other big
+    count into its retained-input recovery bit — a general escape side
+    sort measured -40% end-to-end and was rejected (PERF.md).
 
     Returns (keys, lo, hi|None, ovf); output length <= M (rowsort levels
     slice rows away). The caller typically knows n (e.g.

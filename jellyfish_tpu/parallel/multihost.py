@@ -106,13 +106,20 @@ def write_local_segments(counter, prefix: str,
                        & (counts <= hi))
                 mers, counts = mers[sel], counts[sel]
             if text:
-                chars = mer_strings_np(mers, counter.k)
-                f.write(
-                    b"".join(
-                        b"%s %d\n" % (chars[i].tobytes(), counts[i])
-                        for i in range(len(counts))
+                # flush in batches like io/files.write_text_records — a
+                # single join of a multi-GB segment would double peak
+                # host memory
+                block = 65536
+                for off in range(0, len(counts), block):
+                    chars = mer_strings_np(mers[off:off + block],
+                                           counter.k)
+                    cs = counts[off:off + block]
+                    f.write(
+                        b"".join(
+                            b"%s %d\n" % (chars[i].tobytes(), cs[i])
+                            for i in range(len(cs))
+                        )
                     )
-                )
             else:
                 f.write(
                     encode_binary_records_np(
@@ -151,10 +158,13 @@ def assemble_db_full_parts(part_paths, out_path: str) -> None:
     headers carry identical hash parameters, dropped)."""
     import shutil
 
+    from jellyfish_tpu.io.header import FileHeader
+
     with open(out_path, "wb") as out:
         for i, p in enumerate(part_paths):
             with open(p, "rb") as f:
                 if i > 0:
-                    hlen = int(f.read(9))
-                    f.read(hlen)  # skip the duplicate header
+                    # parse (and validate) the duplicate header through
+                    # the one header implementation, then copy records
+                    FileHeader.read(f)
                 shutil.copyfileobj(f, out)

@@ -638,8 +638,10 @@ class _ShardedStore:
         # per-DEVICE cap on one merge's input bytes (rows along axis 1;
         # same budget/semantics as SortedCountStore._merge_bytes_budget)
         self._merge_bytes_budget = 2_400_000_000
-        # deferred resolution: (lvl, run, ns_dev, src_rows, retained)
-        # where retained = ("merge", has_hi, margs) for planned merges
+        # deferred resolution: (lvl, run, ns_dev, src_rows, retained,
+        # real_in_dev) — retained = ("merge", has_hi, margs) for planned
+        # merges, real_in_dev the per-shard real-input-row vector the
+        # density ratio is fitted from
         self._pending: list = []
         # density estimators (see _plan_for): per-level observed
         # max-shard density of the most recent resolved compacting merge
@@ -985,6 +987,12 @@ class _ShardedStore:
         self._pending = []
         for level in self.levels:
             level.clear()
+        # shrink to the max shard occupancy BEFORE packing/resting: the
+        # merge output is sized at total input rows (often 4-8x the
+        # occupancy), which would otherwise inflate the packed resting
+        # buffers exactly where capacity matters most
+        max_n = int(np.asarray(_stats_reduce(ns_clean))[0])
+        k2, l2, h2, _ = self._shrink_run((k2, l2, h2, 1), max_n)
         resting = (k2, l2, h2, 1)
         if self.pack_resting:
             resting = pack_run_batched(k2, l2, h2, k2.shape[1],
