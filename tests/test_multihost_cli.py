@@ -196,3 +196,67 @@ def test_multihost_cli_disk_filters_text(tmp_path):
         assert r.returncode == 0, r.stderr.decode()[-2000:]
         assert _body(out_mh) == _body(out_1), name
         assert len(_body(out_mh)) > 0, name
+
+
+@pytest.mark.slow
+def test_multihost_cli_bc_filter(tmp_path):
+    """--bc composes with --coordinator: each process loads the bloom
+    counter file and the finalize-time filter (each mer exactly once at
+    its owner shard) makes the 2-process output byte-equal to the
+    single-process --bc run."""
+    rng = np.random.default_rng(909)
+    uniq = [random_dna(rng, 1200) for _ in range(4)]
+    seqs = uniq + uniq[:2]  # two repeated reads -> mers with count >= 2
+    files = []
+    for pid, sl in [(0, seqs[:3]), (1, seqs[3:])]:
+        path = tmp_path / f"in{pid}.fa"
+        _write_fasta(path, sl)
+        files.append(str(path))
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JF_MH_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env1 = dict(env)
+    env1.pop("JF_MH_PLATFORM")
+    env1["JAX_PLATFORMS"] = "cpu"
+
+    bcf = tmp_path / "f.bc"
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "bc", "-m", "15",
+         "-s", "10k", "-C", "-o", str(bcf)] + files,
+        env=env1, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+
+    port = _free_port()
+    base = [
+        sys.executable, "-m", "jellyfish_tpu", "count",
+        "-m", "15", "-s", "4k", "-C", "--matrix-seed", "13",
+        "--chunk-len", "2048", "--bc", str(bcf),
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+    ]
+    out_mh = tmp_path / "mh_bc.jf"
+    procs = [
+        subprocess.Popen(
+            base + ["--process-id", str(pid), "-o", str(out_mh),
+                    files[pid]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+
+    out_1 = tmp_path / "single_bc.jf"
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "15",
+         "-s", "4k", "-C", "--matrix-seed", "13", "--chunk-len", "2048",
+         "--bc", str(bcf), "-o", str(out_1)] + files,
+        env=env1, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert _body(out_mh) == _body(out_1)
+    assert len(_body(out_mh)) > 0  # the repeated reads' mers survived
