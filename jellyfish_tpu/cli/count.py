@@ -192,16 +192,13 @@ def run(args, argv):
         if args.num_processes is None or args.process_id is None:
             die("count: --coordinator requires --num-processes and "
                 "--process-id")
-        # --if would need a lockstep PRIME loop across processes (its
-        # exchange steps are collectives); everything else is per-shard/
-        # per-process-local and composes (count_main.cc:99-131's filter
-        # chain works under any parallelism): -L/-U and --text apply per
-        # dump segment, --disk spills per-rank partial DBs merged
-        # locally, --bc/--bf load the filter in every process and apply
-        # at finalize (each mer exactly once, at its owner shard; --bf
-        # multihost is the false-positive-free finalize semantics).
-        if args.if_files:
-            die("count: --if is not supported with --coordinator")
+        # every flag composes with --coordinator (count_main.cc:99-131's
+        # filter chain works under any parallelism): -L/-U and --text
+        # apply per dump segment, --disk spills per-rank partial DBs
+        # merged locally, --bc/--bf load the filter in every process and
+        # apply at finalize (each mer exactly once, at its owner shard;
+        # --bf multihost is the false-positive-free finalize semantics),
+        # and --if runs a lockstep PRIME pass (restrict_to_multihost)
         from jellyfish_tpu.parallel.multihost import init_multihost
 
         init_multihost(
@@ -426,6 +423,18 @@ def _run_counting_multihost(args, argv, k, counter, chunker, t_start):
 
     t_init = time.perf_counter()
     rank = jax.process_index()
+
+    if args.if_files:
+        # PRIME pass before counting (count_main.cc:288-295), run in
+        # lockstep across processes (each exchange step is a collective)
+        from jellyfish_tpu.io.parse import SequenceChunker
+
+        with SequenceChunker(
+            list(args.if_files), k, chunk_len=args.chunk_len
+        ) as allowed:
+            counter.restrict_to_multihost(allowed.chunks(),
+                                          args.chunk_len)
+
     prefix = args.output + ".mh"
     spill_entries = args.size if args.disk else None
     spills: list = []  # THIS rank's spill DBs (standalone, header-embedded)

@@ -1241,6 +1241,62 @@ class ShardedMerCounter:
                 flush()
         flush()
 
+    def restrict_to_multihost(self, chunks_iter, chunk_len: int) -> None:
+        """Multi-host --if PRIME pass (count_main.cc:288-295): every
+        exchange step is a collective, so the processes run the prime
+        loop in LOCKSTEP — per round an allgathered has-data flag, with
+        exhausted processes feeding all-'N' padding steps (the same
+        equalization the multihost count loop uses). Each process feeds
+        its own --if files; duplicate primes across processes are
+        harmless (the restrict store's counts are ignored — only
+        membership matters, and every key lands at its owner shard)."""
+        from jax.experimental import multihost_utils as mu
+
+        self._restrict_store = _ShardedStore(
+            self.W, key_bits=2 * self.k, multiprocess=self.multiprocess
+        )
+        rows = self._local_rows if self.multiprocess else self.n_shards
+        sharding = NamedSharding(self.mesh, PartitionSpec(AXIS, None))
+        L = int(chunk_len)
+        pad_chunk = np.full(L, ord("N"), dtype=np.uint8)
+
+        def step(batch):
+            while len(batch) < rows:
+                batch.append(pad_chunk)
+            stacked = np.stack(batch)
+            dev = self._put(stacked, np.uint8, sharding)
+            keys, weights, overflow = self._step(dev, self._A)
+            self._insert_step(keys, weights, max_weight=rows * L,
+                              store=self._restrict_store)
+            self._note_step(overflow, ("ascii", stacked),
+                            self._restrict_store, rows * L)
+
+        it = iter(chunks_iter)
+        batch: list = []
+        while True:
+            chunk = next(it, None)
+            if chunk is not None:
+                chunk = np.asarray(chunk, dtype=np.uint8)
+                if len(chunk) < self.k:
+                    continue
+                if len(chunk) < L:
+                    chunk = np.concatenate(
+                        [chunk, pad_chunk[: L - len(chunk)]]
+                    )
+                batch.append(chunk[:L])
+                if len(batch) < rows:
+                    continue
+            # round boundary: agree globally whether anyone still has
+            # data; exhausted processes contribute padding steps
+            have = batch or chunk is not None
+            flags = mu.process_allgather(
+                np.asarray([have], dtype=np.int32)
+            )
+            if not flags.any():
+                break
+            step(batch)
+            batch = []
+
     def _put(self, arr, dtype, sharding):
         """Stage host chunks onto the mesh. Multi-process: each host
         supplies only its local rows (data-parallel host ingestion over

@@ -122,17 +122,9 @@ def test_multihost_flag_validation(tmp_path):
     )
     assert r.returncode != 0
     assert b"--num-processes" in r.stderr
-    # --if is the one remaining restriction (its PRIME pass would need
-    # its own lockstep collective loop); --disk/-L/-U/--text/--bc now
-    # compose with --coordinator
-    r = subprocess.run(
-        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "21",
-         "-s", "4k", "--coordinator", "localhost:1", "--num-processes",
-         "2", "--process-id", "0", "--if", "y.fa", "x.fa"],
-        env=env, capture_output=True, timeout=120,
-    )
-    assert r.returncode != 0
-    assert b"--if" in r.stderr
+    # every count flag now composes with --coordinator (--disk, -L/-U,
+    # --text, --bc/--bf, --sam, --if) — only the topology flags are
+    # validated here
 
 
 @pytest.mark.slow
@@ -260,3 +252,63 @@ def test_multihost_cli_bc_filter(tmp_path):
     assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert _body(out_mh) == _body(out_1)
     assert len(_body(out_mh)) > 0  # the repeated reads' mers survived
+
+
+@pytest.mark.slow
+def test_multihost_cli_if_restriction(tmp_path):
+    """--if composes with --coordinator: the lockstep PRIME pass primes
+    the allowed set at owner shards (each process passes the same --if
+    file), and the 2-process output is byte-equal to the single-process
+    --if run over all inputs — including allowed-but-unseen mers dumping
+    with count 0."""
+    rng = np.random.default_rng(4242)
+    seqs = [random_dna(rng, 1500) for _ in range(4)]
+    files = []
+    for pid, sl in [(0, seqs[:3]), (1, seqs[3:])]:
+        path = tmp_path / f"in{pid}.fa"
+        _write_fasta(path, sl)
+        files.append(str(path))
+    # allowed set: pieces of the input + some never-seen sequence
+    allow = tmp_path / "allow.fa"
+    _write_fasta(allow, [seqs[0][:300], seqs[3][200:600],
+                         random_dna(rng, 200)])
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["JF_MH_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    env1 = dict(env)
+    env1.pop("JF_MH_PLATFORM")
+    env1["JAX_PLATFORMS"] = "cpu"
+
+    port = _free_port()
+    base = [
+        sys.executable, "-m", "jellyfish_tpu", "count",
+        "-m", "21", "-s", "4k", "-C", "--matrix-seed", "17",
+        "--chunk-len", "2048", "--if", str(allow),
+        "--coordinator", f"localhost:{port}", "--num-processes", "2",
+    ]
+    out_mh = tmp_path / "mh_if.jf"
+    procs = [
+        subprocess.Popen(
+            base + ["--process-id", str(pid), "-o", str(out_mh),
+                    files[pid]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (o, e) in zip(procs, outs):
+        assert p.returncode == 0, e.decode()[-2000:]
+
+    out_1 = tmp_path / "single_if.jf"
+    r = subprocess.run(
+        [sys.executable, "-m", "jellyfish_tpu", "count", "-m", "21",
+         "-s", "4k", "-C", "--matrix-seed", "17", "--chunk-len", "2048",
+         "--if", str(allow), "-o", str(out_1)] + files,
+        env=env1, capture_output=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert _body(out_mh) == _body(out_1)
+    assert len(_body(out_mh)) > 0
