@@ -1,0 +1,367 @@
+"""Pallas merge-path probe (PERF roadmap 2, third kernel attempt).
+
+Two SORTED u32 arrays are merged in O(n). XLA precomputes per-tile
+merge-path split points (vectorized binary search), quantized DOWN to
+1024-element blocks (Mosaic cannot slice memrefs at unprovably-aligned
+dynamic offsets — the canonical alternative is scalar-prefetched BLOCK
+index maps, with the sub-quantum remainder sliced off in an XLA
+post-pass). The grid is (n_tiles, 32): the inner dimension streams 32
+consecutive 1024-element blocks of each side's window through the
+pallas pipeline into a (32, 8, 128) VMEM scratch (leading-dim dynamic
+writes only); the last inner step concatenates A's window with the
+pre-reversed B window (descending) into a bitonic 2*TW sequence and
+runs the log2(2*TW)-stage bitonic MERGER (row-space stages: sublane
+reshape; lane-space stages: cyclic rolls + lane-bit mask;
+compare+select, never minui). Output tile = merged[delta : delta+T_OUT].
+
+Success bar: beat lax.sort of the concatenation on merged elements;
+failure -> negative result 6 with measured ms/M.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+Q = 1024              # window-start quantum = one streamed block
+TW = 1 << 15          # per-side window elements (pow2)
+NB = TW // Q          # streamed blocks per side per tile (32)
+T_OUT = TW - 2 * Q    # output elements per tile
+C = 128
+RW = TW // C          # window rows (256)
+STAGES = (2 * TW - 1).bit_length()  # log2(2*TW) = 16
+
+
+def sync(x):
+    if isinstance(x, (tuple, list)):
+        x = x[0]
+    np.asarray(jax.device_get(x.ravel()[:1]))
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def split_points(A, B, ks):
+    """a such that the first k merged elements = A[:a] + B[:k-a]."""
+    Ma, Mb = A.shape[0], B.shape[0]
+    lo = jnp.maximum(ks - Mb, 0)
+    hi = jnp.minimum(ks, Ma)
+    for _ in range(int(np.ceil(np.log2(max(Ma, 2)))) + 1):
+        a = (lo + hi + 1) // 2
+        av = jnp.where(a > 0, A[jnp.maximum(a - 1, 0)], jnp.uint32(0))
+        bi = jnp.clip(ks - a, 0, Mb - 1)
+        bv = jnp.where(ks - a < Mb, B[bi], jnp.uint32(0xFFFFFFFF))
+        ok = (a == 0) | (av <= bv)
+        lo = jnp.where(ok, a, lo)
+        hi = jnp.where(ok, hi, a - 1)
+    return lo
+
+
+def _merge_stage(x, d):
+    Rx = x.shape[0]
+    if d >= C:
+        dr = d // C
+        y = x.reshape(Rx // (2 * dr), 2, dr, C)
+        a, b = y[:, 0], y[:, 1]
+        swap = b < a
+        mn = jnp.where(swap, b, a)
+        mx = jnp.where(swap, a, b)
+        return jnp.stack([mn, mx], axis=1).reshape(Rx, C)
+    left = pltpu.roll(x, shift=C - d, axis=1)   # cyclic: lane l+d
+    right = pltpu.roll(x, shift=d, axis=1)      # cyclic: lane l-d
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    low = (lane & d) == 0
+    lo_v = jnp.where(x < left, x, left)
+    hi_v = jnp.where(right < x, x, right)
+    return jnp.where(low, lo_v, hi_v)
+
+
+def build_merge(n_tiles, n):
+    def kernel(offs_ref, a_blk, b_blk, o_ref, sa, sb):
+        j = pl.program_id(1)
+        sa[j] = a_blk[:]
+        sb[j] = b_blk[:]
+
+        @pl.when(j == NB - 1)
+        def _():
+            x = jnp.concatenate(
+                [sa[:].reshape(RW, C), sb[:].reshape(RW, C)], axis=0
+            )
+            o_ref[:] = x
+            d = TW
+            for _ in range(STAGES):
+                o_ref[:] = _merge_stage(o_ref[:], max(d, 1))
+                d //= 2
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, NB),
+        in_specs=[
+            pl.BlockSpec((8, C), lambda t, j, s: (s[t, 0] + j, 0)),
+            pl.BlockSpec((8, C), lambda t, j, s: (s[t, 1] + j, 0)),
+        ],
+        out_specs=pl.BlockSpec((2 * RW, C), lambda t, j, s: (t, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((NB, 8, C), jnp.uint32),
+            pltpu.VMEM((NB, 8, C), jnp.uint32),
+        ],
+    )
+
+    @jax.jit
+    def f(A, B):
+        Ap = jnp.concatenate(
+            [A, jnp.full(TW, 0xFFFFFFFF, dtype=jnp.uint32)]
+        ).reshape(-1, C)
+        Bp = jnp.concatenate(
+            [B, jnp.full(TW, 0xFFFFFFFF, dtype=jnp.uint32)]
+        )
+        ks = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+        a_t = split_points(A, B, ks)
+        b_t = ks - a_t
+        a_al = (a_t // Q) * Q
+        b_al = (b_t // Q) * Q
+        delta = (a_t - a_al) + (b_t - b_al)
+        # B window loads come from the REVERSED padded copy; its block
+        # index for B[b_al : b_al+TW] is (len(Bp) - b_al - TW) / Q
+        b_blk0 = (Bp.shape[0] - b_al - TW) // Q
+        Brev = Bp[::-1].reshape(-1, C)
+        offs = jnp.stack([a_al // Q, b_blk0], axis=-1)
+        merged = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
+                                           jnp.uint32),
+            grid_spec=grid_spec,
+        )(offs, Ap, Brev)
+        tiles = merged.reshape(n_tiles, 2 * TW)
+        out = jax.vmap(
+            lambda row, d: jax.lax.dynamic_slice(row, (d,), (T_OUT,))
+        )(tiles, delta)
+        return out.reshape(n_tiles * T_OUT)[:n]
+
+    return f
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for log_n in (20, 23, 25):
+        n = 1 << log_n
+        A = np.sort(rng.integers(0, 1 << 32, n // 2, dtype=np.uint32))
+        B = np.sort(rng.integers(0, 1 << 32, n // 2, dtype=np.uint32))
+        Ad, Bd = jnp.asarray(A), jnp.asarray(B)
+        n_tiles = (n + T_OUT - 1) // T_OUT
+        f = build_merge(n_tiles, n)
+        got = np.asarray(f(Ad, Bd))
+        want = np.sort(np.concatenate([A, B]), kind="stable")
+        ok = (got == want).all()
+        dt = timeit(f, Ad, Bd)
+
+        @jax.jit
+        def ref(a, b):
+            return jax.lax.sort(jnp.concatenate([a, b]))
+
+        dt_ref = timeit(ref, Ad, Bd)
+        print(
+            f"n=2^{log_n}: merge-path {'OK' if ok else 'WRONG'} "
+            f"{dt * 1e9 / n:.2f} ns/elem ({dt*1e3:.2f} ms) vs lax.sort "
+            f"{dt_ref * 1e9 / n:.2f} ns/elem ({dt_ref*1e3:.2f} ms)",
+            flush=True,
+        )
+
+
+
+
+# ---------------------------------------------------------------- 3-op
+# production shape: 2 key limbs (lexicographic) + count payload — the
+# level-merge operand set at W=2 with u32 counts.
+
+
+def split_points2(Ah, Al, Bh, Bl, ks):
+    Ma, Mb = Ah.shape[0], Bh.shape[0]
+    lo = jnp.maximum(ks - Mb, 0)
+    hi = jnp.minimum(ks, Ma)
+    ones = jnp.uint32(0xFFFFFFFF)
+    for _ in range(int(np.ceil(np.log2(max(Ma, 2)))) + 1):
+        a = (lo + hi + 1) // 2
+        ai = jnp.maximum(a - 1, 0)
+        avh = jnp.where(a > 0, Ah[ai], jnp.uint32(0))
+        avl = jnp.where(a > 0, Al[ai], jnp.uint32(0))
+        bi = jnp.clip(ks - a, 0, Mb - 1)
+        inb = ks - a < Mb
+        bvh = jnp.where(inb, Bh[bi], ones)
+        bvl = jnp.where(inb, Bl[bi], ones)
+        le = (avh < bvh) | ((avh == bvh) & (avl <= bvl))
+        ok = (a == 0) | le
+        lo = jnp.where(ok, a, lo)
+        hi = jnp.where(ok, hi, a - 1)
+    return lo
+
+
+def _merge_stage3(h, l, c, d):
+    Rx = h.shape[0]
+    if d >= C:
+        dr = d // C
+        sh = (Rx // (2 * dr), 2, dr, C)
+        yh, yl, yc = h.reshape(sh), l.reshape(sh), c.reshape(sh)
+        ah, bh = yh[:, 0], yh[:, 1]
+        al, bl = yl[:, 0], yl[:, 1]
+        ac, bc = yc[:, 0], yc[:, 1]
+        swap = (bh < ah) | ((bh == ah) & (bl < al))
+        out = []
+        for a, b in ((ah, bh), (al, bl), (ac, bc)):
+            mn = jnp.where(swap, b, a)
+            mx = jnp.where(swap, a, b)
+            out.append(jnp.stack([mn, mx], axis=1).reshape(Rx, C))
+        return out
+    Lh = pltpu.roll(h, shift=C - d, axis=1)
+    Ll = pltpu.roll(l, shift=C - d, axis=1)
+    Lc = pltpu.roll(c, shift=C - d, axis=1)
+    Rh = pltpu.roll(h, shift=d, axis=1)
+    Rl = pltpu.roll(l, shift=d, axis=1)
+    Rc = pltpu.roll(c, shift=d, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+    low = (lane & d) == 0
+    ltl = (Lh < h) | ((Lh == h) & (Ll < l))      # left  < x
+    gtr = (Rh > h) | ((Rh == h) & (Rl > l))      # right > x
+    oh = jnp.where(low, jnp.where(ltl, Lh, h), jnp.where(gtr, Rh, h))
+    ol = jnp.where(low, jnp.where(ltl, Ll, l), jnp.where(gtr, Rl, l))
+    oc = jnp.where(low, jnp.where(ltl, Lc, c), jnp.where(gtr, Rc, c))
+    return oh, ol, oc
+
+
+def build_merge3(n_tiles, n):
+    def kernel(offs_ref, ah_b, al_b, ac_b, bh_b, bl_b, bc_b,
+               oh_ref, ol_ref, oc_ref, sah, sal, sac, sbh, sbl, sbc):
+        j = pl.program_id(1)
+        sah[j] = ah_b[:]
+        sal[j] = al_b[:]
+        sac[j] = ac_b[:]
+        sbh[j] = bh_b[:]
+        sbl[j] = bl_b[:]
+        sbc[j] = bc_b[:]
+
+        @pl.when(j == NB - 1)
+        def _():
+            h = jnp.concatenate(
+                [sah[:].reshape(RW, C), sbh[:].reshape(RW, C)], axis=0
+            )
+            l = jnp.concatenate(
+                [sal[:].reshape(RW, C), sbl[:].reshape(RW, C)], axis=0
+            )
+            c = jnp.concatenate(
+                [sac[:].reshape(RW, C), sbc[:].reshape(RW, C)], axis=0
+            )
+            oh_ref[:], ol_ref[:], oc_ref[:] = h, l, c
+            d = TW
+            for _ in range(STAGES):
+                oh, ol, oc = _merge_stage3(
+                    oh_ref[:], ol_ref[:], oc_ref[:], max(d, 1)
+                )
+                oh_ref[:], ol_ref[:], oc_ref[:] = oh, ol, oc
+                d //= 2
+
+    a_map = lambda t, j, s: (s[t, 0] + j, 0)  # noqa: E731
+    b_map = lambda t, j, s: (s[t, 1] + j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, NB),
+        in_specs=[pl.BlockSpec((8, C), a_map)] * 3
+        + [pl.BlockSpec((8, C), b_map)] * 3,
+        out_specs=[
+            pl.BlockSpec((2 * RW, C), lambda t, j, s: (t, 0))
+        ] * 3,
+        scratch_shapes=[pltpu.VMEM((NB, 8, C), jnp.uint32)] * 6,
+    )
+
+    @jax.jit
+    def f(Ah, Al, Ac, Bh, Bl, Bc):
+        ones = jnp.full(TW, 0xFFFFFFFF, dtype=jnp.uint32)
+
+        def padded(x, rev):
+            x = jnp.concatenate([x, ones])
+            if rev:
+                x = x[::-1]
+            return x.reshape(-1, C)
+
+        ks = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+        a_t = split_points2(Ah, Al, Bh, Bl, ks)
+        b_t = ks - a_t
+        a_al = (a_t // Q) * Q
+        b_al = (b_t // Q) * Q
+        delta = (a_t - a_al) + (b_t - b_al)
+        b_blk0 = (Bh.shape[0] + TW - b_al - TW) // Q
+        offs = jnp.stack([a_al // Q, b_blk0], axis=-1)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
+                                            jnp.uint32)] * 3,
+            grid_spec=grid_spec,
+        )(offs, padded(Ah, False), padded(Al, False), padded(Ac, False),
+          padded(Bh, True), padded(Bl, True), padded(Bc, True))
+
+        def cut(m):
+            tiles = m.reshape(n_tiles, 2 * TW)
+            return jax.vmap(
+                lambda row, d: jax.lax.dynamic_slice(row, (d,), (T_OUT,))
+            )(tiles, delta).reshape(n_tiles * T_OUT)[:n]
+
+        return cut(outs[0]), cut(outs[1]), cut(outs[2])
+
+    return f
+
+
+def main3():
+    rng = np.random.default_rng(1)
+    for log_n in (23, 25):
+        n = 1 << log_n
+        ka = np.unique(rng.integers(0, 1 << 63, n // 2 + 1000,
+                                    dtype=np.uint64))[: n // 2]
+        kb = np.unique(rng.integers(0, 1 << 63, n // 2 + 1000,
+                                    dtype=np.uint64))[: n // 2]
+        assert len(ka) == n // 2 and len(kb) == n // 2
+        Ah, Al = (ka >> 32).astype(np.uint32), ka.astype(np.uint32)
+        Bh, Bl = (kb >> 32).astype(np.uint32), kb.astype(np.uint32)
+        Ac = rng.integers(1, 1 << 31, n // 2, dtype=np.uint32)
+        Bc = rng.integers(1, 1 << 31, n // 2, dtype=np.uint32)
+        n_tiles = (n + T_OUT - 1) // T_OUT
+        f = build_merge3(n_tiles, n)
+        dev = [jnp.asarray(x) for x in (Ah, Al, Ac, Bh, Bl, Bc)]
+        oh, ol, oc = (np.asarray(x) for x in f(*dev))
+        allk = np.concatenate([ka, kb])
+        allc = np.concatenate([Ac, Bc])
+        order = np.argsort(allk, kind="stable")
+        ok = ((oh == (allk[order] >> 32).astype(np.uint32)).all()
+              and (ol == allk[order].astype(np.uint32)).all()
+              and (oc == allc[order]).all())
+        dt = timeit(f, *dev)
+
+        @jax.jit
+        def ref(ah, al, ac, bh, bl, bc):
+            h = jnp.concatenate([ah, bh])
+            l = jnp.concatenate([al, bl])
+            c = jnp.concatenate([ac, bc])
+            return jax.lax.sort([h, l, c], num_keys=2, is_stable=False)
+
+        dt_ref = timeit(ref, *dev)
+        print(
+            f"3op n=2^{log_n}: merge-path {'OK' if ok else 'WRONG'} "
+            f"{dt * 1e9 / n:.2f} ns/elem ({dt*1e3:.2f} ms) vs lax.sort "
+            f"{dt_ref * 1e9 / n:.2f} ns/elem ({dt_ref*1e3:.2f} ms)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
+    main3()
