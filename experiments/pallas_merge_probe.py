@@ -362,6 +362,173 @@ def main3():
         )
 
 
+
+
+# ---------------------------------------------------------------- 4-op
+# W=2 keys + 64-bit counts (lo, hi) — the full level-merge operand set;
+# measures the per-payload-stream cost slope for the integration.
+
+
+def _merge_stage_n(limbs, payloads, d):
+    """Lexicographic compare on `limbs` (MSW first), `payloads` follow."""
+    allv = list(limbs) + list(payloads)
+    Rx = allv[0].shape[0]
+    nk = len(limbs)
+    if d >= C:
+        dr = d // C
+        sh = (Rx // (2 * dr), 2, dr, C)
+        ys = [v.reshape(sh) for v in allv]
+        a = [y[:, 0] for y in ys]
+        b = [y[:, 1] for y in ys]
+        swap = jnp.zeros_like(a[0], dtype=bool)
+        eq = jnp.ones_like(a[0], dtype=bool)
+        for w in range(nk):
+            swap = swap | (eq & (b[w] < a[w]))
+            eq = eq & (b[w] == a[w])
+        out = []
+        for av, bv in zip(a, b):
+            mn = jnp.where(swap, bv, av)
+            mx = jnp.where(swap, av, bv)
+            out.append(jnp.stack([mn, mx], axis=1).reshape(Rx, C))
+        return out[:nk], out[nk:]
+    L = [pltpu.roll(v, shift=C - d, axis=1) for v in allv]
+    Rv = [pltpu.roll(v, shift=d, axis=1) for v in allv]
+    lane = jax.lax.broadcasted_iota(jnp.int32, allv[0].shape, 1)
+    low = (lane & d) == 0
+    ltl = jnp.zeros_like(low)
+    eq = jnp.ones_like(low)
+    for w in range(nk):
+        ltl = ltl | (eq & (L[w] < allv[w]))
+        eq = eq & (L[w] == allv[w])
+    gtr = jnp.zeros_like(low)
+    eq = jnp.ones_like(low)
+    for w in range(nk):
+        gtr = gtr | (eq & (Rv[w] > allv[w]))
+        eq = eq & (Rv[w] == allv[w])
+    out = [
+        jnp.where(low, jnp.where(ltl, Lv, v), jnp.where(gtr, Rw, v))
+        for v, Lv, Rw in zip(allv, L, Rv)
+    ]
+    return out[:nk], out[nk:]
+
+
+def build_merge_n(n_tiles, n, n_pay):
+    n_ops = 2 + n_pay
+
+    def kernel(offs_ref, *refs):
+        a_blks = refs[:n_ops]
+        b_blks = refs[n_ops:2 * n_ops]
+        o_refs = refs[2 * n_ops:3 * n_ops]
+        sa = refs[3 * n_ops:4 * n_ops]
+        sb = refs[4 * n_ops:5 * n_ops]
+        j = pl.program_id(1)
+        for s, blk in zip(sa, a_blks):
+            s[j] = blk[:]
+        for s, blk in zip(sb, b_blks):
+            s[j] = blk[:]
+
+        @pl.when(j == NB - 1)
+        def _():
+            vals = [
+                jnp.concatenate(
+                    [s1[:].reshape(RW, C), s2[:].reshape(RW, C)], axis=0
+                )
+                for s1, s2 in zip(sa, sb)
+            ]
+            for o, v in zip(o_refs, vals):
+                o[:] = v
+            d = TW
+            for _ in range(STAGES):
+                limbs, pays = _merge_stage_n(
+                    [o_refs[0][:], o_refs[1][:]],
+                    [o[:] for o in o_refs[2:]],
+                    max(d, 1),
+                )
+                for o, v in zip(o_refs, list(limbs) + list(pays)):
+                    o[:] = v
+                d //= 2
+
+    a_map = lambda t, j, s: (s[t, 0] + j, 0)  # noqa: E731
+    b_map = lambda t, j, s: (s[t, 1] + j, 0)  # noqa: E731
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, NB),
+        in_specs=[pl.BlockSpec((8, C), a_map)] * n_ops
+        + [pl.BlockSpec((8, C), b_map)] * n_ops,
+        out_specs=[
+            pl.BlockSpec((2 * RW, C), lambda t, j, s: (t, 0))
+        ] * n_ops,
+        scratch_shapes=[pltpu.VMEM((NB, 8, C), jnp.uint32)] * (2 * n_ops),
+    )
+
+    @jax.jit
+    def f(*arrs):  # n_ops A-streams then n_ops B-streams
+        ones = jnp.full(TW, 0xFFFFFFFF, dtype=jnp.uint32)
+
+        def padded(x, rev):
+            x = jnp.concatenate([x, ones])
+            if rev:
+                x = x[::-1]
+            return x.reshape(-1, C)
+
+        A = arrs[:n_ops]
+        B = arrs[n_ops:]
+        ks = jnp.arange(n_tiles, dtype=jnp.int32) * T_OUT
+        a_t = split_points2(A[0], A[1], B[0], B[1], ks)
+        b_t = ks - a_t
+        a_al = (a_t // Q) * Q
+        b_al = (b_t // Q) * Q
+        delta = (a_t - a_al) + (b_t - b_al)
+        b_blk0 = (B[0].shape[0] + TW - b_al - TW) // Q
+        offs = jnp.stack([a_al // Q, b_blk0], axis=-1)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=[jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
+                                            jnp.uint32)] * n_ops,
+            grid_spec=grid_spec,
+        )(offs, *[padded(x, False) for x in A],
+          *[padded(x, True) for x in B])
+
+        def cut(m):
+            tiles = m.reshape(n_tiles, 2 * TW)
+            return jax.vmap(
+                lambda row, dd: jax.lax.dynamic_slice(
+                    row, (dd,), (T_OUT,))
+            )(tiles, delta).reshape(n_tiles * T_OUT)[:n]
+
+        return tuple(cut(m) for m in outs)
+
+    return f
+
+
+def main4():
+    rng = np.random.default_rng(2)
+    n = 1 << 25
+    ka = np.unique(rng.integers(0, 1 << 63, n // 2 + 1000,
+                                dtype=np.uint64))[: n // 2]
+    kb = np.unique(rng.integers(0, 1 << 63, n // 2 + 1000,
+                                dtype=np.uint64))[: n // 2]
+    Ah, Al = (ka >> 32).astype(np.uint32), ka.astype(np.uint32)
+    Bh, Bl = (kb >> 32).astype(np.uint32), kb.astype(np.uint32)
+    pays = [rng.integers(0, 1 << 31, n // 2, dtype=np.uint32)
+            for _ in range(4)]
+    n_tiles = (n + T_OUT - 1) // T_OUT
+    f = build_merge_n(n_tiles, n, 2)
+    dev = [jnp.asarray(x)
+           for x in (Ah, Al, pays[0], pays[1], Bh, Bl, pays[2], pays[3])]
+    outs = [np.asarray(x) for x in f(*dev)]
+    allk = np.concatenate([ka, kb])
+    order = np.argsort(allk, kind="stable")
+    ok = ((outs[0] == (allk[order] >> 32).astype(np.uint32)).all()
+          and (outs[1] == allk[order].astype(np.uint32)).all()
+          and (outs[2] == np.concatenate([pays[0], pays[2]])[order]).all()
+          and (outs[3] == np.concatenate([pays[1], pays[3]])[order]).all())
+    dt = timeit(f, *dev)
+    print(f"4op n=2^25: merge-path {'OK' if ok else 'WRONG'} "
+          f"{dt * 1e9 / n:.2f} ns/elem ({dt*1e3:.2f} ms)", flush=True)
+
+
 if __name__ == "__main__":
     main()
     main3()
+    main4()
