@@ -120,7 +120,10 @@ def bench_cram31():
     from jellyfish_tpu.io.cram import cram_records_to_fastx
 
     rng = random.Random(31)
-    n_rec = int(MB * 1e6 / 600)
+    # at least 12 slices of 10k records: shorter fixtures are dominated
+    # by thread-pool startup and under-report the amortized rate (the
+    # PERF.md rec/s claims are measured at 200k records)
+    n_rec = max(int(MB * 1e6 / 600), 120_000)
     recs = []
     for i in range(n_rec):
         qual = bytearray()
