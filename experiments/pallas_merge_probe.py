@@ -18,6 +18,7 @@ Success bar: beat lax.sort of the concatenation on merged elements;
 failure -> negative result 6 with measured ms/M.
 """
 
+import os
 import time
 
 import jax
@@ -27,6 +28,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+
+# interpret mode lets the kernel logic run (slowly) on any backend —
+# tests/test_pallas_merge.py uses it on the CPU suite
+INTERPRET = os.environ.get("JF_PALLAS_INTERPRET", "") == "1"
+
 
 Q = 1024              # window-start quantum = one streamed block
 TW = 1 << 15          # per-side window elements (pow2)
@@ -143,6 +149,7 @@ def build_merge(n_tiles, n):
             out_shape=jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
                                            jnp.uint32),
             grid_spec=grid_spec,
+            interpret=INTERPRET,
         )(offs, Ap, Brev)
         tiles = merged.reshape(n_tiles, 2 * TW)
         out = jax.vmap(
@@ -307,6 +314,7 @@ def build_merge3(n_tiles, n):
             out_shape=[jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
                                             jnp.uint32)] * 3,
             grid_spec=grid_spec,
+            interpret=INTERPRET,
         )(offs, padded(Ah, False), padded(Al, False), padded(Ac, False),
           padded(Bh, True), padded(Bl, True), padded(Bc, True))
 
@@ -486,6 +494,7 @@ def build_merge_n(n_tiles, n, n_pay):
             out_shape=[jax.ShapeDtypeStruct((n_tiles * 2 * RW, C),
                                             jnp.uint32)] * n_ops,
             grid_spec=grid_spec,
+            interpret=INTERPRET,
         )(offs, *[padded(x, False) for x in A],
           *[padded(x, True) for x in B])
 
